@@ -1,0 +1,152 @@
+"""DuckDB oracle SQL for the transcript feature kernels.
+
+Each SQL string reproduces an engine operator over the SAME transcript
+parquet file (fixtures.ensure_transcripts), written so the float arithmetic
+is bitwise-identical to the numpy kernels: every rolling statistic is an
+integer window sum (exact in both engines) followed by the same IEEE double
+expression. EMA and percentile-rank are not expressible in ANSI window SQL
+and are oracled by pytest instead (tests/test_kernels.py).
+
+The CTE `t` is the shared turn-level base: dedup keep-last, per-conversation
+ordering by turn_idx, integer dt_us.
+"""
+
+from __future__ import annotations
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+
+
+def base_cte(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    gap_us = int(cfg.session_gap_s * 1e6)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM read_parquet('{path}')
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC) = 1
+), t0 AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, role, tool, text,
+         length(text) AS text_len,
+         CASE WHEN tool <> '' THEN 1 ELSE 0 END AS is_tool,
+         COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS dt_us,
+         CASE WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS role_change,
+         row_number() OVER w AS cum_turns
+  FROM raw
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), t AS (
+  SELECT *,
+         SUM(CASE WHEN dt_us > {gap_us} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS session_id
+  FROM t0
+)"""
+
+
+def sql_turn_base(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """dedup + latency + sessionize + cumulative counters (M4/M8/W10)."""
+    return base_cte(path, cfg) + """
+SELECT conv_id, turn_idx, ts_us, role, tool, text, text_len, is_tool,
+       role_change, cum_turns, dt_us / 1000000.0 AS dt_secs, session_id,
+       CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) AS BIGINT) AS session_turn
+FROM t
+ORDER BY conv_id, turn_idx"""
+
+
+def sql_rolling(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """rolling mean/std + rates + lag/lead/delta + persistence event."""
+    parts = ["conv_id", "turn_idx", "ts_us", "dt_us / 1000000.0 AS dt_secs"]
+    for w in cfg.sma_windows:
+        win = f"(PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+        parts.append(
+            f"SUM(dt_us) OVER {win} / (COUNT(*) OVER {win} * 1000000.0) AS lat_sma_{w}"
+        )
+        parts.append(
+            f"""CASE WHEN COUNT(*) OVER {win} < 2 THEN 0.0 ELSE
+            sqrt(greatest((CAST(SUM((dt_us // 10000) * (dt_us // 10000)) OVER {win} AS DOUBLE)
+              - CAST(SUM(dt_us // 10000) OVER {win} AS DOUBLE) * CAST(SUM(dt_us // 10000) OVER {win} AS DOUBLE)
+                / CAST(COUNT(*) OVER {win} AS DOUBLE))
+              / (CAST(COUNT(*) OVER {win} AS DOUBLE) - 1), 0.0)) / 100.0 END AS lat_std_{w}"""
+        )
+    rw = cfg.rate_window
+    win = f"(PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN {rw - 1} PRECEDING AND CURRENT ROW)"
+    parts.append(f"SUM(is_tool) OVER {win} / COUNT(*) OVER {win} AS tool_rate_{rw}")
+    parts.append(f"SUM(role_change) OVER {win} / COUNT(*) OVER {win} AS role_change_rate_{rw}")
+    parts.append(f"SUM(text_len) OVER {win} / COUNT(*) OVER {win} AS text_len_sma_{rw}")
+    wc = "(PARTITION BY conv_id ORDER BY turn_idx)"
+    for k in cfg.lag_turns:
+        parts.append(f"COALESCE(lag(dt_us, {k}) OVER {wc} / 1000000.0, 0.0) AS lat_lag_{k}")
+        parts.append(
+            f"CASE WHEN lag(dt_us, {k}) OVER {wc} IS NULL THEN 0.0 "
+            f"ELSE dt_us / 1000000.0 - lag(dt_us, {k}) OVER {wc} / 1000000.0 END AS lat_delta_{k}"
+        )
+    for k in cfg.lead_turns:
+        parts.append(f"COALESCE(lead(dt_us, {k}) OVER {wc} / 1000000.0, 0.0) AS lat_lead_{k}")
+    thr = int(cfg.gap_event_threshold_s * 1e6)
+    return (
+        base_cte(path, cfg)
+        + ", runs AS (SELECT *, SUM(CASE WHEN dt_us <= "
+        + str(thr)
+        + " THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS _grp FROM t)\n"
+        + "SELECT "
+        + ",\n       ".join(parts)
+        + f""",
+       CASE WHEN dt_us > {thr}
+              AND row_number() OVER (PARTITION BY conv_id, _grp ORDER BY turn_idx) - 1
+                  >= {cfg.gap_event_min_persist}
+            THEN 1 ELSE 0 END AS gap_event
+FROM runs
+ORDER BY conv_id, turn_idx"""
+    )
+
+
+def sql_window_agg(path: str, window_s: int, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """W1 analogue: leak-free [W-p, W) per-(conv, window) aggregates."""
+    p = window_s * 1_000_000
+    return base_cte(path, cfg) + f"""
+SELECT conv_id,
+       ((ts_us // {p}) + 1) * {p} AS w_end_us,
+       CAST(COUNT(*) AS BIGINT) AS turns,
+       CAST(SUM(is_tool) AS BIGINT) AS tool_turns,
+       CAST(SUM(text_len) AS BIGINT) AS text_chars,
+       CAST(SUM(dt_us) AS BIGINT) AS dt_sum_us,
+       CAST(MIN(turn_idx) AS BIGINT) AS first_turn,
+       CAST(MAX(turn_idx) AS BIGINT) AS last_turn,
+       SUM(dt_us) / (COUNT(*) * 1000000.0) AS dt_mean
+FROM t
+GROUP BY conv_id, ((ts_us // {p}) + 1) * {p}
+ORDER BY conv_id, w_end_us"""
+
+
+def sql_asof_features(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """J1 analogue: turns ASOF-joined to every agg window's features."""
+    ctes, selects, joins = [], [], []
+    for pnum, ws in enumerate(cfg.agg_windows_s):
+        p = ws * 1_000_000
+        ctes.append(
+            f"""w{ws} AS (
+  SELECT conv_id, ((ts_us // {p}) + 1) * {p} AS w_end_us,
+         CAST(COUNT(*) AS BIGINT) AS turns,
+         CAST(SUM(is_tool) AS BIGINT) AS tool_turns,
+         CAST(SUM(text_len) AS BIGINT) AS text_chars,
+         SUM(dt_us) / (COUNT(*) * 1000000.0) AS dt_mean
+  FROM t GROUP BY 1, 2
+)"""
+        )
+        selects += [
+            f"COALESCE(w{ws}.w_end_us, 0) AS w{ws}_w_end_us",
+            f"COALESCE(w{ws}.turns, 0) AS w{ws}_turns",
+            f"COALESCE(w{ws}.tool_turns, 0) AS w{ws}_tool_turns",
+            f"COALESCE(w{ws}.text_chars, 0) AS w{ws}_text_chars",
+            f"COALESCE(w{ws}.dt_mean, 0.0) AS w{ws}_dt_mean",
+        ]
+        joins.append(
+            f"ASOF LEFT JOIN w{ws} ON t.conv_id = w{ws}.conv_id AND t.ts_us >= w{ws}.w_end_us"
+        )
+    return (
+        base_cte(path, cfg)
+        + ", "
+        + ", ".join(ctes)
+        + "\nSELECT t.conv_id, t.turn_idx, t.ts_us, t.text, "
+        + ",\n       ".join(selects)
+        + "\nFROM t "
+        + " ".join(joins)
+        + "\nORDER BY t.conv_id, t.turn_idx"
+    )

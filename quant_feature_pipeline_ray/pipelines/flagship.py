@@ -1,0 +1,93 @@
+"""Flagship pipeline: transcript Parquet → per-turn feature vectors.
+
+The end-to-end analogue of the reference's offline build
+(run2_offline_pipeline.py → Step2 resample → Step3 indicators → Step4
+merge_asof → Step5 feature contract), fused Ray-Data-first:
+
+    read_parquet (column-pruned)
+      → ONE hash shuffle: groupby(hash(conv_id) % B)
+        → per bucket: sort → dedup keep-last → sessionize → rolling
+          kernels (SMA/EMA/std/lag/rank/events) → leak-free window
+          aggregates per agg window → backward as-of merge back onto turns
+      → feature table (stable (conv_id, turn_idx) order inside each bucket)
+
+Fusing Steps 2-5 into the single per-bucket kernel avoids materializing the
+intermediate K-line/indicator tables the reference writes to disk between
+steps — at 100 TB those intermediates are the difference between one pass
+and four.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+from quant_feature_pipeline_ray.stages.asof import merge_asof_frames
+from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+from quant_feature_pipeline_ray.stages.turn_features import compute_turn_features
+from quant_feature_pipeline_ray.stages.window_agg import window_aggregate_frame
+
+# columns the per-bucket kernel actually consumes — everything else is pruned
+# at the parquet read (SURVEY.md "prune at the read")
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def featurize_bucket(df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """One bucket end-to-end: turn kernels + window aggregates + as-of."""
+    if len(df) == 0:
+        return _empty_output(cfg)
+    turns = compute_turn_features(df, cfg)
+    for p in cfg.agg_windows_s:
+        wf = window_aggregate_frame(turns, p)
+        wf = wf.drop(columns=["first_turn", "last_turn", "dt_sum_us"])
+        turns = merge_asof_frames(
+            turns, wf, on="ts_us", right_on="w_end_us", by="conv_id", prefix=f"w{p}_"
+        )
+        for c in (f"w{p}_turns", f"w{p}_tool_turns", f"w{p}_text_chars", f"w{p}_w_end_us"):
+            turns[c] = turns[c].fillna(0).astype("int64")
+        turns[f"w{p}_dt_mean"] = turns[f"w{p}_dt_mean"].fillna(0.0)
+    return turns.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+
+
+def transcript_features(
+    path: str,
+    cfg: FeatureConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Build the full per-turn feature table from a transcript parquet path."""
+    ds = ray.data.read_parquet(path, columns=INPUT_COLUMNS)
+    return partition_map_groups(
+        ds,
+        lambda g: featurize_bucket(g, cfg),
+        key="conv_id",
+        num_buckets=num_buckets or cfg.num_buckets,
+    )
+
+
+def _probe_output(cfg: FeatureConfig) -> pd.DataFrame:
+    probe = pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["x"],
+            "tool": [""],
+            "ts": [pd.Timestamp("2024-01-01")],
+        }
+    )
+    return featurize_bucket(probe, cfg)
+
+
+def _empty_output(cfg: FeatureConfig) -> pd.DataFrame:
+    """Correctly-typed empty frame so empty buckets don't emit a divergent
+    block schema into the stream."""
+    return _probe_output(cfg).head(0)
+
+
+def feature_schema_names(cfg: FeatureConfig = DEFAULT_CONFIG) -> list[str]:
+    """Ordered output feature-name contract (reference: NPZ feature_names +
+    schema_sha, tools/export_utils.py:268-283). Derived from a probe row so
+    it can never drift from the kernels."""
+    return list(_probe_output(cfg).columns)

@@ -1,0 +1,238 @@
+"""Per-bucket turn-level feature kernels (the computational core).
+
+Transposes the reference's rolling-indicator battery (SURVEY.md §2.3) to the
+transcript domain, vectorized ACROSS conversations inside one hash bucket:
+
+    W10 log return        -> inter-turn latency dt_secs
+    W7/W8 rolling mean    -> lat_sma_{w} (integer-exact cumsum windows)
+    W7 rolling std        -> lat_std_{w}
+    W12 EMA register      -> lat_ema_{s} (recursive, adjust=False)
+    W3/W5 momentum        -> lat_lag_{k} / lat_delta_{k} / lat_lead_{k}
+    W6 percentile rank    -> lat_rank_{w} (clip [0.01, 0.99])
+    W11 persistence event -> gap_event (dt > thr for >= n consecutive turns)
+    M8 grid fill          -> gap-based sessionize (session_id, session_turn)
+    M9 date parts         -> hour / isodow (+ sin/cos encodings)
+    M4 dedup keep-last    -> per (conv_id, turn_idx), keep max-ts row
+
+Numerical-parity discipline: every column the DuckDB oracle checks is derived
+from int64 sums (exact in int64 / representable in float64) followed by the
+SAME float expression the SQL uses, so engine and oracle agree bitwise — no
+tolerance fudging. EMA and percentile-rank are not expressible in ANSI window
+SQL; they are gated by pytest allclose against a straight-line per-turn
+oracle instead (FIXTURES.md invariant 2).
+
+All kernels assume canonical per-partition ordering (sort_partition) and are
+O(N) numpy passes — no Python loop over rows, no loop over conversations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+from quant_feature_pipeline_ray.stages.partition import assert_watermark, sort_partition
+
+
+def dedup_keep_last(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact dedup: keep the max-ts row per (conv_id, turn_idx).
+
+    Reference: duplicate-timestamp dedup keep-last at every stage
+    (tools/incremental.py:31-40, step2_resample.py:143). Input must be
+    sort_partition()-ordered, so keep='last' is keep-max-ts."""
+    return df[~df.duplicated(["conv_id", "turn_idx"], keep="last")].reset_index(drop=True)
+
+
+def _conv_segments(conv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(new_conv bool mask, 0-based row number within conversation)."""
+    n = len(conv)
+    new_conv = np.empty(n, dtype=bool)
+    new_conv[0] = True
+    np.not_equal(conv[1:], conv[:-1], out=new_conv[1:])
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(new_conv, idx, 0))
+    return new_conv, idx - seg_start
+
+
+def _windowed_sum_int(x: np.ndarray, rn: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact trailing-window sum over int64 `x` within conversation segments.
+
+    Returns (window_sum int64, n_in_window int64) for window = last
+    min(rn+1, w) rows. Uses per-conversation cumulative sums (int64-exact) +
+    gather — the vectorized form of the reference's cumsum rolling kernels
+    (step5_featueres_unified.py:157-196, 1010-1025)."""
+    idx = np.arange(len(x), dtype=np.int64)
+    cs = np.cumsum(x)  # global cumsum; differences below never cross segments
+    n_in = np.minimum(rn + 1, w)
+    prev = idx - n_in  # row *before* the window start (>= seg_start-1)
+    sums = cs[idx] - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+    return sums, n_in
+
+
+def _lag_within_conv(x: np.ndarray, rn: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """x shifted k rows back within each conversation; (values, valid_mask)."""
+    idx = np.arange(len(x), dtype=np.int64)
+    valid = rn >= k
+    src = np.where(valid, idx - k, idx)
+    return x[src], valid
+
+
+def _lead_within_conv(
+    x: np.ndarray, rn: np.ndarray, new_conv: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    idx = np.arange(n, dtype=np.int64)
+    # rows remaining in the conversation after row i
+    seg_len = np.zeros(n, dtype=np.int64)
+    starts = np.flatnonzero(new_conv)
+    ends = np.append(starts[1:], n)
+    seg_len_per = ends - starts
+    seg_len = np.repeat(seg_len_per, seg_len_per)
+    valid = rn + k < seg_len
+    src = np.where(valid, np.minimum(idx + k, n - 1), idx)
+    return x[src], valid
+
+
+def _run_length_event(mask: np.ndarray, conv_codes: np.ndarray, min_persist: int) -> np.ndarray:
+    """W11 analogue: 1 when `mask` held for >= min_persist consecutive turns
+    within a conversation (step5_featueres_unified.py:1027-1093). O(N)."""
+    n = len(mask)
+    idx = np.arange(n, dtype=np.int64)
+    new_conv = np.empty(n, dtype=bool)
+    new_conv[0] = True
+    np.not_equal(conv_codes[1:], conv_codes[:-1], out=new_conv[1:])
+    anchor = np.where((~mask) | new_conv, idx, 0)  # last row where the run broke
+    anchor = np.maximum.accumulate(anchor)
+    run_len = np.where(mask & ~new_conv, idx - anchor, 0)
+    return (run_len >= min_persist).astype(np.int64)
+
+
+def compute_turn_features(
+    df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG, leak_free_only: bool = False
+) -> pd.DataFrame:
+    """The per-bucket kernel chain: sort → dedup → sessionize → rolling stats.
+
+    `df` is one hash bucket of raw transcript rows (many conversations).
+    Output keeps the input per-turn columns (text passthrough for the
+    text-equality invariant) plus the feature columns, ordered by
+    (conv_id, turn_idx).
+    """
+    df = sort_partition(df)
+    df = dedup_keep_last(df)
+    n = len(df)
+    if n == 0:
+        return df
+
+    conv = df["conv_id"].to_numpy()
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_conv, rn = _conv_segments(conv)
+    assert_watermark(ts_us, new_conv)
+
+    # --- inter-turn latency (W10 analogue; first turn of a conv = 0)
+    dt_us = np.diff(ts_us, prepend=ts_us[:1])
+    dt_us[new_conv] = 0
+    dt_secs = dt_us / 1e6
+
+    out = pd.DataFrame(
+        {
+            "conv_id": df["conv_id"].to_numpy(),
+            "turn_idx": df["turn_idx"].to_numpy().astype(np.int32),
+            "ts_us": ts_us,
+            "role": df["role"].to_numpy(),
+            "tool": df["tool"].to_numpy(),
+            "text": df["text"].to_numpy(),
+            "dt_secs": dt_secs,
+        }
+    )
+
+    # --- sessionize (M8 analogue): new session when dt > gap threshold
+    gap_us = np.int64(cfg.session_gap_s * 1e6)
+    new_session = new_conv | (dt_us > gap_us)
+    sid_global = np.cumsum(new_session.astype(np.int64))
+    conv_first_sid = np.maximum.accumulate(np.where(new_conv, sid_global, 0))
+    out["session_id"] = sid_global - conv_first_sid  # 0-based within conv
+    idx = np.arange(n, dtype=np.int64)
+    sess_start_idx = np.maximum.accumulate(np.where(new_session, idx, 0))
+    out["session_turn"] = idx - sess_start_idx + 1  # 1-based within session
+    out["is_session_start"] = new_session.astype(np.int64)
+    out["cum_turns"] = rn + 1  # cumulative counter per conversation
+
+    # --- scalar derivations
+    text_len = df["text"].str.len().to_numpy().astype(np.int64)
+    out["text_len"] = text_len
+    is_tool = (df["tool"].to_numpy() != "").astype(np.int64)
+    out["is_tool"] = is_tool
+    role_arr = df["role"].to_numpy()
+    prev_role, valid = _lag_within_conv(role_arr, rn, 1)
+    out["role_change"] = ((role_arr != prev_role) & valid).astype(np.int64)
+
+    # --- rolling mean / std over latency (integer-exact window sums)
+    dt_cs = dt_us // 10_000  # centiseconds: squares stay int64-exact
+    for w in cfg.sma_windows:
+        s_us, n_in = _windowed_sum_int(dt_us, rn, w)
+        out[f"lat_sma_{w}"] = s_us / (n_in * 1e6)
+        s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
+        ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
+        nf = n_in.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var_cs2 = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
+            std = np.sqrt(np.maximum(var_cs2, 0.0)) / 100.0
+        std[n_in < 2] = 0.0
+        out[f"lat_std_{w}"] = std
+
+    # --- rolling rates (mean of 0/1 — integer sums, exact)
+    rw = cfg.rate_window
+    s_tool, n_in = _windowed_sum_int(is_tool, rn, rw)
+    out[f"tool_rate_{rw}"] = s_tool / n_in
+    s_rc, _ = _windowed_sum_int(out["role_change"].to_numpy(), rn, rw)
+    out[f"role_change_rate_{rw}"] = s_rc / n_in
+    s_tl, _ = _windowed_sum_int(text_len, rn, rw)
+    out[f"text_len_sma_{rw}"] = s_tl / n_in
+
+    # --- lag / lead deltas (momentum analogue W3/W5)
+    for k in cfg.lag_turns:
+        lagv, valid = _lag_within_conv(dt_secs, rn, k)
+        out[f"lat_lag_{k}"] = np.where(valid, lagv, 0.0)
+        out[f"lat_delta_{k}"] = np.where(valid, dt_secs - lagv, 0.0)
+    if not leak_free_only:
+        for k in cfg.lead_turns:
+            leadv, valid = _lead_within_conv(dt_secs, rn, new_conv, k)
+            out[f"lat_lead_{k}"] = np.where(valid, leadv, 0.0)
+
+    # --- run-length persistence event (W11 analogue)
+    mask = dt_us > np.int64(cfg.gap_event_threshold_s * 1e6)
+    out["gap_event"] = _run_length_event(mask, conv, cfg.gap_event_min_persist)
+
+    # --- EMA registers (W12 EMA; recursive adjust=False) and percentile rank
+    # (W6) — cython-grouped pandas; pytest-oracled, not SQL-expressible
+    pdf = pd.DataFrame({"conv": conv, "dt": dt_secs})
+    g = pdf.groupby("conv", sort=False)
+    for span in cfg.ema_spans:
+        alpha = 2.0 / (span + 1.0)
+        out[f"lat_ema_{span}"] = (
+            g["dt"].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        )
+    rk = (
+        g["dt"]
+        .rolling(cfg.rank_window, min_periods=1)
+        .rank(method="average", pct=True)
+        .to_numpy()
+    )
+    out[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])
+
+    # --- time encodings (M9 / step5_featueres_unified.py:1095-1122)
+    ts_dt = df["ts"].to_numpy().astype("datetime64[us]")
+    hour = (ts_us // 3_600_000_000) % 24
+    # ISO dow: epoch 1970-01-01 was a Thursday (isodow=4)
+    days = ts_us // 86_400_000_000
+    isodow = (days + 3) % 7 + 1
+    out["hour"] = hour
+    out["isodow"] = isodow
+    if not leak_free_only:
+        out["hour_sin"] = np.sin(2 * np.pi * hour / 24.0)
+        out["hour_cos"] = np.cos(2 * np.pi * hour / 24.0)
+        out["dow_sin"] = np.sin(2 * np.pi * (isodow - 1) / 7.0)
+        out["dow_cos"] = np.cos(2 * np.pi * (isodow - 1) / 7.0)
+    del ts_dt
+
+    return out
