@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Transcript queries run over a deterministic synthetic transcript parquet
+(fixtures.ensure_transcripts — the graft's primary input has no testdata
+table); the oracle SQL reads the SAME file via read_parquet('<path>'), so
+engine and oracle compare identical bytes. Every SQL-expressible operator is
+covered with an exact (bitwise — integer-sum discipline, no tolerance)
+oracle; EMA / percentile-rank / MinHash / SimHash are rows-only here and
+pytest-oracled in tests/.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init() / ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +22,118 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from quant_feature_pipeline_ray import oracle
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG
+from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+from quant_feature_pipeline_ray.pipelines import events as ev
+from quant_feature_pipeline_ray.pipelines import tpch
+from quant_feature_pipeline_ray.pipelines import training_data as td
+from quant_feature_pipeline_ray.pipelines.flagship import transcript_features
+from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+from quant_feature_pipeline_ray.stages.turn_features import compute_turn_features
+from quant_feature_pipeline_ray.stages.window_agg import window_aggregate_frame
+
+# The driver runs correctness at sf=0.01; oracle SQL strings are static, so
+# they embed the sf0.01 transcript path. Generated eagerly (cached, ~1 s).
+_SQL_SF_DIR = "/root/testdata/sf0.01"
+_SQL_TRANSCRIPTS = ensure_transcripts(_SQL_SF_DIR)
+
+_TURN_BASE_COLS = [
+    "conv_id", "turn_idx", "ts_us", "role", "tool", "text", "text_len",
+    "is_tool", "role_change", "cum_turns", "dt_secs", "session_id",
+    "session_turn",
+]
+_ROLLING_COLS = [
+    "conv_id", "turn_idx", "ts_us", "dt_secs",
+    "lat_sma_5", "lat_std_5", "lat_sma_20", "lat_std_20",
+    "tool_rate_20", "role_change_rate_20", "text_len_sma_20",
+    "lat_lag_1", "lat_delta_1", "lat_lag_5", "lat_delta_5", "lat_lead_1",
+    "gap_event",
+]
+_ASOF_COLS = ["conv_id", "turn_idx", "ts_us", "text"] + [
+    f"w{p}_{c}"
+    for p in DEFAULT_CONFIG.agg_windows_s
+    for c in ("w_end_us", "turns", "tool_turns", "text_chars", "dt_mean")
+]
+
+
+def _turns_ds(sf_dir: str):
+    import ray.data
+
+    path = ensure_transcripts(sf_dir)
+    ds = ray.data.read_parquet(path)
+    return partition_map_groups(ds, compute_turn_features, key="conv_id", num_buckets=64)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return transcript_features(ensure_transcripts("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- transcript engine (primary input)
+    q["t_turn_base"] = lambda sf: _turns_ds(sf).select_columns(_TURN_BASE_COLS)
+    q["t_rolling"] = lambda sf: _turns_ds(sf).select_columns(_ROLLING_COLS)
+
+    def t_window_agg(sf):
+        import ray.data
+
+        path = ensure_transcripts(sf)
+        ds = ray.data.read_parquet(path)
+        return partition_map_groups(
+            ds,
+            lambda g: window_aggregate_frame(compute_turn_features(g), 300),
+            key="conv_id",
+            num_buckets=64,
+        )
+
+    q["t_window_agg_300"] = t_window_agg
+    q["t_asof_features"] = lambda sf: transcript_features(
+        ensure_transcripts(sf)
+    ).select_columns(_ASOF_COLS)
+    q["t_flagship_full"] = lambda sf: transcript_features(ensure_transcripts(sf))
+
+    # --- event-stream operators (events table)
+    q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
+    q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
+    q["e_asof_window"] = lambda sf: ev.events_asof_window(f"{sf}/events.parquet")
+
+    # --- analytical aggregates / joins (TPC-H-ish tables)
+    q["tpch_q1"] = tpch.tpch_q1
+    q["top_revenue_customers"] = tpch.top_revenue_customers
+
+    # --- training-data ops (documents / embeddings)
+    q["doc_token_stats"] = td.doc_token_stats
+    q["doc_lang_id"] = td.doc_lang_id
+    q["doc_exact_dedup"] = td.doc_exact_dedup
+    q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
+    q["doc_minhash_lsh"] = td.doc_minhash_lsh
+    q["doc_simhash"] = td.doc_simhash
+    q["emb_norms"] = td.emb_norms
+    q["emb_ann_topk"] = td.emb_ann_topk
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = _SQL_TRANSCRIPTS
+    return {
+        "t_turn_base": oracle.sql_turn_base(p),
+        "t_rolling": oracle.sql_rolling(p),
+        "t_window_agg_300": oracle.sql_window_agg(p, 300),
+        "t_asof_features": oracle.sql_asof_features(p),
+        # t_flagship_full: EMA/rank/sin-cos not ANSI-SQL-expressible → rows-only
+        "e_window_agg": oracle.sql_events_window_agg(),
+        "e_sessionize": oracle.sql_events_sessionize(),
+        "e_asof_window": oracle.sql_events_asof_window(),
+        "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
+        "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
+        "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
+        "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
+        "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
+        "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
+        # doc_minhash_lsh / doc_simhash: probabilistic / non-SQL → rows-only
+        "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
+        "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+    }

@@ -1,0 +1,86 @@
+"""Dedup / similarity primitives: shingles, MinHash, SimHash, Jaccard.
+
+Designed for the Ray Data patterns in the pipelines:
+  * exact dedup: content_hash (hashing.py) + groupby(hash) keep-first;
+  * MinHash+LSH near-dup: per-batch signature computation (vectorized over
+    the permutation axis) → explode to (band, band_hash, doc_id) rows →
+    groupby band bucket → candidate pairs → exact-Jaccard verify;
+  * SimHash: 64-bit hyperplane-free bitwise sketch of the token multiset.
+
+All hash functions are seeded/deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of a token list (one per distinct shingle)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+class MinHasher:
+    """num_perm universal-hash MinHash over shingle hashes.
+
+    h_i(x) = (a_i * x + b_i) mod p  (p = 2^61-1), seeded — identical across
+    processes, so signatures computed in different Ray tasks are comparable.
+    """
+
+    def __init__(self, num_perm: int = 64, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, text: str, k: int = 3) -> np.ndarray:
+        sh = np.unique(_token_hashes(shingles(text, k))) % _MERSENNE
+        if len(sh) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        # (num_perm, n_shingles) — vectorized over both axes
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, num_bands: int = 8) -> np.ndarray:
+        """Hash each band of the signature to one uint64 bucket key."""
+        rows = self.num_perm // num_bands
+        bands = sig.reshape(num_bands, rows)
+        out = np.empty(num_bands, dtype=np.uint64)
+        for i in range(num_bands):
+            out[i] = pd.util.hash_array(bands[i].astype(np.uint64)).sum()
+        return out
+
+
+def simhash64(text: str) -> np.uint64:
+    """64-bit SimHash over the token multiset."""
+    th = _token_hashes(text.split(" "))
+    if len(th) == 0:
+        return np.uint64(0)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    score = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if score[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return out
+
+
+def jaccard_token_sets(a: str, b: str) -> float:
+    sa, sb = set(a.split(" ")), set(b.split(" "))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

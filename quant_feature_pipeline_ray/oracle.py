@@ -26,17 +26,21 @@ WITH raw AS (
 ), t0 AS (
   SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, role, tool, text,
          length(text) AS text_len,
-         CASE WHEN tool <> '' THEN 1 ELSE 0 END AS is_tool,
+         CAST(CASE WHEN tool <> '' THEN 1 ELSE 0 END AS BIGINT) AS is_tool,
          COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS dt_us,
-         CASE WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS role_change,
-         row_number() OVER w AS cum_turns
+         CAST(CASE WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS BIGINT) AS role_change,
+         CAST(row_number() OVER w AS BIGINT) AS cum_turns
   FROM raw
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ), t AS (
-  SELECT *,
-         SUM(CASE WHEN dt_us > {gap_us} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS session_id
-  FROM t0
+  SELECT * EXCLUDE (session_id_raw),
+         CAST(session_id_raw AS BIGINT) AS session_id
+  FROM (
+    SELECT *,
+           SUM(CASE WHEN dt_us > {gap_us} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS session_id_raw
+    FROM t0
+  )
 )"""
 
 
@@ -88,10 +92,10 @@ def sql_rolling(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
         + "SELECT "
         + ",\n       ".join(parts)
         + f""",
-       CASE WHEN dt_us > {thr}
+       CAST(CASE WHEN dt_us > {thr}
               AND row_number() OVER (PARTITION BY conv_id, _grp ORDER BY turn_idx) - 1
                   >= {cfg.gap_event_min_persist}
-            THEN 1 ELSE 0 END AS gap_event
+            THEN 1 ELSE 0 END AS BIGINT) AS gap_event
 FROM runs
 ORDER BY conv_id, turn_idx"""
     )
@@ -113,6 +117,70 @@ SELECT conv_id,
 FROM t
 GROUP BY conv_id, ((ts_us // {p}) + 1) * {p}
 ORDER BY conv_id, w_end_us"""
+
+
+def sql_events_window_agg(window_s: int = 3600) -> str:
+    """Oracle for pipelines.events.events_window_agg (tables view: events)."""
+    p = window_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT user_id,
+       (ts_us // {p} + 1) * {p} AS w_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       first(value ORDER BY ts_us) AS first_value,
+       last(value ORDER BY ts_us) AS last_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(SUM(value_c) AS BIGINT) / 100.0 AS sum_value
+FROM e
+GROUP BY user_id, (ts_us // {p} + 1) * {p}
+ORDER BY user_id, w_end_us"""
+
+
+def sql_events_sessionize(gap_s: float = 1800.0) -> str:
+    gap_us = int(gap_s * 1e6)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN dt_us > {gap_us} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+  FROM e
+)
+SELECT event_id, user_id, ts_us, dt_us / 1000000.0 AS dt_secs, session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS BIGINT) AS session_evt
+FROM s
+ORDER BY user_id, ts_us, event_id"""
+
+
+def sql_events_asof_window(window_s: int = 3600) -> str:
+    p = window_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), w AS (
+  SELECT user_id,
+         (ts_us // {p} + 1) * {p} AS w_end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(value_c) AS BIGINT) / 100.0 AS sum_value
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts_us,
+       COALESCE(w.n_events, 0) AS w_n_events,
+       COALESCE(w.sum_value, 0.0) AS w_sum_value,
+       COALESCE(w.w_end_us, 0) AS w_w_end_us
+FROM e ASOF LEFT JOIN w ON e.user_id = w.user_id AND e.ts_us >= w.w_end_us
+ORDER BY e.event_id"""
 
 
 def sql_asof_features(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:

@@ -1,0 +1,119 @@
+"""Event-stream pipelines over the testdata `events` table.
+
+Exercises the same operator family as the transcript engine on a second
+entity key (user_id:int64): W1 fixed-window aggregates with first/last
+semantics (the literal OHLCV-resample analogue, step2_resample.py:220-244),
+M8 gap-based sessionize, and the generic co-partitioned as-of join
+(stages/asof.py) joining each event to its latest *completed* window.
+
+Numerical parity: `value` carries exactly 2 decimals, so sums go through
+integer cents (CAST(round(value*100) AS BIGINT)) — exact and
+order-independent in both engines. first/last are by unique ts → exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from quant_feature_pipeline_ray.stages.asof import asof_join
+from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _window_agg_frame(df: pd.DataFrame, window_s: int) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts"], kind="mergesort")
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    p = np.int64(window_s) * 1_000_000
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].to_numpy(),
+            "w_end_us": (ts_us // p + 1) * p,
+            "value_c": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            "value": df["value"].to_numpy(),
+        }
+    )
+    g = out.groupby(["user_id", "w_end_us"], sort=True, as_index=False)
+    agg = g.agg(
+        n_events=("value", "size"),
+        first_value=("value", "first"),
+        last_value=("value", "last"),
+        min_value=("value", "min"),
+        max_value=("value", "max"),
+        sum_value_c=("value_c", "sum"),
+    )
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["sum_value"] = agg["sum_value_c"] / 100.0
+    return agg.drop(columns=["value_c"], errors="ignore").drop(columns=["sum_value_c"])
+
+
+def events_window_agg(path: str, window_s: int = 3600, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-(user, leak-free [W-p,W) window) OHLC-style aggregate."""
+    ds = ray.data.read_parquet(path, columns=EVENT_COLS)
+    return partition_map_groups(
+        ds, lambda g: _window_agg_frame(g, window_s), key="user_id", num_buckets=num_buckets
+    )
+
+
+def _sessionize_frame(df: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+    user = df["user_id"].to_numpy()
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    n = len(df)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    np.not_equal(user[1:], user[:-1], out=new_user[1:])
+    dt_us = np.diff(ts_us, prepend=ts_us[:1])
+    dt_us[new_user] = 0
+    new_session = new_user | (dt_us > np.int64(gap_s * 1e6))
+    sid = np.cumsum(new_session.astype(np.int64))
+    first_sid = np.maximum.accumulate(np.where(new_user, sid, 0))
+    idx = np.arange(n, dtype=np.int64)
+    sess_start = np.maximum.accumulate(np.where(new_session, idx, 0))
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": user,
+            "ts_us": ts_us,
+            "dt_secs": dt_us / 1e6,
+            "session_id": sid - first_sid,
+            "session_evt": idx - sess_start + 1,
+        }
+    )
+
+
+def events_sessionize(path: str, gap_s: float = 1800.0, num_buckets: int = 32) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(path, columns=["event_id", "ts", "user_id"])
+    return partition_map_groups(
+        ds, lambda g: _sessionize_frame(g, gap_s), key="user_id", num_buckets=num_buckets
+    )
+
+
+def events_asof_window(path: str, window_s: int = 3600, num_buckets: int = 32) -> ray.data.Dataset:
+    """Each event joined to its latest completed per-user window aggregate —
+    drives the generic two-Dataset asof_join operator (J1)."""
+    ds = ray.data.read_parquet(path, columns=["event_id", "ts", "user_id"])
+
+    def to_us(batch):
+        import pyarrow as pa
+
+        ts_us = batch["ts"].cast(pa.int64())
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    left = ds.map_batches(to_us, batch_format="pyarrow")
+    right = events_window_agg(path, window_s, num_buckets).drop_columns(
+        ["first_value", "last_value", "min_value", "max_value"]
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts_us",
+        right_on="w_end_us",
+        by="user_id",
+        num_buckets=num_buckets,
+        prefix="w_",
+        fill_zero=True,
+    )

@@ -1,0 +1,176 @@
+"""Classic analytical queries over the TPC-H-ish testdata tables.
+
+Not part of the reference's surface, but they exercise the engine's
+aggregate / sort / top-k / broadcast-join operators at testdata scale and
+demonstrate the scale patterns SURVEY.md §4.2 calls for:
+
+  * partial (combiner) aggregation inside map_batches BEFORE the groupby —
+    the shuffle moves one row per (key, batch), not one per input row;
+  * integer-scaled money sums (cents / basis points) so partial sums are
+    associative and exact → results are order-independent and match the
+    DuckDB oracle bitwise;
+  * broadcast of the small dimension side (customer) via ray.put instead of
+    a shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """Pricing summary report (TPC-H Q1 shape) with partial aggregation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        qty_c = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.round(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(),
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_price_e4": price_c * (100 - disc_c),  # cents x bp
+                "charge_e6": price_c * (100 - disc_c) * (100 + tax_c),
+                "disc_c": disc_c,
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return p.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_price_e4", alias_name="disc_price_e4"),
+        Sum("charge_e6", alias_name="charge_e6"),
+        Sum("disc_c", alias_name="disc_c"),
+        Sum("n", alias_name="n"),
+    )
+    out = agg.to_pandas()  # tiny (4 groups)
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["qty_c"] / 100.0,
+            "sum_base_price": out["price_c"] / 100.0,
+            "sum_disc_price": out["disc_price_e4"] / 10000.0,
+            "sum_charge": out["charge_e6"] / 1000000.0,
+            "avg_qty": out["qty_c"] / (out["n"] * 100.0),
+            "avg_price": out["price_c"] / (out["n"] * 100.0),
+            "avg_disc": out["disc_c"] / (out["n"] * 100.0),
+            "count_order": out["n"].astype(np.int64),
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
+def tpch_q1_sql(sf_dir: str) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0) AS avg_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0) AS avg_price,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def top_revenue_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Revenue per customer; dimension side broadcast, fact side combined
+    per batch; deterministic top-k by (revenue desc, custkey)."""
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    omap_ref = ray.put(
+        dict(
+            zip(
+                *(lambda d: (d["o_orderkey"].to_numpy(), d["o_custkey"].to_numpy()))(
+                    orders.to_pandas()
+                )
+            )
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    class RevenuePartial:
+        """Actor pool: the orderkey→custkey map is deserialized once per
+        actor (broadcast lookup — no shuffle join for the mid-size side)."""
+
+        def __init__(self, omap):
+            if isinstance(omap, ray.ObjectRef):
+                omap = ray.get(omap)
+            self.omap = pd.Series(omap)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+            rev_e4 = price_c * (100 - disc_c)
+            cust_k = self.omap.reindex(batch["l_orderkey"].to_numpy()).to_numpy()
+            p = pd.DataFrame({"c_custkey": cust_k, "rev_e4": rev_e4})
+            return p.groupby("c_custkey", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    partials = li.map_batches(
+        RevenuePartial,
+        fn_constructor_args=(omap_ref,),
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=4,
+    )
+    agg = partials.groupby("c_custkey").aggregate(Sum("rev_e4", alias_name="rev_e4")).to_pandas()
+    agg["revenue"] = agg["rev_e4"] / 10000.0
+    agg = agg.sort_values(["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True).head(k)
+    names = ray.get(cust_ref)
+    agg["c_name"] = agg["c_custkey"].map(names)
+    agg["c_custkey"] = agg["c_custkey"].astype(np.int64)
+    return agg[["c_custkey", "c_name", "revenue"]]
+
+
+def top_revenue_customers_sql(sf_dir: str, k: int = 10) -> str:
+    return f"""
+SELECT o_custkey AS c_custkey,
+       any_value(c_name) AS c_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, o_custkey
+LIMIT {k}"""

@@ -79,14 +79,21 @@ def asof_join(
     """Distributed backward as-of join of two Datasets on a time key within
     a `by` entity. Single shuffle (padded+tagged union → bucket groupby)."""
     right_on = right_on or on
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)  # PandasBlockSchema carries numpy dtypes
+        return pa.string() if t == object else pa.from_numpy_dtype(t)
+
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
     left_only = [c for c in left_cols if c not in right_cols]
     right_only = [c for c in right_cols if c not in left_cols]
     types = {
-        **dict(zip(lschema.names, lschema.types)),
-        **dict(zip(rschema.names, rschema.types)),
+        **{n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)},
+        **{n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)},
     }
     common_cols = left_cols + right_only  # one canonical order
 

@@ -1,0 +1,78 @@
+"""Unit tests for dedup/similarity/text primitives (no Ray needed)."""
+
+import numpy as np
+import pandas as pd
+
+from quant_feature_pipeline_ray.functions.dedupfns import (
+    MinHasher,
+    jaccard_token_sets,
+    shingles,
+    simhash64,
+)
+from quant_feature_pipeline_ray.functions.textstats import (
+    fingerprint64,
+    lang_scores,
+    token_counts,
+)
+from quant_feature_pipeline_ray.hashing import content_hash, stable_bucket
+
+
+def test_stable_bucket_deterministic_and_bounded():
+    vals = np.array([f"conv-{i:06d}" for i in range(1000)], dtype=object)
+    b1 = stable_bucket(vals, 64)
+    b2 = stable_bucket(vals.copy(), 64)
+    assert (b1 == b2).all()
+    assert b1.min() >= 0 and b1.max() < 64
+    # reasonably balanced
+    counts = np.bincount(b1, minlength=64)
+    assert counts.max() < 4 * counts.mean()
+
+
+def test_content_hash_collision_free_on_distinct():
+    vals = np.array([f"text number {i}" for i in range(10_000)], dtype=object)
+    h = content_hash(vals)
+    assert len(np.unique(h)) == len(vals)
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = len(set(shingles(a)) & set(shingles(b))) / len(set(shingles(a)) | set(shingles(b)))
+    assert abs(est - true) < 0.15
+    # identical docs -> identical signatures
+    assert (mh.signature(a) == mh.signature(a)).all()
+
+
+def test_simhash_similar_docs_close():
+    a = " ".join(f"tok{i}" for i in range(100))
+    b = " ".join(f"tok{i}" for i in range(99)) + " tokX"
+    c = " ".join(f"other{i}" for i in range(100))
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    ham_ab = bin(int(ha) ^ int(hb)).count("1")
+    ham_ac = bin(int(ha) ^ int(hc)).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 12
+
+
+def test_jaccard_and_token_counts():
+    assert jaccard_token_sets("a b c", "a b d") == 0.5
+    tc = token_counts(pd.Series(["a bb ccc", "x"]))
+    assert tc["n_tokens"].tolist() == [3, 1]
+    assert tc["token_chars"].tolist() == [6, 1]
+    assert tc["distinct_tokens"].tolist() == [3, 1]
+
+
+def test_fingerprint_order_sensitive():
+    fp = fingerprint64(pd.Series(["a b c", "c b a", "a b c"]))
+    assert fp[0] != fp[1]
+    assert fp[0] == fp[2]
+
+
+def test_lang_scores_deterministic_ties():
+    df = lang_scores(pd.Series(["the la fast datos", "xyz", "the the fast"]))
+    assert df["pred_lang"].tolist()[1] == "und"  # zero hits
+    assert df["pred_lang"].tolist()[2] == "en"
+    assert df["pred_lang"].tolist()[0] == "und"  # en==es tie -> und
