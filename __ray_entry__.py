@@ -58,10 +58,9 @@ _ASOF_COLS = ["conv_id", "turn_idx", "ts_us", "text"] + [
 
 
 def _turns_ds(sf_dir: str):
-    import ray.data
+    from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
 
-    path = ensure_transcripts(sf_dir)
-    ds = ray.data.read_parquet(path)
+    ds = read_transcripts(ensure_transcripts(sf_dir))
     return partition_map_groups(ds, compute_turn_features, key="conv_id", num_buckets=64)
 
 
@@ -78,10 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_rolling"] = lambda sf: _turns_ds(sf).select_columns(_ROLLING_COLS)
 
     def t_window_agg(sf):
-        import ray.data
+        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
 
-        path = ensure_transcripts(sf)
-        ds = ray.data.read_parquet(path)
+        ds = read_transcripts(ensure_transcripts(sf))
         return partition_map_groups(
             ds,
             lambda g: window_aggregate_frame(compute_turn_features(g), 300),

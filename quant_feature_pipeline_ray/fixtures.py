@@ -178,26 +178,44 @@ def generate_transcripts(sf: float, seed: int = SEED) -> pa.Table:
 
 
 def transcripts_path(sf_dir: str, root: str = "/tmp/graft_transcripts") -> str:
-    return os.path.join(root, Path(sf_dir).name, "transcripts.parquet")
+    return os.path.join(root, Path(sf_dir).name, "transcripts_pq")
 
 
-def ensure_transcripts(sf_dir: str, root: str = "/tmp/graft_transcripts") -> str:
-    """Generate (once, atomically) the transcript parquet for an sf dir.
+def ensure_transcripts(
+    sf_dir: str, root: str = "/tmp/graft_transcripts", num_files: int = 32
+) -> str:
+    """Generate (once, atomically) the transcript parquet DIRECTORY for an
+    sf dir — num_files part files so a distributed read parallelizes at the
+    file level (a single 230 MB file reads as ONE serial Ray task).
 
-    Both the Ray pipelines and the DuckDB oracle SQL read this same file, so
-    correctness compares engine vs SQL on identical bytes. Atomic write =
-    tmp file + os.replace (reference: tools/export_utils.py:264-283)."""
+    Both the Ray pipelines and the DuckDB oracle SQL (read_parquet('<dir>/*.parquet'))
+    read these same bytes. Atomic publish = write to tmp dir + os.rename
+    (reference: tools/export_utils.py:264-283)."""
     path = transcripts_path(sf_dir, root)
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     table = generate_transcripts(sf_from_dir(sf_dir))
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    os.close(fd)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
     try:
-        pq.write_table(table, tmp, row_group_size=131_072)
-        os.replace(tmp, path)
+        n = table.num_rows
+        step = (n + num_files - 1) // num_files
+        for i in range(num_files):
+            part = table.slice(i * step, step)
+            if part.num_rows == 0:
+                break
+            pq.write_table(
+                part, os.path.join(tmp, f"part-{i:04d}.parquet"), row_group_size=32_768
+            )
+        os.rename(tmp, path)
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def transcripts_glob(sf_dir: str, root: str = "/tmp/graft_transcripts") -> str:
+    """Glob form of the dataset path for DuckDB's read_parquet()."""
+    return os.path.join(transcripts_path(sf_dir, root), "*.parquet")

@@ -17,6 +17,10 @@ from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
 
 
 def base_cte(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    import os
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
     gap_us = int(cfg.session_gap_s * 1e6)
     return f"""
 WITH raw AS (

@@ -28,10 +28,11 @@ from quant_feature_pipeline_ray.stages.asof import merge_asof_frames
 from quant_feature_pipeline_ray.stages.partition import partition_map_groups
 from quant_feature_pipeline_ray.stages.turn_features import compute_turn_features
 from quant_feature_pipeline_ray.stages.window_agg import window_aggregate_frame
-
-# columns the per-bucket kernel actually consumes — everything else is pruned
-# at the parquet read (SURVEY.md "prune at the read")
-INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+from quant_feature_pipeline_ray.sources.transcripts import (
+    INPUT_COLUMNS,
+    cluster_cpus,
+    read_transcripts,
+)
 
 
 def featurize_bucket(df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG) -> pd.DataFrame:
@@ -56,13 +57,25 @@ def transcript_features(
     cfg: FeatureConfig = DEFAULT_CONFIG,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """Build the full per-turn feature table from a transcript parquet path."""
-    ds = ray.data.read_parquet(path, columns=INPUT_COLUMNS)
-    return partition_map_groups(
-        ds,
-        lambda g: featurize_bucket(g, cfg),
-        key="conv_id",
-        num_buckets=num_buckets or cfg.num_buckets,
+    """Build the full per-turn feature table from a transcript parquet path.
+
+    num_buckets defaults to the cluster CPU count — one shuffle partition
+    per core keeps every core busy without fragmenting the exchange (the
+    measured sweet spot; 200 auto-split blocks cost ~8x the wall time of 32
+    right-sized ones at sf0.1).
+
+    The per-bucket kernel is the ARROW-native path
+    (stages/turn_features_arrow) so string columns never become pickled
+    pandas object blocks in the object store; it is pinned bitwise-equal to
+    the pandas path by tests/test_arrow_parity.py."""
+    from quant_feature_pipeline_ray.stages.partition import BUCKET_COL, with_bucket
+    from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
+
+    ds = read_transcripts(path)
+    bucketed = with_bucket(ds, key="conv_id", num_buckets=num_buckets or max(32, cluster_cpus()))
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda t: featurize_bucket_arrow(t.drop_columns([BUCKET_COL]), cfg),
+        batch_format="pyarrow",
     )
 
 
