@@ -1,0 +1,160 @@
+"""Partition-granular checkpoint manifest — resumable backfills.
+
+Replaces the reference's whole-file incremental mode (warm-start +
+safe_concat_dedup, tools/incremental.py:6-40, step2_resample.py:370-397,
+overwrite=false skip, congfigs/main_config.yaml:94-96) with the layout
+SURVEY.md §4.2.4 calls for:
+
+    out_dir/
+      part=<bucket>/data.parquet     (atomic: tmp file + os.replace)
+      manifest.jsonl                 (one record per committed partition)
+
+Manifest record: {partition, rows, bytes, min_ts_us, max_ts_us, n_convs,
+schema_sha, wall_ms, input} — per-partition lineage + metrics. A resumed run
+reads the manifest, SKIPS committed buckets BEFORE the shuffle (cheap
+map_batches filter on the bucket column — skipped rows never enter the
+exchange), and processes only the rest. Because every bucket is computed
+independently from its own raw rows, a resumed run is byte-identical to an
+uninterrupted one (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+from quant_feature_pipeline_ray.hashing import stable_bucket
+from quant_feature_pipeline_ray.stages.partition import BUCKET_COL
+from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
+from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus, read_transcripts
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def load_manifest(out_dir: str) -> dict[int, dict]:
+    """partition -> record for every committed partition."""
+    path = manifest_path(out_dir)
+    done: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    done[int(rec["partition"])] = rec
+    return done
+
+
+def append_manifest(out_dir: str, records: list[dict]) -> None:
+    with open(manifest_path(out_dir), "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+
+
+def _commit_partition(out_dir: str, bucket: int, tbl: pa.Table, input_path: str, wall_ms: float) -> dict:
+    """Atomic per-partition publish (reference: tmp + os.replace,
+    tools/export_utils.py:264-283)."""
+    part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    final = os.path.join(part_dir, "data.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+    ts = tbl["ts_us"].to_numpy(zero_copy_only=False) if "ts_us" in tbl.column_names else np.zeros(1)
+    schema_sha = hashlib.sha1("|".join(tbl.column_names).encode()).hexdigest()
+    return {
+        "partition": bucket,
+        "rows": tbl.num_rows,
+        "bytes": os.path.getsize(final),
+        "min_ts_us": int(ts.min()) if len(ts) else None,
+        "max_ts_us": int(ts.max()) if len(ts) else None,
+        "n_convs": int(len(pa.compute.unique(tbl["conv_id"]))) if tbl.num_rows else 0,
+        "schema_sha": schema_sha,
+        "wall_ms": round(wall_ms, 1),
+        "input": input_path,
+    }
+
+
+def run_backfill(
+    input_path: str,
+    out_dir: str,
+    cfg: FeatureConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Feature backfill with partition-granular checkpoint/resume.
+
+    Committed buckets (from a previous, possibly killed, run) are filtered
+    out BEFORE the shuffle; each remaining bucket is featurized, written
+    atomically, and recorded in the manifest. `fail_after` kills the run
+    after N commits (test hook for the kill/resume invariant).
+
+    Returns {committed, skipped, rows}.
+    """
+    B = num_buckets or max(32, cluster_cpus())
+    os.makedirs(out_dir, exist_ok=True)
+    done = load_manifest(out_dir)
+    skip = set(done)
+
+    ds = read_transcripts(input_path)
+
+    def add_bucket_and_filter(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["conv_id"].to_numpy(zero_copy_only=False), B)
+        batch = batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+        if skip:
+            keep = ~np.isin(b, list(skip))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    bucketed = ds.map_batches(add_bucket_and_filter, batch_format="pyarrow")
+
+    def featurize_and_commit(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int32()), "record": pa.array([], pa.string())})
+        bucket = int(tbl[BUCKET_COL][0].as_py())
+        t0 = time.time()
+        out = featurize_bucket_arrow(tbl.drop_columns([BUCKET_COL]), cfg)
+        rec = _commit_partition(out_dir, bucket, out, input_path, (time.time() - t0) * 1e3)
+        return pa.table(
+            {
+                "partition": pa.array([bucket], pa.int32()),
+                "record": pa.array([json.dumps(rec, sort_keys=True)], pa.string()),
+            }
+        )
+
+    results = bucketed.groupby(BUCKET_COL).map_groups(featurize_and_commit, batch_format="pyarrow")
+
+    committed = []
+    for row in results.iter_rows():
+        rec = json.loads(row["record"])
+        committed.append(rec)
+        append_manifest(out_dir, [rec])
+        if fail_after is not None and len(committed) >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} partitions")
+
+    return {
+        "committed": len(committed),
+        "skipped": len(skip),
+        "rows": sum(r["rows"] for r in committed),
+    }
+
+
+def read_backfill(out_dir: str) -> ray.data.Dataset:
+    """Read a (possibly partial) backfill output as one Dataset."""
+    done = load_manifest(out_dir)
+    paths = [os.path.join(out_dir, f"part={b:05d}", "data.parquet") for b in sorted(done)]
+    # partitioning=None: the part=NNNNN dirs are checkpoint units, not hive
+    # partition columns — don't let path inference invent a column
+    return ray.data.read_parquet(paths, partitioning=None)

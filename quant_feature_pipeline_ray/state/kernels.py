@@ -1,0 +1,219 @@
+"""Sequential carry-state kernels for streaming / actor-pool execution.
+
+The batch path (stages/turn_features*) computes per-conversation features
+from fully co-located rows. This module provides the STREAMING form of the
+same kernels: state that survives across Arrow batch boundaries inside one
+logical partition — the "actor pools carrying sequential window state (ring
+buffers for rolling stats, monotonic timestamp watermarks) across batch
+boundaries" architecture. The reference's online mode is the analogue:
+micro-batch rebuilds against a warm cache (unified_feature_pipeline.py:311-531).
+
+Exactness strategy (pinned by tests/test_streaming.py — outputs are BITWISE
+equal to the batch path):
+
+  * bounded-window kernels (rolling mean/std, rank, lag, rates): the state
+    is the last `overlap` raw rows (ring buffers IN DATA FORM); each batch
+    is computed over [carried_tail + batch] and the tail's outputs dropped;
+  * EMA: the register is the last emitted EMA value; prepending it as a
+    pseudo-row makes pandas' cython ewm continue the recurrence exactly;
+  * run-length events: integer carry (current run length) + a vectorized
+    fix-up of the batch's leading run;
+  * sessionize / cumulative counters: integer offsets;
+  * watermark: the last seen ts per conversation — a batch that time-travels
+    backwards is a fatal ordering violation (zero-leakage guard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+from quant_feature_pipeline_ray.stages.turn_features import _windowed_sum_int
+
+
+@dataclass
+class ConvState:
+    """All sequential state for one conversation."""
+
+    cfg: FeatureConfig
+    rn_next: int = 0                      # next global row number
+    last_ts_us: int = -1                  # watermark
+    tail_dt_us: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    tail_is_tool: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    tail_role_change: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    tail_text_len: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    ema: dict[int, float] = field(default_factory=dict)      # span -> register
+    run_len: int = 0                      # current consecutive-over-threshold run
+    session_id: int = 0
+    session_rows: int = 0                 # rows in the current session so far
+    last_role: object = None
+
+    def overlap(self) -> int:
+        return max(self.cfg.max_lookback_turns(), self.cfg.rank_window)
+
+
+class StreamingTurnKernel:
+    """Per-partition streaming turn-feature kernel.
+
+    Feed it consecutive, per-conversation-sorted row batches (the partition
+    backbone's ordering invariant); it emits the turn-level feature columns
+    of compute_turn_features (sans the as-of window columns, which belong to
+    the windowed right-side table) BITWISE identical to the batch path.
+    Designed as the body of a map_batches(Cls, concurrency=N) actor pool;
+    per-conversation state lives in self.state across batches.
+    """
+
+    def __init__(self, cfg: FeatureConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.state: dict[object, ConvState] = {}
+
+    def process_batch(self, df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return df
+        bounds = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1]))).tolist() + [n]
+        parts = [self._process_conv(df.iloc[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+        return pd.concat(parts, ignore_index=True)
+
+    __call__ = process_batch
+
+    def _process_conv(self, g: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        cid = g["conv_id"].iloc[0]
+        st = self.state.get(cid)
+        if st is None:
+            st = self.state[cid] = ConvState(cfg)
+        m = len(g)
+        idx = np.arange(m, dtype=np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if st.last_ts_us >= 0 and ts_us[0] < st.last_ts_us:
+            raise AssertionError(f"watermark violated for {cid!r}: batch time-travels")
+        if np.any(np.diff(ts_us) < 0):
+            raise AssertionError(f"watermark violated inside batch for {cid!r}")
+
+        first_ever = st.rn_next == 0
+        dt_us = np.empty(m, dtype=np.int64)
+        dt_us[0] = 0 if first_ever else ts_us[0] - st.last_ts_us
+        dt_us[1:] = np.diff(ts_us)
+        dt_secs = dt_us / 1e6
+        rn = np.arange(st.rn_next, st.rn_next + m, dtype=np.int64)
+
+        roles = g["role"].to_numpy()
+        prev_roles = np.empty(m, dtype=object)
+        prev_roles[0] = st.last_role
+        prev_roles[1:] = roles[:-1]
+        role_change = np.where(
+            (prev_roles != None) & (roles != prev_roles), 1, 0  # noqa: E711
+        ).astype(np.int64)
+        is_tool = (g["tool"].to_numpy() != "").astype(np.int64)
+        text_len = g["text"].str.len().to_numpy().astype(np.int64)
+
+        out = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy(),
+                "ts_us": ts_us,
+                "dt_secs": dt_secs,
+                "cum_turns": rn + 1,
+                "text_len": text_len,
+                "is_tool": is_tool,
+                "role_change": role_change,
+            }
+        )
+
+        # --- sessionize: integer offsets against carried counters
+        gap_start = dt_us > np.int64(cfg.session_gap_s * 1e6)
+        out["session_id"] = st.session_id + np.cumsum(gap_start.astype(np.int64))
+        starts = np.where(gap_start, idx, -1)
+        last_start = np.maximum.accumulate(starts)
+        out["session_turn"] = np.where(
+            last_start >= 0, idx - last_start + 1, st.session_rows + idx + 1
+        )
+        is_start = gap_start.copy()
+        if first_ever:
+            is_start[0] = True
+        out["is_session_start"] = is_start.astype(np.int64)
+
+        # --- bounded-window kernels over [carried tail + batch]
+        t = len(st.tail_dt_us)
+        ext_rn = np.arange(st.rn_next - t, st.rn_next + m, dtype=np.int64)
+        ext_dt_us = np.concatenate([st.tail_dt_us, dt_us])
+        ext_dt_cs = ext_dt_us // 10_000
+        ext_dt_secs = ext_dt_us / 1e6
+        for w in cfg.sma_windows:
+            s_us, n_in = _windowed_sum_int(ext_dt_us, ext_rn, w)
+            out[f"lat_sma_{w}"] = (s_us / (n_in * 1e6))[t:]
+            s_cs, _ = _windowed_sum_int(ext_dt_cs, ext_rn, w)
+            ssq_cs, _ = _windowed_sum_int(ext_dt_cs * ext_dt_cs, ext_rn, w)
+            nf = n_in.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
+                std = np.sqrt(np.maximum(var, 0.0)) / 100.0
+            std[n_in < 2] = 0.0
+            out[f"lat_std_{w}"] = std[t:]
+
+        rw = cfg.rate_window
+        ext_tool = np.concatenate([st.tail_is_tool, is_tool])
+        ext_rc = np.concatenate([st.tail_role_change, role_change])
+        ext_tl = np.concatenate([st.tail_text_len, text_len])
+        s_tool, n_in = _windowed_sum_int(ext_tool, ext_rn, rw)
+        out[f"tool_rate_{rw}"] = (s_tool / n_in)[t:]
+        s_rc, _ = _windowed_sum_int(ext_rc, ext_rn, rw)
+        out[f"role_change_rate_{rw}"] = (s_rc / n_in)[t:]
+        s_tl, _ = _windowed_sum_int(ext_tl, ext_rn, rw)
+        out[f"text_len_sma_{rw}"] = (s_tl / n_in)[t:]
+
+        for k in cfg.lag_turns:
+            valid = ext_rn >= k
+            src = np.where(valid, np.arange(len(ext_dt_secs)) - k, 0)
+            lagv = np.where(valid, ext_dt_secs[src], 0.0)
+            out[f"lat_lag_{k}"] = lagv[t:]
+            out[f"lat_delta_{k}"] = np.where(valid, ext_dt_secs - lagv, 0.0)[t:]
+
+        rk = (
+            pd.Series(ext_dt_secs)
+            .rolling(cfg.rank_window, min_periods=1)
+            .rank(method="average", pct=True)
+            .to_numpy()
+        )
+        out[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])[t:]
+
+        # --- EMA register continuation
+        for span in cfg.ema_spans:
+            alpha = 2.0 / (span + 1.0)
+            if span in st.ema:
+                seq = np.concatenate([[st.ema[span]], dt_secs])
+                ema = pd.Series(seq).ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+            else:
+                ema = pd.Series(dt_secs).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            out[f"lat_ema_{span}"] = ema
+            st.ema[span] = float(ema[-1])
+
+        # --- run-length persistence with carry + leading-run fix-up
+        mask = dt_us > np.int64(cfg.gap_event_threshold_s * 1e6)
+        anchor = np.maximum.accumulate(np.where(~mask, idx, -1))
+        run = np.where(mask, idx - anchor, 0)
+        lead = (anchor == -1) & mask
+        run = np.where(lead, st.run_len + idx + 1, run)
+        out["gap_event"] = (run >= cfg.gap_event_min_persist).astype(np.int64)
+
+        # --- update carried state
+        st.rn_next += m
+        st.last_ts_us = int(ts_us[-1])
+        keep = st.overlap()
+        st.tail_dt_us = ext_dt_us[-keep:].copy()
+        st.tail_is_tool = ext_tool[-keep:].copy()
+        st.tail_role_change = ext_rc[-keep:].copy()
+        st.tail_text_len = ext_tl[-keep:].copy()
+        st.run_len = int(run[-1]) if mask[-1] else 0
+        if gap_start.any():
+            st.session_id = int(out["session_id"].iloc[-1])
+            st.session_rows = int(out["session_turn"].iloc[-1])
+        else:
+            st.session_rows += m
+        st.last_role = roles[-1]
+        return out
