@@ -151,6 +151,170 @@ def run_backfill(
     }
 
 
+def _sorted_pandas(tbl: pa.Table) -> "object":
+    from quant_feature_pipeline_ray.stages.turn_features_arrow import _sorted_dedup
+
+    out, _ = _sorted_dedup(tbl)
+    return out.to_pandas()
+
+
+def run_streaming_backfill(
+    input_path: str,
+    out_dir: str,
+    cfg: FeatureConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+) -> dict:
+    """Backfill through the streaming carry-state kernel, persisting each
+    bucket's per-conversation state next to its data partition:
+
+        part=<bucket>/data-00000.parquet   feature rows
+        part=<bucket>/state.parquet        serialized ConvState per conv
+
+    This is the EXACT-incremental mode: run_incremental_append later feeds
+    only new rows into kernels restored from state.parquet and produces
+    byte-identical features to a full recompute (the reference's
+    incremental mode re-reads a lookback window and merges —
+    step2_resample.py:370-397 / tools/incremental.py:31-40 — which is only
+    approximate for unbounded-history features; checkpointed state is not).
+    """
+    from quant_feature_pipeline_ray.state.kernels import StreamingTurnKernel, snapshot_states
+
+    B = num_buckets or max(32, cluster_cpus())
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_transcripts(input_path)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["conv_id"].to_numpy(zero_copy_only=False), B)
+        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    def run_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int32()), "record": pa.array([], pa.string())})
+        bucket = int(tbl[BUCKET_COL][0].as_py())
+        t0 = time.time()
+        kern = StreamingTurnKernel(cfg)
+        out = kern(_sorted_pandas(tbl.drop_columns([BUCKET_COL])))
+        part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        for name, final in (
+            (out_tbl, os.path.join(part_dir, "data-00000.parquet")),
+            (snapshot_states(kern), os.path.join(part_dir, "state.parquet")),
+        ):
+            tmp = final + ".tmp"
+            pq.write_table(name, tmp)
+            os.replace(tmp, final)
+        rec = {
+            "partition": bucket,
+            "rows": out_tbl.num_rows,
+            "files": 1,
+            "schema_sha": hashlib.sha1("|".join(out_tbl.column_names).encode()).hexdigest(),
+            "wall_ms": round((time.time() - t0) * 1e3, 1),
+            "input": input_path,
+            "mode": "streaming_backfill",
+        }
+        return pa.table(
+            {"partition": pa.array([bucket], pa.int32()),
+             "record": pa.array([json.dumps(rec, sort_keys=True)], pa.string())}
+        )
+
+    results = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )
+    recs = [json.loads(r["record"]) for r in results.iter_rows()]
+    append_manifest(out_dir, recs)
+    return {"committed": len(recs), "rows": sum(r["rows"] for r in recs)}
+
+
+def run_incremental_append(
+    new_input_path: str,
+    out_dir: str,
+    cfg: FeatureConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+) -> dict:
+    """Append-only incremental update (S2 analogue, exact).
+
+    Feeds ONLY the new rows (strictly later than each conversation's
+    watermark — enforced by the kernel's watermark assert) into kernels
+    restored from each partition's state.parquet, writes a new data file
+    per partition, and refreshes the state snapshot. Features for appended
+    rows are bitwise-identical to what a full recompute would produce
+    (tests/test_incremental.py). Assumes an append-only, pre-deduped feed;
+    replayed/stale rows fail fast at the watermark."""
+    from quant_feature_pipeline_ray.state.kernels import (
+        StreamingTurnKernel,
+        restore_states,
+        snapshot_states,
+    )
+
+    existing = load_manifest(out_dir)
+    B = num_buckets or (max(int(r["partition"]) for r in existing.values()) + 1 if existing else max(32, cluster_cpus()))
+    ds = read_transcripts(new_input_path)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["conv_id"].to_numpy(zero_copy_only=False), B)
+        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    def run_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int32()), "record": pa.array([], pa.string())})
+        bucket = int(tbl[BUCKET_COL][0].as_py())
+        t0 = time.time()
+        part_dir = os.path.join(out_dir, f"part={bucket:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        kern = StreamingTurnKernel(cfg)
+        state_path = os.path.join(part_dir, "state.parquet")
+        if os.path.exists(state_path):
+            restore_states(kern, pq.read_table(state_path))
+        out = kern(_sorted_pandas(tbl.drop_columns([BUCKET_COL])))
+        seq = len([f for f in os.listdir(part_dir) if f.startswith("data-")])
+        out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        for t, final in (
+            (out_tbl, os.path.join(part_dir, f"data-{seq:05d}.parquet")),
+            (snapshot_states(kern), state_path),
+        ):
+            tmp = final + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, final)
+        rec = {
+            "partition": bucket,
+            "rows": out_tbl.num_rows,
+            "file_seq": seq,
+            "wall_ms": round((time.time() - t0) * 1e3, 1),
+            "input": new_input_path,
+            "mode": "incremental_append",
+        }
+        return pa.table(
+            {"partition": pa.array([bucket], pa.int32()),
+             "record": pa.array([json.dumps(rec, sort_keys=True)], pa.string())}
+        )
+
+    results = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )
+    recs = [json.loads(r["record"]) for r in results.iter_rows()]
+    append_manifest(out_dir, recs)
+    return {"appended_partitions": len(recs), "rows": sum(r["rows"] for r in recs)}
+
+
+def read_streaming_output(out_dir: str) -> "object":
+    """All data files of a streaming/incremental output as one Dataset."""
+    paths = []
+    for part in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, part)
+        if part.startswith("part=") and os.path.isdir(pdir):
+            paths += [
+                os.path.join(pdir, f)
+                for f in sorted(os.listdir(pdir))
+                if f.startswith("data-") and f.endswith(".parquet")
+            ]
+    return ray.data.read_parquet(paths, partitioning=None)
+
+
 def read_backfill(out_dir: str) -> ray.data.Dataset:
     """Read a (possibly partial) backfill output as one Dataset."""
     done = load_manifest(out_dir)

@@ -35,6 +35,24 @@ from quant_feature_pipeline_ray.stages.turn_features import _windowed_sum_int
 
 
 @dataclass
+class WindowState:
+    """Streaming window-aggregate cursor for one (conv, scale):
+    the current partial window plus the latest completed window's stats —
+    exactly the monotonic as-of cursor of SURVEY.md J1."""
+
+    w_end: int = -1                       # current partial window's end label
+    turns: int = 0
+    tool_turns: int = 0
+    text_chars: int = 0
+    dt_sum_us: int = 0
+    last_w_end: int = 0                   # latest completed window (0 = none)
+    last_turns: int = 0
+    last_tool_turns: int = 0
+    last_text_chars: int = 0
+    last_dt_sum_us: int = 0
+
+
+@dataclass
 class ConvState:
     """All sequential state for one conversation."""
 
@@ -50,6 +68,7 @@ class ConvState:
     session_id: int = 0
     session_rows: int = 0                 # rows in the current session so far
     last_role: object = None
+    windows: dict[int, WindowState] = field(default_factory=dict)  # scale_s -> cursor
 
     def overlap(self) -> int:
         return max(self.cfg.max_lookback_turns(), self.cfg.rank_window)
@@ -117,6 +136,9 @@ class StreamingTurnKernel:
                 "conv_id": g["conv_id"].to_numpy(),
                 "turn_idx": g["turn_idx"].to_numpy(),
                 "ts_us": ts_us,
+                "role": roles,
+                "tool": g["tool"].to_numpy(),
+                "text": g["text"].to_numpy(),
                 "dt_secs": dt_secs,
                 "cum_turns": rn + 1,
                 "text_len": text_len,
@@ -193,6 +215,91 @@ class StreamingTurnKernel:
             out[f"lat_ema_{span}"] = ema
             st.ema[span] = float(ema[-1])
 
+        # --- time encodings (stateless per row)
+        hour = (ts_us // 3_600_000_000) % 24
+        days = ts_us // 86_400_000_000
+        isodow = (days + 3) % 7 + 1
+        out["hour"] = hour
+        out["isodow"] = isodow
+        out["hour_sin"] = np.sin(2 * np.pi * hour / 24.0)
+        out["hour_cos"] = np.cos(2 * np.pi * hour / 24.0)
+        out["dow_sin"] = np.sin(2 * np.pi * (isodow - 1) / 7.0)
+        out["dow_cos"] = np.cos(2 * np.pi * (isodow - 1) / 7.0)
+
+        # --- streaming window aggregates + as-of cursor columns.
+        # NOTE: lat_lead_* (non-causal lookahead) is deliberately absent in
+        # streaming mode — a point-in-time stream cannot read the future.
+        for p_s in cfg.agg_windows_s:
+            p = np.int64(p_s) * 1_000_000
+            ws = st.windows.get(p_s)
+            if ws is None:
+                ws = st.windows[p_s] = WindowState()
+            w_end = (ts_us // p + 1) * p
+            gb = np.empty(m, dtype=bool)
+            gb[0] = True
+            gb[1:] = w_end[1:] != w_end[:-1]
+            starts = np.flatnonzero(gb)
+            ng = len(starts)
+            g_end = w_end[starts]
+            g_turns = np.diff(np.append(starts, m)).astype(np.int64)
+            g_tool = np.add.reduceat(is_tool, starts)
+            g_chars = np.add.reduceat(text_len, starts)
+            g_dtsum = np.add.reduceat(dt_us, starts)
+            merged = ws.w_end == g_end[0]
+            if merged:  # carried partial continues into the batch's first group
+                g_turns[0] += ws.turns
+                g_tool[0] += ws.tool_turns
+                g_chars[0] += ws.text_chars
+                g_dtsum[0] += ws.dt_sum_us
+            # completed-window stats visible to rows of group j
+            comp_end = np.zeros(ng, dtype=np.int64)
+            comp_turns = np.zeros(ng, dtype=np.int64)
+            comp_tool = np.zeros(ng, dtype=np.int64)
+            comp_chars = np.zeros(ng, dtype=np.int64)
+            comp_dtsum = np.zeros(ng, dtype=np.int64)
+            if ng > 1:
+                comp_end[1:] = g_end[:-1]
+                comp_turns[1:] = g_turns[:-1]
+                comp_tool[1:] = g_tool[:-1]
+                comp_chars[1:] = g_chars[:-1]
+                comp_dtsum[1:] = g_dtsum[:-1]
+            if ws.w_end >= 0 and not merged:
+                # the carried partial window completed before this batch
+                comp_end[0], comp_turns[0] = ws.w_end, ws.turns
+                comp_tool[0], comp_chars[0], comp_dtsum[0] = (
+                    ws.tool_turns, ws.text_chars, ws.dt_sum_us,
+                )
+            else:
+                comp_end[0], comp_turns[0] = ws.last_w_end, ws.last_turns
+                comp_tool[0], comp_chars[0], comp_dtsum[0] = (
+                    ws.last_tool_turns, ws.last_text_chars, ws.last_dt_sum_us,
+                )
+            own = np.cumsum(gb.astype(np.int64)) - 1
+            hit = comp_end[own] > 0
+            pre = f"w{p_s}_"
+            out[pre + "w_end_us"] = comp_end[own]
+            out[pre + "turns"] = comp_turns[own]
+            out[pre + "tool_turns"] = comp_tool[own]
+            out[pre + "text_chars"] = comp_chars[own]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = comp_dtsum[own] / (comp_turns[own] * 1e6)
+            out[pre + "dt_mean"] = np.where(hit, mean, 0.0)
+            # advance the cursor
+            if ng > 1:
+                ws.last_w_end, ws.last_turns = int(g_end[-2]), int(g_turns[-2])
+                ws.last_tool_turns, ws.last_text_chars, ws.last_dt_sum_us = (
+                    int(g_tool[-2]), int(g_chars[-2]), int(g_dtsum[-2]),
+                )
+            elif ws.w_end >= 0 and not merged:
+                ws.last_w_end, ws.last_turns = ws.w_end, ws.turns
+                ws.last_tool_turns, ws.last_text_chars, ws.last_dt_sum_us = (
+                    ws.tool_turns, ws.text_chars, ws.dt_sum_us,
+                )
+            ws.w_end, ws.turns = int(g_end[-1]), int(g_turns[-1])
+            ws.tool_turns, ws.text_chars, ws.dt_sum_us = (
+                int(g_tool[-1]), int(g_chars[-1]), int(g_dtsum[-1]),
+            )
+
         # --- run-length persistence with carry + leading-run fix-up
         mask = dt_us > np.int64(cfg.gap_event_threshold_s * 1e6)
         anchor = np.maximum.accumulate(np.where(~mask, idx, -1))
@@ -217,3 +324,81 @@ class StreamingTurnKernel:
             st.session_rows += m
         st.last_role = roles[-1]
         return out
+
+
+def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
+    """Serialize all per-conversation state to an Arrow table — the
+    checkpoint that makes incremental append EXACT (not warm-start
+    approximate like the reference's lookback re-read,
+    step2_resample.py:370-397)."""
+    import pyarrow as pa
+
+    cfg = kernel.cfg
+    rows: dict[str, list] = {
+        "conv_id": [], "rn_next": [], "last_ts_us": [], "run_len": [],
+        "session_id": [], "session_rows": [], "last_role": [],
+        "tail_dt_us": [], "tail_is_tool": [], "tail_role_change": [],
+        "tail_text_len": [],
+    }
+    for span in cfg.ema_spans:
+        rows[f"ema_{span}"] = []
+    wfields = (
+        "w_end", "turns", "tool_turns", "text_chars", "dt_sum_us",
+        "last_w_end", "last_turns", "last_tool_turns", "last_text_chars",
+        "last_dt_sum_us",
+    )
+    for p in cfg.agg_windows_s:
+        for f in wfields:
+            rows[f"w{p}_{f}"] = []
+    for cid, st in kernel.state.items():
+        rows["conv_id"].append(cid)
+        rows["rn_next"].append(st.rn_next)
+        rows["last_ts_us"].append(st.last_ts_us)
+        rows["run_len"].append(st.run_len)
+        rows["session_id"].append(st.session_id)
+        rows["session_rows"].append(st.session_rows)
+        rows["last_role"].append(st.last_role)
+        rows["tail_dt_us"].append(st.tail_dt_us.tolist())
+        rows["tail_is_tool"].append(st.tail_is_tool.tolist())
+        rows["tail_role_change"].append(st.tail_role_change.tolist())
+        rows["tail_text_len"].append(st.tail_text_len.tolist())
+        for span in cfg.ema_spans:
+            rows[f"ema_{span}"].append(st.ema.get(span))
+        for p in cfg.agg_windows_s:
+            ws = st.windows.get(p, WindowState())
+            for f in wfields:
+                rows[f"w{p}_{f}"].append(getattr(ws, f))
+    return pa.table(rows)
+
+
+def restore_states(kernel: StreamingTurnKernel, table: "pa.Table") -> None:
+    cfg = kernel.cfg
+    d = table.to_pydict()
+    wfields = (
+        "w_end", "turns", "tool_turns", "text_chars", "dt_sum_us",
+        "last_w_end", "last_turns", "last_tool_turns", "last_text_chars",
+        "last_dt_sum_us",
+    )
+    for i, cid in enumerate(d["conv_id"]):
+        st = ConvState(cfg)
+        st.rn_next = d["rn_next"][i]
+        st.last_ts_us = d["last_ts_us"][i]
+        st.run_len = d["run_len"][i]
+        st.session_id = d["session_id"][i]
+        st.session_rows = d["session_rows"][i]
+        st.last_role = d["last_role"][i]
+        st.tail_dt_us = np.asarray(d["tail_dt_us"][i], dtype=np.int64)
+        st.tail_is_tool = np.asarray(d["tail_is_tool"][i], dtype=np.int64)
+        st.tail_role_change = np.asarray(d["tail_role_change"][i], dtype=np.int64)
+        st.tail_text_len = np.asarray(d["tail_text_len"][i], dtype=np.int64)
+        for span in cfg.ema_spans:
+            v = d[f"ema_{span}"][i]
+            if v is not None:
+                st.ema[span] = v
+        for p in cfg.agg_windows_s:
+            ws = WindowState()
+            for f in wfields:
+                setattr(ws, f, d[f"w{p}_{f}"][i])
+            st.windows[p] = ws
+        kernel.state[cid] = st
+

@@ -32,7 +32,11 @@ def _run_streaming(stream: pd.DataFrame, batch_sizes) -> pd.DataFrame:
 
 @pytest.mark.parametrize("batch_sizes", [[17], [1000], [3, 250, 31]])
 def test_streaming_equals_batch(sorted_stream, batch_sizes):
-    ref = compute_turn_features(sorted_stream, DEFAULT_CONFIG)
+    import pyarrow as pa
+
+    from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
+
+    ref = featurize_bucket_arrow(pa.Table.from_pandas(sorted_stream)).to_pandas()
     got = _run_streaming(sorted_stream, batch_sizes)
     for c in got.columns:
         assert c in ref.columns, c
