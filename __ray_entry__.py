@@ -38,6 +38,10 @@ from quant_feature_pipeline_ray.stages.window_agg import window_aggregate_frame
 _SQL_SF_DIR = "/root/testdata/sf0.01"
 _SQL_TRANSCRIPTS = ensure_transcripts(_SQL_SF_DIR)
 
+from quant_feature_pipeline_ray.pipelines.multimodal import ensure_media as _ensure_media
+
+_ensure_media(_SQL_SF_DIR)
+
 _TURN_BASE_COLS = [
     "conv_id", "turn_idx", "ts_us", "role", "tool", "text", "text_len",
     "is_tool", "role_change", "cum_turns", "dt_secs", "session_id",
@@ -93,6 +97,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ).select_columns(_ASOF_COLS)
     q["t_flagship_full"] = lambda sf: transcript_features(ensure_transcripts(sf))
 
+    def t_governed(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        cfg = DEFAULT_CONFIG
+
+        def fn(batch: pa.Table) -> pa.Table:
+            x = batch["dt_secs"].to_numpy(zero_copy_only=False)
+            gov = np.round(
+                np.tanh(np.clip(x, cfg.winsor_lo_s, cfg.winsor_hi_s) / cfg.tanh_scale_s), 6
+            )
+            unit = np.round(
+                np.minimum(np.log1p(np.maximum(x, 0.0)) / np.log1p(cfg.winsor_hi_s), 1.0), 6
+            )
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "dt_governed": pa.array(gov),
+                    "dt_unit": pa.array(unit),
+                }
+            )
+
+        return _turns_ds(sf).map_batches(fn, batch_format="pyarrow")
+
+    q["t_governed"] = t_governed
+
+    def t_winsor(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        from quant_feature_pipeline_ray.stages.normalize import global_quantiles
+
+        ds = _turns_ds(sf)
+        qs = global_quantiles(ds, "dt_secs", (0.001, 0.999))
+        lo, hi = qs[0.001], qs[0.999]
+        span = max(hi - lo, 1e-12)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            x = batch["dt_secs"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "dt_winsor_unit": pa.array(np.round((np.clip(x, lo, hi) - lo) / span, 6)),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    q["t_winsor_quantile"] = t_winsor
+
+    def t_regex_tokens(sf):
+        import pandas as pd
+        import pyarrow as pa
+
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pandas()
+            return pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                    "turn_idx": batch["turn_idx"].to_numpy(),
+                    "n_tokens_re": texts.str.count(r"\w+|[^\w\s]").astype("int64"),
+                }
+            )
+
+        return _turns_ds(sf).select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    q["t_regex_tokens"] = t_regex_tokens
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -111,6 +187,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_simhash"] = td.doc_simhash
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
+    q["emb_ann_ivf"] = td.emb_ann_ivf
+
+    # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
+    from quant_feature_pipeline_ray.pipelines import multimodal as mm
+
+    q["media_decode"] = mm.media_decode
+    q["media_byte_features"] = mm.media_byte_features
+    q["media_frame_sample"] = mm.media_frame_sample
     return q
 
 
@@ -134,4 +218,43 @@ def oracle_sql() -> dict[str, str]:
         # doc_minhash_lsh / doc_simhash: probabilistic / non-SQL → rows-only
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+        # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
+        "t_governed": _sql_governed(),
+        "t_winsor_quantile": _sql_winsor(),
+        "t_regex_tokens": oracle.base_cte(p)
+        + r"""
+SELECT conv_id, turn_idx,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
+FROM t ORDER BY conv_id, turn_idx""",
+        "media_decode": _mm.media_decode_sql(_SQL_SF_DIR),
+        "media_frame_sample": _mm.media_frame_sample_sql(_SQL_SF_DIR),
+        # media_byte_features: binary histogram not ANSI-SQL-expressible → rows-only
     }
+
+
+from quant_feature_pipeline_ray.pipelines import multimodal as _mm
+
+
+def _sql_governed() -> str:
+    cfg = DEFAULT_CONFIG
+    # DuckDB 1.0 ships no tanh(); (e^2x - 1)/(e^2x + 1) agrees with numpy's
+    # within ulps, absorbed by round(..., 6)
+    x = f"(least(greatest(dt_us / 1000000.0, {cfg.winsor_lo_s}), {cfg.winsor_hi_s}) / {cfg.tanh_scale_s})"
+    return oracle.base_cte(_SQL_TRANSCRIPTS) + f"""
+SELECT conv_id, turn_idx,
+       round((exp(2 * {x}) - 1) / (exp(2 * {x}) + 1), 6) AS dt_governed,
+       round(least(ln(1 + greatest(dt_us / 1000000.0, 0.0)) / ln(1 + {cfg.winsor_hi_s}), 1.0), 6) AS dt_unit
+FROM t ORDER BY conv_id, turn_idx"""
+
+
+def _sql_winsor() -> str:
+    return oracle.base_cte(_SQL_TRANSCRIPTS) + """
+, b AS (
+  SELECT quantile_cont(dt_us / 1000000.0, 0.001) AS lo,
+         quantile_cont(dt_us / 1000000.0, 0.999) AS hi
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       round((least(greatest(dt_us / 1000000.0, b.lo), b.hi) - b.lo)
+             / greatest(b.hi - b.lo, 1e-12), 6) AS dt_winsor_unit
+FROM t, b ORDER BY conv_id, turn_idx"""

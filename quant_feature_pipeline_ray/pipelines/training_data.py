@@ -338,6 +338,69 @@ def emb_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     return top
 
 
+def emb_ann_ivf(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+) -> pd.DataFrame:
+    """IVF-style ANN — the scale path beyond brute force.
+
+    Build: deterministic seeded k-means over (a sample of) the corpus on
+    the driver → broadcast centroids → one map_batches assigns every vector
+    to its nearest centroid (the inverted lists). Search: per query, probe
+    the `nprobe` nearest clusters only, exact-rerank candidates.
+    At 100 TB the assignment pass and the per-cluster search shuffle by
+    cluster id; here the same dataflow runs at testdata scale. Approximate
+    by design → no SQL oracle; pytest checks recall vs brute force."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    unit = mat / np.maximum(norms[:, None], 1e-12)
+
+    rng = np.random.default_rng(7)
+    cent = unit[rng.choice(len(unit), size=min(n_clusters, len(unit)), replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = unit[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    # inverted-list assignment as the distributed pass: centroids broadcast
+    # once, one matmul per batch (at scale this feeds a groupby(cluster))
+    cent_ref = ray.put(cent)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign_batch(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "cluster": np.argmax(u @ c.T, axis=1)}
+        )
+
+    adf = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
+    assign = adf.set_index("vec_id")["cluster"].reindex(vids).to_numpy()
+
+    qmask = vids < n_queries
+    qids, qunit = vids[qmask], unit[qmask]
+    out_rows = []
+    probe = np.argsort(-(qunit @ cent.T), axis=1)[:, :nprobe]
+    for qi, qid in enumerate(qids):
+        cand = np.isin(assign, probe[qi]) & (vids != qid)
+        cvids = vids[cand]
+        sims = np.round(unit[cand] @ qunit[qi], 6)
+        order = np.lexsort((cvids, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            out_rows.append((int(qid), int(cvids[j]), float(sims[j]), rank))
+    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim", "rank"])
+
+
 def emb_ann_topk_sql(sf_dir: str, n_queries: int = 10, k: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
