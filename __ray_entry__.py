@@ -169,6 +169,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_regex_tokens"] = t_regex_tokens
 
+    q["t_time_windows"] = lambda sf: _turns_ds(sf).select_columns(
+        ["conv_id", "turn_idx", "ts_us"]
+        + [
+            f"{kind}_roll_{p}s"
+            for p in DEFAULT_CONFIG.agg_windows_s
+            for kind in ("turns", "chars")
+        ]
+    )
+
+    def t_continuity(sf):
+        from quant_feature_pipeline_ray.metrics import continuity_metrics
+
+        return continuity_metrics(_turns_ds(sf))
+
+    q["t_continuity"] = t_continuity
+
+    def t_role_counts(sf):
+        from ray.data.aggregate import Count
+
+        return (
+            _turns_ds(sf)
+            .groupby("role")
+            .aggregate(Count(alias_name="n"))
+        )
+
+    q["t_role_counts"] = t_role_counts
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -221,6 +248,9 @@ def oracle_sql() -> dict[str, str]:
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
         "t_governed": _sql_governed(),
         "t_winsor_quantile": _sql_winsor(),
+        "t_time_windows": oracle.sql_time_windows(p),
+        "t_continuity": oracle.sql_continuity(p),
+        "t_role_counts": oracle.sql_role_counts(p),
         "t_regex_tokens": oracle.base_cte(p)
         + r"""
 SELECT conv_id, turn_idx,

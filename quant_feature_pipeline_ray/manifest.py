@@ -315,6 +315,55 @@ def read_streaming_output(out_dir: str) -> "object":
     return ray.data.read_parquet(paths, partitioning=None)
 
 
+def export_contract(out_dir: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> dict:
+    """Write the frozen feature contract next to the output (S6 analogue:
+    the NPZ exporter's feature_names + schema_sha + metadata blob,
+    tools/export_utils.py:228-327). Offline/online consistency = comparing
+    schema_sha of two contracts (config_loader.py:96-168 analogue)."""
+    from quant_feature_pipeline_ray.pipelines.flagship import feature_schema_names
+
+    names = feature_schema_names(cfg)
+    contract = {
+        "feature_names": names,
+        "n_features": len(names),
+        "schema_sha": cfg.schema_sha(names),
+        "config": {
+            "sma_windows": list(cfg.sma_windows),
+            "ema_spans": list(cfg.ema_spans),
+            "lag_turns": list(cfg.lag_turns),
+            "lead_turns": list(cfg.lead_turns),
+            "rank_window": cfg.rank_window,
+            "rate_window": cfg.rate_window,
+            "session_gap_s": cfg.session_gap_s,
+            "agg_windows_s": list(cfg.agg_windows_s),
+            "gap_event_threshold_s": cfg.gap_event_threshold_s,
+            "gap_event_min_persist": cfg.gap_event_min_persist,
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, "contract.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(contract, f, indent=2, sort_keys=True)
+    os.replace(tmp, final)
+    return contract
+
+
+def validate_contract(out_dir: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> None:
+    """Fail fast when the on-disk contract disagrees with the code's
+    feature schema (schema_sha pinning, tools/export_utils.py:47-50)."""
+    from quant_feature_pipeline_ray.pipelines.flagship import feature_schema_names
+
+    with open(os.path.join(out_dir, "contract.json")) as f:
+        stored = json.load(f)
+    names = feature_schema_names(cfg)
+    sha = cfg.schema_sha(names)
+    if stored["schema_sha"] != sha:
+        raise ValueError(
+            f"contract mismatch: stored {stored['schema_sha'][:12]} != current {sha[:12]}"
+        )
+
+
 def read_backfill(out_dir: str) -> ray.data.Dataset:
     """Read a (possibly partial) backfill output as one Dataset."""
     done = load_manifest(out_dir)

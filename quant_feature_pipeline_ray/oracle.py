@@ -123,6 +123,49 @@ GROUP BY conv_id, ((ts_us // {p}) + 1) * {p}
 ORDER BY conv_id, w_end_us"""
 
 
+def sql_time_windows(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Oracle for the trailing TIME-window aggregates — DuckDB RANGE frame
+    over integer microseconds: RANGE (p-1) PRECEDING ⟺ ts > ts_i - p."""
+    parts, windows = [], []
+    for p_s in cfg.agg_windows_s:
+        p_us = p_s * 1_000_000
+        wname = f"tw{p_s}"
+        windows.append(
+            f"{wname} AS (PARTITION BY conv_id ORDER BY ts_us "
+            f"RANGE BETWEEN {p_us - 1} PRECEDING AND CURRENT ROW)"
+        )
+        parts.append(f"CAST(COUNT(*) OVER {wname} AS BIGINT) AS turns_roll_{p_s}s")
+        parts.append(f"CAST(SUM(text_len) OVER {wname} AS BIGINT) AS chars_roll_{p_s}s")
+    return (
+        base_cte(path, cfg)
+        + "\nSELECT conv_id, turn_idx, ts_us, "
+        + ",\n       ".join(parts)
+        + "\nFROM t WINDOW "
+        + ", ".join(windows)
+        + "\nORDER BY conv_id, turn_idx"
+    )
+
+
+def sql_continuity(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Per-conversation continuity metrics (M11/A5 analogue: max gap,
+    turn count, span — run1_step1_data.py:30-46)."""
+    return base_cte(path, cfg) + """
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS turns,
+       CAST(MAX(dt_us) AS BIGINT) AS max_gap_us,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+       CAST(SUM(CASE WHEN dt_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_minus_1
+FROM t GROUP BY conv_id ORDER BY conv_id"""
+
+
+def sql_role_counts(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Value-counts distribution (A3 analogue: np.unique + balance check,
+    step5_featueres_unified.py:292-313)."""
+    return base_cte(path, cfg) + """
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY role ORDER BY role"""
+
+
 def sql_events_window_agg(window_s: int = 3600) -> str:
     """Oracle for pipelines.events.events_window_agg (tables view: events)."""
     p = window_s * 1_000_000

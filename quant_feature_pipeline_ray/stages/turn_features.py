@@ -107,6 +107,31 @@ def _run_length_event(mask: np.ndarray, conv_codes: np.ndarray, min_persist: int
     return (run_len >= min_persist).astype(np.int64)
 
 
+def time_window_counts(
+    ts_us: np.ndarray, new_conv: np.ndarray, window_s: int, weights: np.ndarray | None = None
+) -> np.ndarray:
+    """Trailing TIME-window aggregate (W2/W9 analogue): for each row, the
+    count (or weighted sum) of rows of the same conversation with
+    ts in (ts_i - p, ts_i] — a sliding window at event resolution, unlike
+    the fixed [W-p, W) buckets. Causal (includes only the past + current).
+
+    Vectorized per conversation segment via searchsorted on the sorted ts;
+    integer arithmetic end-to-end → exact vs DuckDB's RANGE frame."""
+    p = np.int64(window_s) * 1_000_000
+    n = len(ts_us)
+    out = np.empty(n, dtype=np.int64)
+    w = weights if weights is not None else np.ones(n, dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(w)])
+    starts = np.flatnonzero(new_conv)
+    ends = np.append(starts[1:], n)
+    idx = np.arange(n, dtype=np.int64)
+    for a, b in zip(starts, ends):
+        seg = ts_us[a:b]
+        lo = a + np.searchsorted(seg, seg - p, side="right")
+        out[a:b] = cs[idx[a:b] + 1] - cs[lo]
+    return out
+
+
 def compute_turn_features(
     df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG, leak_free_only: bool = False
 ) -> pd.DataFrame:
@@ -202,6 +227,11 @@ def compute_turn_features(
     # --- run-length persistence event (W11 analogue)
     mask = dt_us > np.int64(cfg.gap_event_threshold_s * 1e6)
     out["gap_event"] = _run_length_event(mask, conv, cfg.gap_event_min_persist)
+
+    # --- trailing TIME-window aggregates (W2/W9 analogue)
+    for p_s in cfg.agg_windows_s:
+        out[f"turns_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s)
+        out[f"chars_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s, weights=text_len)
 
     # --- EMA registers (W12 EMA; recursive adjust=False) and percentile rank
     # (W6) — cython-grouped pandas; pytest-oracled, not SQL-expressible

@@ -149,6 +149,13 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     mask = dt_us > np.int64(cfg.gap_event_threshold_s * 1e6)
     cols["gap_event"] = _run_length_event(mask, conv, cfg.gap_event_min_persist)
 
+    # trailing TIME-window aggregates (W2/W9 analogue)
+    from quant_feature_pipeline_ray.stages.turn_features import time_window_counts
+
+    for p_s in cfg.agg_windows_s:
+        cols[f"turns_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s)
+        cols[f"chars_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s, weights=text_len)
+
     # EMA + rolling rank — cython-grouped pandas over NUMERIC columns only
     import pandas as pd
 

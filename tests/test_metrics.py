@@ -1,0 +1,58 @@
+import math
+
+import numpy as np
+import pytest
+
+from quant_feature_pipeline_ray.functions.windows import parse_window, window_label
+from quant_feature_pipeline_ray.manifest import export_contract, validate_contract
+
+
+def test_parse_window():
+    assert parse_window("5m") == 300
+    assert parse_window("2h") == 7200
+    assert parse_window("90s") == 90
+    assert parse_window("1d") == 86400
+    assert parse_window(1800) == 1800
+    assert window_label(300) == "5m"
+    assert window_label(7200) == "2h"
+    with pytest.raises(ValueError):
+        parse_window("5 bananas")
+
+
+def test_contract_roundtrip(tmp_path):
+    out = str(tmp_path)
+    c = export_contract(out)
+    assert c["n_features"] == len(c["feature_names"]) > 40
+    assert len(c["schema_sha"]) == 40
+    validate_contract(out)  # no raise
+    import json, os
+
+    path = os.path.join(out, "contract.json")
+    stored = json.load(open(path))
+    stored["schema_sha"] = "0" * 40
+    json.dump(stored, open(path, "w"))
+    with pytest.raises(ValueError, match="contract mismatch"):
+        validate_contract(out)
+
+
+def test_health_check_gate(ray_session, sf001_transcripts):
+    import ray.data
+
+    from quant_feature_pipeline_ray.metrics import health_check
+    from quant_feature_pipeline_ray.pipelines.flagship import transcript_features
+
+    ds = transcript_features(sf001_transcripts)
+    report = health_check(ds)
+    assert report["ok"] and report["rows"] > 0
+    with pytest.raises(ValueError, match="health check failed"):
+        health_check(ds, bounds={"dt_secs": (0.0, 1.0)})  # absurd bound trips the gate
+
+
+def test_time_window_counts_simple():
+    from quant_feature_pipeline_ray.stages.turn_features import time_window_counts
+
+    ts = np.array([0, 100, 250, 400, 1000], dtype=np.int64) * 1_000_000
+    new_conv = np.array([True, False, False, False, False])
+    out = time_window_counts(ts, new_conv, 300)
+    # (ts-300s, ts] windows: row3 at 400s covers (100,400] -> rows at 250,400
+    assert out.tolist() == [1, 2, 3, 2, 1]
