@@ -1,0 +1,97 @@
+"""Skew-aware flagship: automatic salted routing for mega-conversations.
+
+Two-phase plan (SURVEY.md §4.2.3):
+
+  1. a cheap pre-aggregate counts turns per conversation (partial counts per
+     batch → tiny groupby) and selects the "heavy" set (> heavy_threshold
+     turns) — at 10^12 turns this is the same pass that would also feed
+     statistics/continuity metrics;
+  2. the main read is split by membership: normal conversations flow through
+     the standard one-shuffle bucket pipeline; each heavy conversation is
+     routed to its OWN group (keyed by conv hash, not bucket) and processed
+     by the chunk-parallel salted kernel with exact carry-in state handoff
+     (stages/salting.py). The union of both outputs is the result.
+
+Outputs are bitwise-identical to the plain flagship (tests/test_salting.py
+pins the salted kernel; tests here pin the routing equivalence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+from quant_feature_pipeline_ray.hashing import stable_bucket
+from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus, read_transcripts
+from quant_feature_pipeline_ray.stages.partition import BUCKET_COL
+from quant_feature_pipeline_ray.stages.salting import featurize_conversation_salted
+from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
+
+
+def heavy_conversations(ds: ray.data.Dataset, heavy_threshold: int) -> set[str]:
+    """Pass 1: conversation turn counts via partial aggregation."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch["conv_id"].to_numpy(zero_copy_only=False)).value_counts()
+        return pd.DataFrame({"conv_id": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.select_columns(["conv_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    heavy = counts.filter(lambda row: row["n"] > heavy_threshold)
+    return {r["conv_id"] for r in heavy.iter_rows()}
+
+
+def transcript_features_salted(
+    path: str,
+    cfg: FeatureConfig = DEFAULT_CONFIG,
+    heavy_threshold: int = 250_000,
+    chunk_rows: int = 100_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    ds = read_transcripts(path)
+    heavy = heavy_conversations(ds, heavy_threshold)
+    B = num_buckets or max(32, cluster_cpus())
+    heavy_ref = ray.put(heavy)
+
+    def route(batch: pa.Table) -> pa.Table:
+        hv = ray.get(heavy_ref) if isinstance(heavy_ref, ray.ObjectRef) else heavy_ref
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        b = stable_bucket(conv, B).astype(np.int32)
+        if hv:
+            is_heavy = np.isin(conv, list(hv))
+            # heavy conversations get dedicated negative group ids so each
+            # lands alone in its own map_groups call
+            hcode = (-1 - (stable_bucket(conv, 1 << 30).astype(np.int64) % 1_000_003)).astype(
+                np.int32
+            )
+            b = np.where(is_heavy, hcode, b)
+        return batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+
+    def run_group(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return featurize_bucket_arrow(tbl.drop_columns([BUCKET_COL]), cfg)
+        gid = int(tbl[BUCKET_COL][0].as_py())
+        body = tbl.drop_columns([BUCKET_COL])
+        if gid < 0:  # heavy conversation → chunk-parallel salted kernel
+            if len(pa.compute.unique(body["conv_id"])) == 1:
+                return featurize_conversation_salted(body, cfg, chunk_rows=chunk_rows)
+            # two heavy convs collided into one salt code — rare; the plain
+            # kernel is still correct, just unsplit
+        return featurize_bucket_arrow(body, cfg)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(run_group, batch_format="pyarrow")
+    )
