@@ -196,6 +196,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_role_counts"] = t_role_counts
 
+    def t_session_stats(sf):
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            gg = g.assign(dt_us=np.round(g["dt_secs"] * 1e6).astype("int64")).groupby(
+                ["conv_id", "session_id"], as_index=False
+            )
+            out = gg.agg(
+                turns=("ts_us", "size"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+                tool_turns=("is_tool", "sum"),
+                text_chars=("text_len", "sum"),
+            )
+            out["duration_us"] = out["end_us"] - out["start_us"]
+            for c in ("turns", "tool_turns", "text_chars"):
+                out[c] = out[c].astype("int64")
+            return out[
+                ["conv_id", "session_id", "turns", "start_us", "end_us",
+                 "duration_us", "tool_turns", "text_chars"]
+            ]
+
+        return partition_map_groups(
+            _raw_sorted(sf), lambda g: per_bucket(compute_turn_features(g)), num_buckets=64
+        )
+
+    def _raw_sorted(sf):
+        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+
+        return read_transcripts(ensure_transcripts(sf))
+
+    q["t_session_stats"] = t_session_stats
+
+    def t_conv_rollup(sf):
+        import numpy as np
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)
+            t = t.assign(dt_us=np.round(t["dt_secs"] * 1e6).astype("int64"))
+            gg = t.groupby("conv_id", as_index=False)
+            out = gg.agg(
+                turns=("ts_us", "size"),
+                n_sessions=("session_id", "max"),
+                tool_turns=("is_tool", "sum"),
+                role_changes=("role_change", "sum"),
+                text_chars=("text_len", "sum"),
+                dt_sum_us=("dt_us", "sum"),
+                max_gap_us=("dt_us", "max"),
+                first_ts_us=("ts_us", "min"),
+                last_ts_us=("ts_us", "max"),
+            )
+            out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+            out["dt_mean"] = out["dt_sum_us"] / (out["turns"] * 1e6)
+            for c in ("turns", "tool_turns", "role_changes", "text_chars", "max_gap_us"):
+                out[c] = out[c].astype("int64")
+            return out[
+                ["conv_id", "turns", "n_sessions", "tool_turns", "role_changes",
+                 "text_chars", "dt_mean", "max_gap_us", "first_ts_us", "last_ts_us"]
+            ]
+
+        return partition_map_groups(_raw_sorted(sf), per_bucket, num_buckets=64)
+
+    q["t_conv_rollup"] = t_conv_rollup
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -251,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),
+        "t_session_stats": oracle.sql_session_stats(p),
+        "t_conv_rollup": oracle.sql_conv_rollup(p),
         "t_regex_tokens": oracle.base_cte(p)
         + r"""
 SELECT conv_id, turn_idx,

@@ -166,6 +166,35 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY role ORDER BY role"""
 
 
+def sql_session_stats(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Per-session rollup (sessionize product table)."""
+    return base_cte(path, cfg) + """
+SELECT conv_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS turns,
+       CAST(MIN(ts_us) AS BIGINT) AS start_us,
+       CAST(MAX(ts_us) AS BIGINT) AS end_us,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+       CAST(SUM(is_tool) AS BIGINT) AS tool_turns,
+       CAST(SUM(text_len) AS BIGINT) AS text_chars
+FROM t GROUP BY conv_id, session_id ORDER BY conv_id, session_id"""
+
+
+def sql_conv_rollup(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Per-conversation feature vector (entity-level aggregate)."""
+    return base_cte(path, cfg) + """
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS turns,
+       CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       CAST(SUM(is_tool) AS BIGINT) AS tool_turns,
+       CAST(SUM(role_change) AS BIGINT) AS role_changes,
+       CAST(SUM(text_len) AS BIGINT) AS text_chars,
+       SUM(dt_us) / (COUNT(*) * 1000000.0) AS dt_mean,
+       CAST(MAX(dt_us) AS BIGINT) AS max_gap_us,
+       CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+       CAST(MAX(ts_us) AS BIGINT) AS last_ts_us
+FROM t GROUP BY conv_id ORDER BY conv_id"""
+
+
 def sql_events_window_agg(window_s: int = 3600) -> str:
     """Oracle for pipelines.events.events_window_agg (tables view: events)."""
     p = window_s * 1_000_000
