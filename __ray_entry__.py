@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
     q["emb_ann_ivf"] = td.emb_ann_ivf
+    q["emb_cosine_dups"] = td.emb_cosine_dups
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         # doc_minhash_lsh / doc_simhash: probabilistic / non-SQL → rows-only
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+        "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
         "t_governed": _sql_governed(),
         "t_winsor_quantile": _sql_winsor(),

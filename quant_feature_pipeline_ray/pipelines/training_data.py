@@ -338,6 +338,56 @@ def emb_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     return top
 
 
+def emb_cosine_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= τ).
+
+    Scale pattern: the corpus matrix is broadcast once; each batch computes
+    one matmul block-row of the similarity matrix and emits only pairs over
+    threshold (block-row partitioning of an O(N^2) job). At 100 TB this is
+    the IVF/LSH-bucketed variant's verify stage; here the full block-row
+    sweep is exact and DuckDB-oracled."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    ref = ray.put((vids, mat, norms))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        avids, amat, anorms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bvids = batch["vec_id"].to_numpy()
+        bnorms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = (m @ amat.T) / (bnorms[:, None] * anorms[None, :])
+        sims = np.round(sims, 6)
+        bi, ai = np.nonzero((sims >= threshold) & (bvids[:, None] < avids[None, :]))
+        return pd.DataFrame(
+            {
+                "vec_a": bvids[bi].astype(np.int64),
+                "vec_b": avids[ai].astype(np.int64),
+                "sim": sims[bi, ai],
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def emb_cosine_dups_sql(sf_dir: str, threshold: float = 0.4) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}
+ORDER BY vec_a, vec_b"""
+
+
 def emb_ann_ivf(
     sf_dir: str,
     n_queries: int = 10,
