@@ -50,9 +50,18 @@ def _window_agg_frame(df: pd.DataFrame, window_s: int) -> pd.DataFrame:
     return agg.drop(columns=["value_c"], errors="ignore").drop(columns=["sum_value_c"])
 
 
+def _read_events(path: str, columns: list[str]) -> ray.data.Dataset:
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    # events tables ship as one file; split the read so it isn't one task
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=min(16, cluster_cpus())
+    )
+
+
 def events_window_agg(path: str, window_s: int = 3600, num_buckets: int = 32) -> ray.data.Dataset:
     """Per-(user, leak-free [W-p,W) window) OHLC-style aggregate."""
-    ds = ray.data.read_parquet(path, columns=EVENT_COLS)
+    ds = _read_events(path, EVENT_COLS)
     return partition_map_groups(
         ds, lambda g: _window_agg_frame(g, window_s), key="user_id", num_buckets=num_buckets
     )
@@ -86,7 +95,7 @@ def _sessionize_frame(df: pd.DataFrame, gap_s: float) -> pd.DataFrame:
 
 
 def events_sessionize(path: str, gap_s: float = 1800.0, num_buckets: int = 32) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(path, columns=["event_id", "ts", "user_id"])
+    ds = _read_events(path, ["event_id", "ts", "user_id"])
     return partition_map_groups(
         ds, lambda g: _sessionize_frame(g, gap_s), key="user_id", num_buckets=num_buckets
     )
@@ -95,7 +104,7 @@ def events_sessionize(path: str, gap_s: float = 1800.0, num_buckets: int = 32) -
 def events_asof_window(path: str, window_s: int = 3600, num_buckets: int = 32) -> ray.data.Dataset:
     """Each event joined to its latest completed per-user window aggregate —
     drives the generic two-Dataset asof_join operator (J1)."""
-    ds = ray.data.read_parquet(path, columns=["event_id", "ts", "user_id"])
+    ds = _read_events(path, ["event_id", "ts", "user_id"])
 
     def to_us(batch):
         import pyarrow as pa
