@@ -34,12 +34,20 @@ def run_bench() -> dict:
 
     import ray
 
+    # Spill to tmpfs: this sandbox's /tmp sits on an ~88 MB/s virtio disk,
+    # so any object-store spill serializes the whole pipeline behind it. A
+    # real cluster node spills to local NVMe (GB/s); tmpfs is the honest
+    # single-node stand-in.
+    spill_cfg = json.dumps(
+        {"type": "filesystem", "params": {"directory_path": "/dev/shm/ray_spill"}}
+    )
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        _system_config={"object_spilling_config": spill_cfg},
     )
     import ray.data
 

@@ -20,8 +20,6 @@ import pyarrow as pa
 
 import ray.data
 
-from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
-
 # feature -> (lo, hi) inclusive bounds; mirrors the reference's per-group
 # gates (market_state ∈ [-1,1], ratios ∈ [0,1], prices >= 0)
 DEFAULT_BOUNDS: dict[str, tuple[float, float]] = {

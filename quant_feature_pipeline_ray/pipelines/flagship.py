@@ -25,7 +25,6 @@ import ray.data
 
 from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
 from quant_feature_pipeline_ray.stages.asof import merge_asof_frames
-from quant_feature_pipeline_ray.stages.partition import partition_map_groups
 from quant_feature_pipeline_ray.stages.turn_features import compute_turn_features
 from quant_feature_pipeline_ray.stages.window_agg import window_aggregate_frame
 from quant_feature_pipeline_ray.sources.transcripts import (

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data
 
-from quant_feature_pipeline_ray.stages.partition import BUCKET_COL, partition_map_groups
+from quant_feature_pipeline_ray.stages.partition import partition_map_groups
 
 _SIDE = "_ud_side"
 

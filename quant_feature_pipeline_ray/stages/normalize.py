@@ -62,8 +62,6 @@ def global_quantiles(ds: ray.data.Dataset, col: str, qs: tuple[float, ...]) -> d
     FROZEN results recorded into config (the reference's fixed_quantile
     path); the two-pass protocol and the broadcast stay identical.
     """
-    import pandas as pd
-
     parts = []
     for b in ds.select_columns([col]).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         parts.append(b[col].to_numpy(zero_copy_only=False))

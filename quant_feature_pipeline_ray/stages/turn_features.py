@@ -251,7 +251,6 @@ def compute_turn_features(
     out[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])
 
     # --- time encodings (M9 / step5_featueres_unified.py:1095-1122)
-    ts_dt = df["ts"].to_numpy().astype("datetime64[us]")
     hour = (ts_us // 3_600_000_000) % 24
     # ISO dow: epoch 1970-01-01 was a Thursday (isodow=4)
     days = ts_us // 86_400_000_000
@@ -263,6 +262,4 @@ def compute_turn_features(
         out["hour_cos"] = np.cos(2 * np.pi * hour / 24.0)
         out["dow_sin"] = np.sin(2 * np.pi * (isodow - 1) / 7.0)
         out["dow_cos"] = np.cos(2 * np.pi * (isodow - 1) / 7.0)
-    del ts_dt
-
     return out
