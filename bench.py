@@ -170,12 +170,14 @@ def run_scaling() -> dict:
     with pure-numpy fixed-work tasks), so the honest N->4N pair must sit
     inside the machine's real parallel capacity; on a real 4N-node cluster
     each node brings its own memory bus."""
-    n = int(os.environ.get("GRAFT_SCALE_N", "4"))
-    # Use a larger input than the per-round bench default: at sf0.1 the whole
-    # backfill is ~22 core-seconds, so the ~1 s scheduler/barrier latency
-    # caps efficiency at ~0.67 regardless of code quality. sf0.3 (~3.6M
-    # turns, synthesized once) amortizes it. Override with GRAFT_SCALING_SF_DIR.
-    scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.3")
+    n = int(os.environ.get("GRAFT_SCALE_N", "2"))
+    # Use a larger input than the per-round bench default: small jobs are
+    # dominated by fixed scheduler/barrier latency and this host's shared
+    # memory bus, and efficiency rises with size (0.68 @ 3.6M turns,
+    # 0.78 @ 12M). N=2 keeps 4N=8 inside the machine's real parallel
+    # capacity (pure-compute ceiling ~12-14x across 32 logical CPUs).
+    # Override with GRAFT_SCALING_SF_DIR / GRAFT_SCALE_N.
+    scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1.0")
 
     def run(ncpu: int) -> dict:
         env = dict(
