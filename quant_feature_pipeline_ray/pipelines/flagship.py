@@ -52,11 +52,12 @@ def featurize_bucket(df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG) -> p
 
 
 def transcript_features(
-    path: str,
+    path: "str | ray.data.Dataset",
     cfg: FeatureConfig = DEFAULT_CONFIG,
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """Build the full per-turn feature table from a transcript parquet path.
+    """Build the full per-turn feature table from a transcript parquet path
+    (or an already-constructed transcript Dataset).
 
     num_buckets defaults to the cluster CPU count — one shuffle partition
     per core keeps every core busy without fragmenting the exchange (the
@@ -70,7 +71,7 @@ def transcript_features(
     from quant_feature_pipeline_ray.stages.partition import BUCKET_COL, with_bucket
     from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
 
-    ds = read_transcripts(path)
+    ds = path if isinstance(path, ray.data.Dataset) else read_transcripts(path)
     bucketed = with_bucket(ds, key="conv_id", num_buckets=num_buckets or max(32, cluster_cpus()))
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda t: featurize_bucket_arrow(t.drop_columns([BUCKET_COL]), cfg),

@@ -1,0 +1,74 @@
+"""Fuzz the generic as-of join against DuckDB ASOF JOIN on random frames."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_inputs(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 10_000)))
+    n_keys = draw(st.integers(1, 6))
+    lrows, rrows = [], []
+    for k in range(n_keys):
+        key = f"k{k}"
+        nl = draw(st.integers(0, 25))
+        nr = draw(st.integers(0, 10))
+        for t in np.sort(rng.integers(0, 1000, size=nl)):
+            lrows.append((key, int(t)))
+        for j, t in enumerate(np.sort(rng.integers(0, 1000, size=nr))):
+            rrows.append((key, int(t), float(j)))
+    left = pd.DataFrame(lrows, columns=["conv_id", "ts_us"])
+    left["lid"] = np.arange(len(left), dtype=np.int64)
+    right = pd.DataFrame(rrows, columns=["conv_id", "w_end_us", "val"])
+    # dedupe right-side equal (key, time) rows — as-of among exact ties is
+    # not deterministic in either engine, so the contract excludes them
+    right = right.drop_duplicates(["conv_id", "w_end_us"], keep="last")
+    return left, right
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_inputs())
+def test_asof_fuzz_vs_duckdb(ray_session, inputs):
+    import ray.data
+
+    from quant_feature_pipeline_ray.stages.asof import asof_join
+
+    left, right = inputs
+    if len(left) == 0:
+        return
+    out = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right if len(right) else right),
+            on="ts_us",
+            right_on="w_end_us",
+            by="conv_id",
+            num_buckets=4,
+            prefix="r_",
+            fill_zero=False,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "ts_us", "lid"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ref = con.sql(
+        """
+        SELECT l.conv_id, l.ts_us, l.lid, r.w_end_us AS r_w_end_us, r.val AS r_val
+        FROM l ASOF LEFT JOIN r ON l.conv_id = r.conv_id AND l.ts_us >= r.w_end_us
+        ORDER BY l.conv_id, l.ts_us, l.lid
+        """
+    ).df()
+    con.close()
+    assert len(out) == len(ref)
+    for c in ("conv_id", "ts_us", "lid"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    for c in ("r_w_end_us", "r_val"):
+        a = out[c].to_numpy(dtype=float)
+        b = ref[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
