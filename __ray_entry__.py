@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_decode"] = mm.media_decode
     q["media_byte_features"] = mm.media_byte_features
     q["media_frame_sample"] = mm.media_frame_sample
+    q["media_resize"] = mm.media_resize
+    q["customers_without_orders"] = tpch.customers_without_orders
     return q
 
 
@@ -329,6 +331,8 @@ SELECT conv_id, turn_idx,
 FROM t ORDER BY conv_id, turn_idx""",
         "media_decode": _mm.media_decode_sql(_SQL_SF_DIR),
         "media_frame_sample": _mm.media_frame_sample_sql(_SQL_SF_DIR),
+        "media_resize": _mm.media_resize_sql(_SQL_SF_DIR),
+        "customers_without_orders": tpch.customers_without_orders_sql(_SQL_SF_DIR),
         # media_byte_features: binary histogram not ANSI-SQL-expressible → rows-only
     }
 

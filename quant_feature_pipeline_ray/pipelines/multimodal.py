@@ -145,6 +145,71 @@ def media_byte_features(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(ByteHistogram, batch_format="pyarrow", batch_size=256, concurrency=2)
 
 
+class ResizeStub:
+    """Actor-pool resize stage (codec STUBBED — deterministic downsample).
+
+    A real deployment swaps the body for PIL/libvips; the dataflow contract
+    is unchanged: clamp dims to `max_side` preserving aspect via integer
+    arithmetic, subsample the payload body by the combined stride, re-emit a
+    binary column with the new header. Output dims/bytes are exactly
+    predictable → SQL-oracle-able."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy()
+        out_payload, out_w, out_h, out_bytes = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            w = int.from_bytes(payload[0:2], "little")
+            h = int.from_bytes(payload[2:4], "little")
+            c = payload[4]
+            scale = max(1, (max(w, h) + self.max_side - 1) // self.max_side)
+            nw, nh = max(1, w // scale), max(1, h // scale)
+            body = payload[8:]
+            stride = max(1, scale * scale)
+            new_body = body[::stride]
+            header = (
+                nw.to_bytes(2, "little") + nh.to_bytes(2, "little")
+                + bytes([c]) + b"\x00\x00\x00"
+            )
+            out_payload.append(header + new_body)
+            out_w.append(nw)
+            out_h.append(nh)
+            out_bytes.append(len(new_body))
+        return pd.DataFrame(
+            {
+                "media_id": ids,
+                "new_width": np.asarray(out_w, dtype=np.int64),
+                "new_height": np.asarray(out_h, dtype=np.int64),
+                "new_body_bytes": np.asarray(out_bytes, dtype=np.int64),
+                "payload": out_payload,
+            }
+        )
+
+
+def media_resize(sf_dir: str, max_side: int = 32) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(ensure_media(sf_dir), columns=["media_id", "payload"])
+    return ds.map_batches(
+        ResizeStub, fn_constructor_args=(max_side,), batch_format="pyarrow",
+        batch_size=256, concurrency=2,
+    ).drop_columns(["payload"])
+
+
+def media_resize_sql(sf_dir: str, max_side: int = 32) -> str:
+    return f"""
+WITH m AS (
+  SELECT media_id, width, height, octet_length(payload) - 8 AS body_len,
+         greatest(1, (greatest(width, height) + {max_side} - 1) // {max_side}) AS scale
+  FROM read_parquet('{media_path(sf_dir)}')
+)
+SELECT media_id,
+       CAST(greatest(1, width // scale) AS BIGINT) AS new_width,
+       CAST(greatest(1, height // scale) AS BIGINT) AS new_height,
+       CAST(ceil(body_len / CAST(greatest(1, scale * scale) AS DOUBLE)) AS BIGINT) AS new_body_bytes
+FROM m ORDER BY media_id"""
+
+
 def media_frame_sample(sf_dir: str, frame_bytes: int = 256, stride: int = 4) -> ray.data.Dataset:
     """Frame sampling for audio payloads: every `stride`-th frame of
     `frame_bytes` bytes, exploded to one output row per sampled frame —

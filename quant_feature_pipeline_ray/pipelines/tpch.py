@@ -163,6 +163,47 @@ def top_revenue_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return agg[["c_custkey", "c_name", "revenue"]]
 
 
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (SURVEY.md guide pattern: semi/anti
+    = broadcast the key set — or a Bloom filter of it at 100 TB — and
+    filter inside map_batches; no shuffle)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_numpy(zero_copy_only=False).tolist())
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        mask = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False), ks)
+        return batch.filter(pa.array(mask))
+
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty and not len(out.columns):
+        # an all-empty Dataset loses its schema through to_pandas; restore
+        # the typed empty frame so the result contract stays stable
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "c_nationkey": pd.Series(dtype="int64"),
+            }
+        )
+    return out
+
+
+def customers_without_orders_sql(sf_dir: str) -> str:
+    return """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey"""
+
+
 def top_revenue_customers_sql(sf_dir: str, k: int = 10) -> str:
     return f"""
 SELECT o_custkey AS c_custkey,

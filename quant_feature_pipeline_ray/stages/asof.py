@@ -136,7 +136,13 @@ def asof_join(
                 rf[c] = rf[c].astype(pd_dtype[c], copy=False)
         if len(lf) == 0:
             return lf
-        out = merge_asof_frames(lf, rf, on=on, right_on=right_on, by=by, prefix=prefix)
+        if len(rf) == 0:
+            # empty right side: emit the left rows with all-null join columns
+            out = lf.copy()
+            for c in [right_on] + [x for x in right_cols if x not in (right_on, by)]:
+                out[f"{prefix}{c}"] = np.nan
+        else:
+            out = merge_asof_frames(lf, rf, on=on, right_on=right_on, by=by, prefix=prefix)
         if fill_zero:
             for c in right_only:
                 name = f"{prefix}{c}" if c != right_on else f"{prefix}{right_on}"

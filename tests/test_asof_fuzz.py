@@ -23,7 +23,9 @@ def asof_inputs(draw):
             rrows.append((key, int(t), float(j)))
     left = pd.DataFrame(lrows, columns=["conv_id", "ts_us"])
     left["lid"] = np.arange(len(left), dtype=np.int64)
-    right = pd.DataFrame(rrows, columns=["conv_id", "w_end_us", "val"])
+    right = pd.DataFrame(rrows, columns=["conv_id", "w_end_us", "val"]).astype(
+        {"conv_id": object, "w_end_us": np.int64, "val": np.float64}
+    )
     # dedupe right-side equal (key, time) rows — as-of among exact ties is
     # not deterministic in either engine, so the contract excludes them
     right = right.drop_duplicates(["conv_id", "w_end_us"], keep="last")
