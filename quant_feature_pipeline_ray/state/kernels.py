@@ -69,6 +69,10 @@ class ConvState:
     session_rows: int = 0                 # rows in the current session so far
     last_role: object = None
     windows: dict[int, WindowState] = field(default_factory=dict)  # scale_s -> cursor
+    # time-bounded tail for the trailing (ts-p, ts] windows: all rows within
+    # max(agg_windows_s) of the watermark (row count varies with turn density)
+    tail_tw_ts_us: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
+    tail_tw_text_len: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
 
     def overlap(self) -> int:
         return max(self.cfg.max_lookback_turns(), self.cfg.rank_window)
@@ -215,7 +219,20 @@ class StreamingTurnKernel:
             out[f"lat_ema_{span}"] = ema
             st.ema[span] = float(ema[-1])
 
-        # --- time encodings (stateless per row)
+        # --- trailing TIME-window aggregates over a time-bounded tail
+        max_p_us = np.int64(max(cfg.agg_windows_s)) * 1_000_000
+        t2 = len(st.tail_tw_ts_us)
+        ext_ts2 = np.concatenate([st.tail_tw_ts_us, ts_us])
+        ext_tl2 = np.concatenate([st.tail_tw_text_len, text_len])
+        ones2 = np.ones(len(ext_ts2), dtype=np.int64)
+        for p_s in cfg.agg_windows_s:
+            p_us = np.int64(p_s) * 1_000_000
+            lo = np.searchsorted(ext_ts2, ext_ts2 - p_us, side="right")
+            cs_n = np.concatenate([[0], np.cumsum(ones2)])
+            cs_c = np.concatenate([[0], np.cumsum(ext_tl2)])
+            pos = np.arange(len(ext_ts2)) + 1
+            out[f"turns_roll_{p_s}s"] = (cs_n[pos] - cs_n[lo])[t2:]
+            out[f"chars_roll_{p_s}s"] = (cs_c[pos] - cs_c[lo])[t2:]
         hour = (ts_us // 3_600_000_000) % 24
         days = ts_us // 86_400_000_000
         isodow = (days + 3) % 7 + 1
@@ -317,6 +334,9 @@ class StreamingTurnKernel:
         st.tail_role_change = ext_rc[-keep:].copy()
         st.tail_text_len = ext_tl[-keep:].copy()
         st.run_len = int(run[-1]) if mask[-1] else 0
+        tw_keep = ext_ts2 > ts_us[-1] - max_p_us
+        st.tail_tw_ts_us = ext_ts2[tw_keep].copy()
+        st.tail_tw_text_len = ext_tl2[tw_keep].copy()
         if gap_start.any():
             st.session_id = int(out["session_id"].iloc[-1])
             st.session_rows = int(out["session_turn"].iloc[-1])
@@ -338,7 +358,7 @@ def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
         "conv_id": [], "rn_next": [], "last_ts_us": [], "run_len": [],
         "session_id": [], "session_rows": [], "last_role": [],
         "tail_dt_us": [], "tail_is_tool": [], "tail_role_change": [],
-        "tail_text_len": [],
+        "tail_text_len": [], "tail_tw_ts_us": [], "tail_tw_text_len": [],
     }
     for span in cfg.ema_spans:
         rows[f"ema_{span}"] = []
@@ -362,6 +382,8 @@ def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
         rows["tail_is_tool"].append(st.tail_is_tool.tolist())
         rows["tail_role_change"].append(st.tail_role_change.tolist())
         rows["tail_text_len"].append(st.tail_text_len.tolist())
+        rows["tail_tw_ts_us"].append(st.tail_tw_ts_us.tolist())
+        rows["tail_tw_text_len"].append(st.tail_tw_text_len.tolist())
         for span in cfg.ema_spans:
             rows[f"ema_{span}"].append(st.ema.get(span))
         for p in cfg.agg_windows_s:
@@ -391,6 +413,8 @@ def restore_states(kernel: StreamingTurnKernel, table: "pa.Table") -> None:
         st.tail_is_tool = np.asarray(d["tail_is_tool"][i], dtype=np.int64)
         st.tail_role_change = np.asarray(d["tail_role_change"][i], dtype=np.int64)
         st.tail_text_len = np.asarray(d["tail_text_len"][i], dtype=np.int64)
+        st.tail_tw_ts_us = np.asarray(d["tail_tw_ts_us"][i], dtype=np.int64)
+        st.tail_tw_text_len = np.asarray(d["tail_tw_text_len"][i], dtype=np.int64)
         for span in cfg.ema_spans:
             v = d[f"ema_{span}"][i]
             if v is not None:
