@@ -61,11 +61,16 @@ _ASOF_COLS = ["conv_id", "turn_idx", "ts_us", "text"] + [
 ]
 
 
-def _turns_ds(sf_dir: str):
+def _read_raw(sf_dir: str):
     from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
 
-    ds = read_transcripts(ensure_transcripts(sf_dir))
-    return partition_map_groups(ds, compute_turn_features, key="conv_id", num_buckets=64)
+    return read_transcripts(ensure_transcripts(sf_dir))
+
+
+def _turns_ds(sf_dir: str):
+    return partition_map_groups(
+        _read_raw(sf_dir), compute_turn_features, key="conv_id", num_buckets=64
+    )
 
 
 def entry() -> Any:
@@ -221,13 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
 
         return partition_map_groups(
-            _raw_sorted(sf), lambda g: per_bucket(compute_turn_features(g)), num_buckets=64
+            _read_raw(sf), lambda g: per_bucket(compute_turn_features(g)), num_buckets=64
         )
-
-    def _raw_sorted(sf):
-        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
-
-        return read_transcripts(ensure_transcripts(sf))
 
     q["t_session_stats"] = t_session_stats
 
@@ -259,7 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  "text_chars", "dt_mean", "max_gap_us", "first_ts_us", "last_ts_us"]
             ]
 
-        return partition_map_groups(_raw_sorted(sf), per_bucket, num_buckets=64)
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
 
     q["t_conv_rollup"] = t_conv_rollup
 

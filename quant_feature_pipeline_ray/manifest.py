@@ -107,15 +107,15 @@ def run_backfill(
     os.makedirs(out_dir, exist_ok=True)
     done = load_manifest(out_dir)
     skip = set(done)
+    skip_arr = np.fromiter(skip, dtype=np.int64) if skip else None
 
     ds = read_transcripts(input_path)
 
     def add_bucket_and_filter(batch: pa.Table) -> pa.Table:
         b = stable_bucket(batch["conv_id"].to_numpy(zero_copy_only=False), B)
         batch = batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
-        if skip:
-            keep = ~np.isin(b, list(skip))
-            batch = batch.filter(pa.array(keep))
+        if skip_arr is not None:
+            batch = batch.filter(pa.array(~np.isin(b, skip_arr)))
         return batch
 
     bucketed = ds.map_batches(add_bucket_and_filter, batch_format="pyarrow")

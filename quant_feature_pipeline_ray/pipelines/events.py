@@ -47,7 +47,7 @@ def _window_agg_frame(df: pd.DataFrame, window_s: int) -> pd.DataFrame:
     )
     agg["n_events"] = agg["n_events"].astype(np.int64)
     agg["sum_value"] = agg["sum_value_c"] / 100.0
-    return agg.drop(columns=["value_c"], errors="ignore").drop(columns=["sum_value_c"])
+    return agg.drop(columns=["sum_value_c"])
 
 
 def _read_events(path: str, columns: list[str]) -> ray.data.Dataset:

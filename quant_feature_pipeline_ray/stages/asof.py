@@ -121,7 +121,7 @@ def asof_join(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    pd_dtype = {c: pa.schema([(c, t) for c, t in types.items()]).empty_table().to_pandas().dtypes[c] for c in types}
+    pd_dtype = dict(pa.schema(list(types.items())).empty_table().to_pandas().dtypes)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         side = g[_SIDE_COL].to_numpy()

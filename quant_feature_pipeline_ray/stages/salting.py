@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 
 from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
-from quant_feature_pipeline_ray.stages.turn_features import _windowed_sum_int
+from quant_feature_pipeline_ray.stages.turn_features import rolling_mean_std_int
 from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
 
 
@@ -45,18 +45,8 @@ def _chunk_kernels(dt_secs: np.ndarray, dt_us: np.ndarray, rn: np.ndarray, cfg: 
     rn carries GLOBAL row numbers within the conversation, so warm-up
     clamping at the true conversation start stays exact."""
     out: dict[str, np.ndarray] = {}
-    dt_cs = dt_us // 10_000
     for w in cfg.sma_windows:
-        s_us, n_in = _windowed_sum_int(dt_us, rn, w)
-        out[f"lat_sma_{w}"] = s_us / (n_in * 1e6)
-        s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
-        ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
-        nf = n_in.astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            var_cs2 = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
-            std = np.sqrt(np.maximum(var_cs2, 0.0)) / 100.0
-        std[n_in < 2] = 0.0
-        out[f"lat_std_{w}"] = std
+        out[f"lat_sma_{w}"], out[f"lat_std_{w}"] = rolling_mean_std_int(dt_us, rn, w)
     # rolling percentile rank (the O(N*w) kernel — the real straggler cost)
     rk = (
         pd.Series(dt_secs)

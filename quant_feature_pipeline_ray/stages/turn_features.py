@@ -69,6 +69,28 @@ def _windowed_sum_int(x: np.ndarray, rn: np.ndarray, w: int) -> tuple[np.ndarray
     return sums, n_in
 
 
+def rolling_mean_std_int(
+    dt_us: np.ndarray, rn: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Integer-exact rolling mean (seconds) and sample std over latency.
+
+    THE shared kernel behind lat_sma_w / lat_std_w in every execution path
+    (batch pandas, batch arrow, salted chunks, streaming) — one home so the
+    bitwise SQL-parity expressions can never drift apart. Std is defined
+    over centisecond-quantized latency so squares stay int64-exact."""
+    s_us, n_in = _windowed_sum_int(dt_us, rn, w)
+    sma = s_us / (n_in * 1e6)
+    dt_cs = dt_us // 10_000
+    s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
+    ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
+    nf = n_in.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var_cs2 = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
+        std = np.sqrt(np.maximum(var_cs2, 0.0)) / 100.0
+    std[n_in < 2] = 0.0
+    return sma, std
+
+
 def _lag_within_conv(x: np.ndarray, rn: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """x shifted k rows back within each conversation; (values, valid_mask)."""
     idx = np.arange(len(x), dtype=np.int64)
@@ -192,18 +214,8 @@ def compute_turn_features(
     out["role_change"] = ((role_arr != prev_role) & valid).astype(np.int64)
 
     # --- rolling mean / std over latency (integer-exact window sums)
-    dt_cs = dt_us // 10_000  # centiseconds: squares stay int64-exact
     for w in cfg.sma_windows:
-        s_us, n_in = _windowed_sum_int(dt_us, rn, w)
-        out[f"lat_sma_{w}"] = s_us / (n_in * 1e6)
-        s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
-        ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
-        nf = n_in.astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            var_cs2 = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
-            std = np.sqrt(np.maximum(var_cs2, 0.0)) / 100.0
-        std[n_in < 2] = 0.0
-        out[f"lat_std_{w}"] = std
+        out[f"lat_sma_{w}"], out[f"lat_std_{w}"] = rolling_mean_std_int(dt_us, rn, w)
 
     # --- rolling rates (mean of 0/1 — integer sums, exact)
     rw = cfg.rate_window

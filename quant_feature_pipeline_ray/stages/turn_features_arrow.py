@@ -32,6 +32,7 @@ from quant_feature_pipeline_ray.stages.turn_features import (
     _lead_within_conv,
     _run_length_event,
     _windowed_sum_int,
+    rolling_mean_std_int,
 )
 
 
@@ -116,19 +117,9 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     role_change = ((role_codes != prev_role) & valid).astype(np.int64)
     cols["role_change"] = role_change
 
-    # rolling mean/std (integer-exact — identical expressions to pandas path)
-    dt_cs = dt_us // 10_000
+    # rolling mean/std (integer-exact — the one shared kernel)
     for w in cfg.sma_windows:
-        s_us, n_in = _windowed_sum_int(dt_us, rn, w)
-        cols[f"lat_sma_{w}"] = s_us / (n_in * 1e6)
-        s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
-        ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
-        nf = n_in.astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            var_cs2 = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
-            std = np.sqrt(np.maximum(var_cs2, 0.0)) / 100.0
-        std[n_in < 2] = 0.0
-        cols[f"lat_std_{w}"] = std
+        cols[f"lat_sma_{w}"], cols[f"lat_std_{w}"] = rolling_mean_std_int(dt_us, rn, w)
 
     rw = cfg.rate_window
     s_tool, n_in = _windowed_sum_int(is_tool, rn, rw)

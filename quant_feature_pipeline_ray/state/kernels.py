@@ -31,7 +31,10 @@ import numpy as np
 import pandas as pd
 
 from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
-from quant_feature_pipeline_ray.stages.turn_features import _windowed_sum_int
+from quant_feature_pipeline_ray.stages.turn_features import (
+    _windowed_sum_int,
+    rolling_mean_std_int,
+)
 
 
 @dataclass
@@ -168,18 +171,10 @@ class StreamingTurnKernel:
         t = len(st.tail_dt_us)
         ext_rn = np.arange(st.rn_next - t, st.rn_next + m, dtype=np.int64)
         ext_dt_us = np.concatenate([st.tail_dt_us, dt_us])
-        ext_dt_cs = ext_dt_us // 10_000
         ext_dt_secs = ext_dt_us / 1e6
         for w in cfg.sma_windows:
-            s_us, n_in = _windowed_sum_int(ext_dt_us, ext_rn, w)
-            out[f"lat_sma_{w}"] = (s_us / (n_in * 1e6))[t:]
-            s_cs, _ = _windowed_sum_int(ext_dt_cs, ext_rn, w)
-            ssq_cs, _ = _windowed_sum_int(ext_dt_cs * ext_dt_cs, ext_rn, w)
-            nf = n_in.astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                var = (ssq_cs.astype(np.float64) - s_cs.astype(np.float64) ** 2 / nf) / (nf - 1)
-                std = np.sqrt(np.maximum(var, 0.0)) / 100.0
-            std[n_in < 2] = 0.0
+            sma, std = rolling_mean_std_int(ext_dt_us, ext_rn, w)
+            out[f"lat_sma_{w}"] = sma[t:]
             out[f"lat_std_{w}"] = std[t:]
 
         rw = cfg.rate_window
@@ -224,14 +219,12 @@ class StreamingTurnKernel:
         t2 = len(st.tail_tw_ts_us)
         ext_ts2 = np.concatenate([st.tail_tw_ts_us, ts_us])
         ext_tl2 = np.concatenate([st.tail_tw_text_len, text_len])
-        ones2 = np.ones(len(ext_ts2), dtype=np.int64)
+        pos = np.arange(1, len(ext_ts2) + 1)
+        cs_c = np.concatenate([[0], np.cumsum(ext_tl2)])
         for p_s in cfg.agg_windows_s:
             p_us = np.int64(p_s) * 1_000_000
             lo = np.searchsorted(ext_ts2, ext_ts2 - p_us, side="right")
-            cs_n = np.concatenate([[0], np.cumsum(ones2)])
-            cs_c = np.concatenate([[0], np.cumsum(ext_tl2)])
-            pos = np.arange(len(ext_ts2)) + 1
-            out[f"turns_roll_{p_s}s"] = (cs_n[pos] - cs_n[lo])[t2:]
+            out[f"turns_roll_{p_s}s"] = (pos - lo)[t2:]
             out[f"chars_roll_{p_s}s"] = (cs_c[pos] - cs_c[lo])[t2:]
         hour = (ts_us // 3_600_000_000) % 24
         days = ts_us // 86_400_000_000
