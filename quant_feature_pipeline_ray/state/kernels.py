@@ -339,6 +339,114 @@ class StreamingTurnKernel:
         return out
 
 
+def streaming_columns(cfg: FeatureConfig = DEFAULT_CONFIG) -> list[str]:
+    """The streaming kernel's output column order (probe-derived)."""
+    import pandas as pd
+
+    probe = pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["x"],
+            "tool": [""],
+            "ts": pd.to_datetime([0], unit="us"),
+        }
+    )
+    return list(StreamingTurnKernel(cfg)(probe).columns)
+
+
+def bootstrap_states_from_batch(out, cfg: FeatureConfig = DEFAULT_CONFIG) -> StreamingTurnKernel:
+    """Build a ready-to-append StreamingTurnKernel from the BATCH path's
+    output for one bucket — the fast exact-incremental bootstrap.
+
+    The batch (arrow) kernel is ~4-10x faster than the per-conversation
+    streaming loop; everything the streaming state needs is either in the
+    batch output (EMA registers = last emitted values, session counters,
+    as-of cursor = the last row's w{p}_ columns) or derivable from the raw
+    arrays with vectorized scans (trailing run length, tails, current
+    partial window). tests/test_incremental.py pins that appends on a
+    bootstrapped kernel are byte-identical to pure-streaming processing.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(out, pa.Table):
+        out = out.to_pandas()
+    kern = StreamingTurnKernel(cfg)
+    if len(out) == 0:
+        return kern
+    conv = out["conv_id"].to_numpy()
+    n = len(conv)
+    new_conv = np.empty(n, dtype=bool)
+    new_conv[0] = True
+    np.not_equal(conv[1:], conv[:-1], out=new_conv[1:])
+    starts = np.flatnonzero(new_conv)
+    ends = np.append(starts[1:], n)
+
+    ts_us = out["ts_us"].to_numpy()
+    dt_us = np.round(out["dt_secs"].to_numpy() * 1e6).astype(np.int64)
+    text_len = out["text_len"].to_numpy().astype(np.int64)
+    is_tool = out["is_tool"].to_numpy().astype(np.int64)
+    role_change = out["role_change"].to_numpy().astype(np.int64)
+    roles = out["role"].to_numpy()
+
+    # trailing run length per conv (vectorized: distance from last break)
+    thr = np.int64(cfg.gap_event_threshold_s * 1e6)
+    mask = dt_us > thr
+    idx = np.arange(n, dtype=np.int64)
+    anchor = np.maximum.accumulate(np.where((~mask) | new_conv, idx, -1))
+    # at a conv start with mask False the anchor is the start row itself;
+    # a True first row cannot happen (dt=0 at conv start)
+    trail_run = np.where(mask, idx - anchor, 0)
+
+    keep = max(cfg.max_lookback_turns(), cfg.rank_window)
+    max_p_us = np.int64(max(cfg.agg_windows_s)) * 1_000_000
+
+    for a, b in zip(starts, ends):
+        cid = conv[a]
+        st = ConvState(cfg)
+        st.rn_next = int(b - a)
+        st.last_ts_us = int(ts_us[b - 1])
+        lo = max(a, b - keep)
+        st.tail_dt_us = dt_us[lo:b].copy()
+        st.tail_is_tool = is_tool[lo:b].copy()
+        st.tail_role_change = role_change[lo:b].copy()
+        st.tail_text_len = text_len[lo:b].copy()
+        for span in cfg.ema_spans:
+            st.ema[span] = float(out[f"lat_ema_{span}"].iloc[b - 1])
+        st.run_len = int(trail_run[b - 1])
+        st.session_id = int(out["session_id"].iloc[b - 1])
+        st.session_rows = int(out["session_turn"].iloc[b - 1])
+        st.last_role = roles[b - 1]
+        tw_lo = a + int(np.searchsorted(ts_us[a:b], ts_us[b - 1] - max_p_us, side="right"))
+        st.tail_tw_ts_us = ts_us[tw_lo:b].copy()
+        st.tail_tw_text_len = text_len[tw_lo:b].copy()
+        for p_s in cfg.agg_windows_s:
+            p = np.int64(p_s) * 1_000_000
+            ws = WindowState()
+            # latest completed window = the last row's as-of columns
+            ws.last_w_end = int(out[f"w{p_s}_w_end_us"].iloc[b - 1])
+            ws.last_turns = int(out[f"w{p_s}_turns"].iloc[b - 1])
+            ws.last_tool_turns = int(out[f"w{p_s}_tool_turns"].iloc[b - 1])
+            ws.last_text_chars = int(out[f"w{p_s}_text_chars"].iloc[b - 1])
+            # dt_mean was dt_sum/(turns*1e6); the integer sum round-trips
+            ws.last_dt_sum_us = int(
+                round(out[f"w{p_s}_dt_mean"].iloc[b - 1] * ws.last_turns * 1e6)
+            )
+            # current partial window = rows in [floor(last_ts/p)*p, last_ts]
+            w_start = (ts_us[b - 1] // p) * p
+            plo = a + int(np.searchsorted(ts_us[a:b], w_start, side="left"))
+            ws.w_end = int(w_start + p)
+            ws.turns = int(b - plo)
+            ws.tool_turns = int(is_tool[plo:b].sum())
+            ws.text_chars = int(text_len[plo:b].sum())
+            ws.dt_sum_us = int(dt_us[plo:b].sum())
+            st.windows[p_s] = ws
+        kern.state[cid] = st
+    return kern
+
+
 def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
     """Serialize all per-conversation state to an Arrow table — the
     checkpoint that makes incremental append EXACT (not warm-start
