@@ -183,7 +183,7 @@ def run_streaming_backfill(
     for the initial pass is run_backfill's job; this mode optimizes the
     append path instead.
     """
-    from quant_feature_pipeline_ray.state.kernels import StreamingTurnKernel, snapshot_states
+    from quant_feature_pipeline_ray.state.kernels import snapshot_states
 
     B = num_buckets or max(32, cluster_cpus())
     os.makedirs(out_dir, exist_ok=True)
