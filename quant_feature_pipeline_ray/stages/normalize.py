@@ -51,6 +51,13 @@ def normalized_columns(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def power_calibrate(x: np.ndarray, gamma: float) -> np.ndarray:
+    """Frozen-gamma power calibration of a [0,1] signal (reference: the
+    atr_pct rank fuse with fixed per-period gamma,
+    step5_featueres_unified.py:810-883, congfigs/step5_mapping.yaml:136-153)."""
+    return np.power(np.clip(x, 0.0, 1.0), gamma)
+
+
 def global_quantiles(ds: ray.data.Dataset, col: str, qs: tuple[float, ...]) -> dict[float, float]:
     """Pass 1: exact distributed quantiles of one numeric column.
 

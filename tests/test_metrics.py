@@ -48,6 +48,23 @@ def test_health_check_gate(ray_session, sf001_transcripts):
         health_check(ds, bounds={"dt_secs": (0.0, 1.0)})  # absurd bound trips the gate
 
 
+def test_power_calibrate_and_governance():
+    from quant_feature_pipeline_ray.stages.normalize import (
+        log1p_unit,
+        power_calibrate,
+        winsorize_tanh,
+    )
+
+    x = np.array([-1.0, 0.0, 0.25, 1.0, 2.0])
+    p = power_calibrate(x, 0.5)
+    assert p[0] == 0.0 and p[3] == 1.0 and p[4] == 1.0
+    assert np.isclose(p[2], 0.5)
+    g = winsorize_tanh(np.array([0.0, 1e9]), 0.0, 3600.0, 120.0)
+    assert g[0] == 0.0 and g[1] < 1.0 + 1e-12
+    u = log1p_unit(np.array([0.0, 3600.0, 1e9]), 3600.0)
+    assert u[0] == 0.0 and np.isclose(u[1], 1.0) and u[2] == 1.0
+
+
 def test_time_window_counts_simple():
     from quant_feature_pipeline_ray.stages.turn_features import time_window_counts
 
