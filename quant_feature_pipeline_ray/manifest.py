@@ -43,6 +43,33 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest.jsonl")
 
 
+def _resolve_num_buckets(out_dir: str, requested: int | None, default: int) -> int:
+    """Persist num_buckets in a run header and validate it on re-entry.
+
+    B determines hash(conv_id) % B — a resumed or appending run that infers
+    a DIFFERENT B would silently rehash conversations into other buckets
+    (dropped/duplicated rows, orphaned ConvState). So: first writer records
+    B; every later run reads it back and fails fast on a caller-supplied
+    mismatch instead of guessing from cpu count or max(partition)+1."""
+    path = os.path.join(out_dir, "run_header.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = int(json.load(f)["num_buckets"])
+        if requested is not None and requested != stored:
+            raise ValueError(
+                f"num_buckets={requested} disagrees with this output's run "
+                f"header ({stored}); pass num_buckets={stored} or a new out_dir"
+            )
+        return stored
+    B = requested or default
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"num_buckets": B}, f)
+    os.replace(tmp, path)
+    return B
+
+
 def load_manifest(out_dir: str) -> dict[int, dict]:
     """partition -> record for every committed partition."""
     path = manifest_path(out_dir)
@@ -103,7 +130,7 @@ def run_backfill(
 
     Returns {committed, skipped, rows}.
     """
-    B = num_buckets or max(32, cluster_cpus())
+    B = _resolve_num_buckets(out_dir, num_buckets, max(32, cluster_cpus()))
     os.makedirs(out_dir, exist_ok=True)
     done = load_manifest(out_dir)
     skip = set(done)
@@ -185,7 +212,7 @@ def run_streaming_backfill(
     """
     from quant_feature_pipeline_ray.state.kernels import snapshot_states
 
-    B = num_buckets or max(32, cluster_cpus())
+    B = _resolve_num_buckets(out_dir, num_buckets, max(32, cluster_cpus()))
     os.makedirs(out_dir, exist_ok=True)
     ds = read_transcripts(input_path)
 
@@ -215,9 +242,12 @@ def run_streaming_backfill(
         part_dir = os.path.join(out_dir, f"part={bucket:05d}")
         os.makedirs(part_dir, exist_ok=True)
         out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        state_tbl = snapshot_states(kern).replace_schema_metadata(
+            {"applied_count": "1", "last_input": input_path}
+        )
         for name, final in (
             (out_tbl, os.path.join(part_dir, "data-00000.parquet")),
-            (snapshot_states(kern), os.path.join(part_dir, "state.parquet")),
+            (state_tbl, os.path.join(part_dir, "state.parquet")),
         ):
             tmp = final + ".tmp"
             pq.write_table(name, tmp)
@@ -260,7 +290,15 @@ def run_incremental_append(
     per partition, and refreshes the state snapshot. Features for appended
     rows are bitwise-identical to what a full recompute would produce
     (tests/test_incremental.py). Assumes an append-only, pre-deduped feed;
-    replayed/stale rows fail fast at the watermark."""
+    replayed/stale rows fail fast at the watermark.
+
+    Idempotent per (partition, input): each state snapshot records the
+    applied-input count and the last applied input path in its Parquet
+    schema metadata, and the commit order is data THEN state. Replaying the
+    same input file (e.g. the watcher crashed between its commit and its
+    consumed-record write) is a no-op: partitions whose state already names
+    this input are skipped, and a crash BETWEEN the data and state commits
+    re-runs deterministically into the same data-<seq> file."""
     from quant_feature_pipeline_ray.state.kernels import (
         StreamingTurnKernel,
         restore_states,
@@ -268,7 +306,11 @@ def run_incremental_append(
     )
 
     existing = load_manifest(out_dir)
-    B = num_buckets or (max(int(r["partition"]) for r in existing.values()) + 1 if existing else max(32, cluster_cpus()))
+    B = _resolve_num_buckets(
+        out_dir,
+        num_buckets,
+        (max(int(r["partition"]) for r in existing.values()) + 1 if existing else max(32, cluster_cpus())),
+    )
     ds = read_transcripts(new_input_path)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -284,14 +326,38 @@ def run_incremental_append(
         os.makedirs(part_dir, exist_ok=True)
         kern = StreamingTurnKernel(cfg)
         state_path = os.path.join(part_dir, "state.parquet")
+        applied = 0
         if os.path.exists(state_path):
-            restore_states(kern, pq.read_table(state_path))
+            state_tbl = pq.read_table(state_path)
+            md = state_tbl.schema.metadata or {}
+            last_input = (md.get(b"last_input") or b"").decode() or None
+            if b"applied_count" in md:
+                applied = int(md[b"applied_count"])
+            else:  # pre-metadata snapshot: fall back to counting data files
+                applied = len([f for f in os.listdir(part_dir) if f.startswith("data-")])
+            if last_input == new_input_path:
+                rec = {
+                    "partition": bucket, "rows": 0, "file_seq": None,
+                    "wall_ms": 0.0, "input": new_input_path,
+                    "mode": "incremental_append", "skipped_duplicate_input": True,
+                }
+                return pa.table(
+                    {"partition": pa.array([bucket], pa.int32()),
+                     "record": pa.array([json.dumps(rec, sort_keys=True)], pa.string())}
+                )
+            restore_states(kern, state_tbl)
         out = kern(_sorted_pandas(tbl.drop_columns([BUCKET_COL])))
-        seq = len([f for f in os.listdir(part_dir) if f.startswith("data-")])
+        # seq derives from the STATE, not from listing files: a crash after
+        # the data commit but before the state commit replays into the SAME
+        # file with identical bytes instead of appending a duplicate
+        seq = applied
         out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        new_state = snapshot_states(kern).replace_schema_metadata(
+            {"applied_count": str(applied + 1), "last_input": new_input_path}
+        )
         for t, final in (
             (out_tbl, os.path.join(part_dir, f"data-{seq:05d}.parquet")),
-            (snapshot_states(kern), state_path),
+            (new_state, state_path),
         ):
             tmp = final + ".tmp"
             pq.write_table(t, tmp)

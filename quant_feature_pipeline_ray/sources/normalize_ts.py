@@ -51,8 +51,12 @@ def normalize_ts_batch(batch: pa.Table, col: str | None = None) -> pa.Table:
     elif pa.types.is_integer(t) or pa.types.is_floating(t):
         vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
         unit = infer_epoch_unit(vals[: min(len(vals), 1024)])
-        factor = {"ns": 1 / 1000, "us": 1, "ms": 1000, "s": 1_000_000}[unit]
-        us = (vals / (1 / factor)).astype(np.int64) if factor < 1 else vals * np.int64(factor)
+        # ns uses integer floor division: modern ns epochs (~1.7e18) exceed
+        # float64's 2^53 exact range, so float division could drift ±1 us
+        if unit == "ns":
+            us = vals // 1000
+        else:
+            us = vals * np.int64({"us": 1, "ms": 1000, "s": 1_000_000}[unit])
         out = pa.array(us, type=pa.timestamp("us"))
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         out = pc.strptime(arr, format="%Y-%m-%d %H:%M:%S", unit="us", error_is_null=True)

@@ -39,7 +39,27 @@ def dedup_keep_last(df: pd.DataFrame) -> pd.DataFrame:
 
     Reference: duplicate-timestamp dedup keep-last at every stage
     (tools/incremental.py:31-40, step2_resample.py:143). Input must be
-    sort_partition()-ordered, so keep='last' is keep-max-ts."""
+    sort_partition()-ordered, so keep='last' is keep-max-ts.
+
+    Determinism guard: duplicates with EQUAL ts but DIFFERENT text would
+    make "keep last" depend on block arrival order (and diverge from any
+    SQL oracle's arbitrary tie pick) — fail fast instead. Equal-ts dups
+    with identical text are harmless: any pick yields identical output."""
+    if len(df) > 1:
+        eq_key = (
+            (df["conv_id"].to_numpy()[:-1] == df["conv_id"].to_numpy()[1:])
+            & (df["turn_idx"].to_numpy()[:-1] == df["turn_idx"].to_numpy()[1:])
+            & (df["ts"].to_numpy()[:-1] == df["ts"].to_numpy()[1:])
+        )
+        if eq_key.any() and "text" in df.columns:
+            t = df["text"].to_numpy()
+            bad = np.flatnonzero(eq_key & (t[:-1] != t[1:]))
+            if len(bad):
+                raise ValueError(
+                    f"{len(bad)} duplicate (conv_id, turn_idx) rows share a ts "
+                    "but differ in payload — nondeterministic keep-last; "
+                    "fix the upstream writer or add a tie-break column"
+                )
     return df[~df.duplicated(["conv_id", "turn_idx"], keep="last")].reset_index(drop=True)
 
 
@@ -81,6 +101,17 @@ def rolling_mean_std_int(
     s_us, n_in = _windowed_sum_int(dt_us, rn, w)
     sma = s_us / (n_in * 1e6)
     dt_cs = dt_us // 10_000
+    # Exactness bound: the global cumsum may wrap (two's-complement), but
+    # window DIFFERENCES stay exact as long as every true window sum of
+    # squares fits int64, i.e. w * max(dt_cs)^2 < 2^63. A single gap over
+    # ~2.1e9 cs (~240 days at w=20) breaks that silently — fail fast.
+    if len(dt_cs):
+        m = int(dt_cs.max())
+        if w * m * m >= 2**63:
+            raise ValueError(
+                f"dt gap of {m} cs exceeds the int64-exact bound for the "
+                f"rolling std window (w={w}); winsorize dt upstream"
+            )
     s_cs, _ = _windowed_sum_int(dt_cs, rn, w)
     ssq_cs, _ = _windowed_sum_int(dt_cs * dt_cs, rn, w)
     nf = n_in.astype(np.float64)

@@ -59,6 +59,20 @@ def _sorted_dedup(tbl: pa.Table) -> tuple[pa.Table, np.ndarray]:
     keep[-1:] = True
     keep[:-1] = (codes[:-1] != codes[1:]) | (turn[:-1] != turn[1:])
     if not keep.all():
+        # determinism guard (mirrors dedup_keep_last): equal-ts duplicates
+        # must carry identical payloads, else keep-last is arrival-order-
+        # dependent — fail fast
+        ts = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eq_key = ~keep[:-1] & (ts[:-1] == ts[1:])
+        if eq_key.any() and "text" in tbl.column_names:
+            pos = np.flatnonzero(eq_key)
+            t_a = tbl["text"].take(pa.array(pos))
+            t_b = tbl["text"].take(pa.array(pos + 1))
+            if not pc.all(pc.equal(t_a, t_b)).as_py():
+                raise ValueError(
+                    "duplicate (conv_id, turn_idx) rows share a ts but differ "
+                    "in payload — nondeterministic keep-last"
+                )
         mask = pa.array(keep)
         tbl = tbl.filter(mask).combine_chunks()
         codes = codes[keep]

@@ -55,9 +55,34 @@ def test_incremental_append_bitwise(ray_session, deduped_input, tmp_path):
         assert ok, f"incremental append diverges from full recompute in {c}"
 
 
-def test_replayed_rows_fail_watermark(ray_session, deduped_input, tmp_path):
+def test_replayed_input_is_idempotent_noop(ray_session, deduped_input, tmp_path):
+    """Replaying an already-applied input FILE is a no-op (crash-replay
+    safety: the state snapshot records the applied input path), while the
+    same stale ROWS arriving under a new path still fail the watermark."""
+    import shutil
+
     full, p1, p2 = deduped_input
     d = str(tmp_path / "wm")
     run_streaming_backfill(p1, d, num_buckets=12)
+    before = _collect(d)
+    res = run_incremental_append(p1, d, num_buckets=12)  # replay same path
+    assert res["rows"] == 0
+    after = _collect(d)
+    assert len(before) == len(after)
+    # identical stale data under a NEW path is a real ordering violation
+    p1_copy = str(tmp_path / "replayed-copy.parquet")
+    shutil.copy(p1, p1_copy)
     with pytest.raises(Exception, match="watermark"):
-        run_incremental_append(p1, d, num_buckets=12)  # replaying the same data
+        run_incremental_append(p1_copy, d, num_buckets=12)
+
+
+def test_num_buckets_mismatch_fails_fast(ray_session, deduped_input, tmp_path):
+    """A resumed/appending run may not silently rehash with a different B."""
+    full, p1, p2 = deduped_input
+    d = str(tmp_path / "nb")
+    run_streaming_backfill(p1, d, num_buckets=12)
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_incremental_append(p2, d, num_buckets=8)
+    # and with NO caller value, the stored header is used (no rehash drift)
+    res = run_incremental_append(p2, d)
+    assert res["rows"] > 0
