@@ -62,6 +62,38 @@ class MinHasher:
             out[i] = pd.util.hash_array(bands[i].astype(np.uint64)).sum()
         return out
 
+    def signatures_batch(self, texts: list[str], k: int = 3) -> np.ndarray:
+        """Vectorized signatures for a batch: (n_docs, num_perm) uint64.
+
+        The modular arithmetic runs ONCE over the concatenated shingle
+        hashes with a per-doc minimum.reduceat — identical values to
+        signature() per doc (pinned by tests), no per-doc matmul loop."""
+        sh_list = [
+            np.unique(_token_hashes(shingles(t, k))) % np.uint64(_MERSENNE) for t in texts
+        ]
+        if not sh_list:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+        flat = np.concatenate(sh_list) if lens.sum() else np.zeros(0, dtype=np.uint64)
+        sigs = np.full((len(texts), self.num_perm), _MERSENNE, dtype=np.uint64)
+        nonempty = lens > 0
+        if flat.size:
+            v = (self.a[:, None] * flat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+            sigs[nonempty] = np.minimum.reduceat(v, starts, axis=1).T
+        return sigs
+
+    def band_keys_batch(self, sigs: np.ndarray, num_bands: int = 8) -> np.ndarray:
+        """Band bucket keys for a batch of signatures: (n_docs, num_bands).
+
+        Same value as band_keys() per row: pd.util.hash_array is
+        elementwise, so the per-band sum of element hashes is computable
+        from one flat hash pass."""
+        n = len(sigs)
+        rows = self.num_perm // num_bands
+        h = pd.util.hash_array(np.ascontiguousarray(sigs).reshape(-1).astype(np.uint64))
+        return h.reshape(n, num_bands, rows).sum(axis=2)
+
 
 def simhash64(text: str) -> np.uint64:
     """64-bit SimHash over the token multiset."""

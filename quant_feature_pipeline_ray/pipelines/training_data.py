@@ -18,7 +18,6 @@ import ray.data
 
 from quant_feature_pipeline_ray.functions.dedupfns import (
     MinHasher,
-    jaccard_token_sets,
     simhash64,
 )
 from quant_feature_pipeline_ray.functions.textstats import (
@@ -140,40 +139,169 @@ SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_
 FROM documents GROUP BY text ORDER BY rep_doc_id"""
 
 
-def doc_jaccard_pairs(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
-    """Near-dup pairs by exact token-SET Jaccard >= threshold.
+def _empty_pairs_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "n_inter": pd.Series(dtype="int64"),
+            "n_union": pd.Series(dtype="int64"),
+        }
+    )
 
-    Ray plan: all-pairs within LSH-style blocks. At testdata scale we block
-    on a cheap bucket (all docs) and verify pairwise inside map_groups with
-    numpy set ops; at 100 TB the blocking key becomes the MinHash band
-    (doc_minhash_lsh below) so only candidates are verified."""
+
+def _verify_group_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact token-set Jaccard for ALL pairs inside one LSH band bucket,
+    vectorized: per-group vocabulary -> doc x vocab incidence matrix -> one
+    float32 matmul gives every pairwise intersection size (exact: counts
+    << 2^24). Emits only pairs at/over threshold, doc_a < doc_b."""
+    ids = g["doc_id"].to_numpy()
+    if len(ids) < 2:
+        return _empty_pairs_frame()
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = g["text"].to_numpy()[order]
+    tok_arrays = [np.unique(np.array(t.split(" "), dtype=object)) for t in texts]
+    counts = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=len(ids))
+    vocab, inv = np.unique(np.concatenate(tok_arrays), return_inverse=True)
+    m = len(ids)
+    M = np.zeros((m, len(vocab)), dtype=np.float32)
+    M[np.repeat(np.arange(m), counts), inv] = 1.0
+    inter = (M @ M.T).astype(np.int64)
+    union = counts[:, None] + counts[None, :] - inter
+    with np.errstate(invalid="ignore"):
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    ai, bi = np.nonzero(np.triu(jac >= threshold, k=1))
+    return pd.DataFrame(
+        {
+            "doc_a": ids[ai].astype(np.int64),
+            "doc_b": ids[bi].astype(np.int64),
+            "n_inter": inter[ai, bi],
+            "n_union": union[ai, bi],
+        }
+    )
+
+
+def lsh_verified_pairs(
+    sf_dir: str,
+    threshold: float = 0.82,
+    num_perm: int = 64,
+    num_bands: int = 32,
+    shingle_k: int = 1,
+) -> ray.data.Dataset:
+    """Scale-safe near-dup pairs: MinHash band blocking + in-band exact
+    verify + distributed pair dedup. Nothing corpus-sized ever reaches the
+    driver.
+
+    Plan (one band-key shuffle + one pair-key shuffle, both hash exchanges):
+
+        read -> Signer actor pool: per doc, token-level MinHash signature
+             -> explode to (band, key, doc_id, text): text rides along at
+                bounded width (x num_bands — the standard MinHashLSH dedup
+                shape; at 100 TB ship the distinct-token hash list instead
+                of raw text to cut the ride-along bytes)
+        groupby(band, key) -> vectorized exact-Jaccard verify inside each
+                bucket (matmul over the bucket's incidence matrix)
+        groupby(doc_a, doc_b) -> dedup pairs found in multiple bands
+
+    Recall: a qualifying pair is missed only if it collides in NO band;
+    at threshold 0.82 with 32 bands x 2 rows that probability is
+    (1 - 0.82^2)^32 ~ 3e-16 per pair, and tests/test_training_data.py pins
+    recall == 1.0 against the all-pairs result on the sf0.01 corpus.
+    Shingle_k=1 so MinHash estimates the SAME token-set similarity the
+    exact verify (and the DuckDB oracle) computes."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        texts = g["text"].tolist()
-        sets = [frozenset(t.split(" ")) for t in texts]
-        order = np.argsort(ids)
-        rows = []
-        for ii in range(len(order)):
-            i = order[ii]
-            for jj in range(ii + 1, len(order)):
-                j = order[jj]
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), inter, union))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_inter", "n_union"])
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm)
 
-    # single logical block at this scale; the groupby key is constant
-    withk = docs.map_batches(
-        lambda b: b.append_column("k", pa.array(np.zeros(len(b), dtype=np.int32))),
-        batch_format="pyarrow",
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            sigs = self.mh.signatures_batch(texts, k=shingle_k)
+            keys = self.mh.band_keys_batch(sigs, num_bands=num_bands)
+            n = len(ids)
+            b = num_bands
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+                    "key": pa.array(keys.reshape(-1).view(np.int64)),
+                    "doc_id": pa.array(np.repeat(ids, b)),
+                    "text": pa.array(np.repeat(np.asarray(texts, dtype=object), b)),
+                }
+            )
+
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    exploded = docs.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+
+    # hash the (band, key) space into ~#cpu partitions: ONE map_groups call
+    # per partition (thousands of tiny LSH buckets per call, verified in a
+    # vectorized segment loop) instead of one Python call per bucket —
+    # map_groups per-group overhead is ~10 ms, which dominates otherwise
+    def add_gk(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy().view(np.uint64)
+        band = b["band"].to_numpy().astype(np.uint64)
+        gk = ((key * np.uint64(0x9E3779B97F4A7C15) + band) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+        return b.append_column("gk", pa.array(gk))
+
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["band", "key"], kind="mergesort", ignore_index=True)
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        n = len(df)
+        gb = np.empty(n, dtype=bool)
+        gb[0] = True
+        gb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(gb)
+        ends = np.append(starts[1:], n)
+        parts = [
+            _verify_group_pairs(df.iloc[a:b], threshold)
+            for a, b in zip(starts, ends)
+            if b - a >= 2
+        ]
+        if not parts:
+            return _empty_pairs_frame()
+        return pd.concat(parts, ignore_index=True)
+
+    verified = (
+        exploded.map_batches(add_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(verify_partition, batch_format="pandas")
     )
-    out = withk.groupby("k").map_groups(pairs, batch_format="pandas")
-    df = out.to_pandas()
-    df["jaccard"] = df["n_inter"] / df["n_union"]
+
+    # distributed pair dedup (a pair verifies in every shared band): hash
+    # the pair key into partitions, drop_duplicates per partition
+    def add_pk(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.uint64)
+        c = b["doc_b"].to_numpy().astype(np.uint64)
+        pk = ((a * np.uint64(0x9E3779B97F4A7C15) ^ c) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("pk", pa.array(pk))
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["doc_a", "doc_b"], ignore_index=True).drop(columns=["pk"])
+        out["jaccard"] = out["n_inter"] / out["n_union"]
+        return out
+
+    return (
+        verified.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
+
+
+def doc_jaccard_pairs(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
+    """Near-dup pairs by exact token-SET Jaccard >= threshold — the
+    LSH-blocked scale path end-to-end (lsh_verified_pairs); the driver only
+    ever sees the final qualifying pairs."""
+    df = lsh_verified_pairs(sf_dir, threshold=threshold).to_pandas()
+    if df.empty:
+        df = _empty_pairs_frame()
+        df["jaccard"] = pd.Series(dtype="float64")
     return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
@@ -192,52 +320,23 @@ ORDER BY doc_a, doc_b"""
 
 
 def doc_minhash_lsh(sf_dir: str, threshold: float = 0.82, num_perm: int = 64, num_bands: int = 16) -> pd.DataFrame:
-    """MinHash+LSH near-dup: signature per doc → explode (band, key, doc) →
-    groupby band bucket → candidate pairs → exact-Jaccard verify.
-
-    Probabilistic candidate generation (no SQL oracle); the verify step
-    reuses jaccard_token_sets so any surviving pair is exact."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    class Signer:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch["doc_id"].to_numpy()
-            rows = []
-            for did, text in zip(ids, batch["text"].to_pylist()):
-                keys = self.mh.band_keys(self.mh.signature(text), num_bands=num_bands)
-                for band, key in enumerate(keys):
-                    rows.append((int(did), band, np.int64(key.astype(np.int64))))
-            return pd.DataFrame(rows, columns=["doc_id", "band", "key"])
-
-    exploded = docs.map_batches(Signer, batch_format="pyarrow", concurrency=2)
-
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b"]).astype(np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    cand = (
-        exploded.groupby(["band", "key"])
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(ignore_index=True)
+    """MinHash+LSH near-dup: signature per doc → explode (band, key, doc,
+    text) → groupby band bucket → IN-BAND exact-Jaccard verify → distributed
+    pair dedup. Same dataflow as lsh_verified_pairs (the scale path — no
+    driver-side text residency, no per-pair Python loop); narrower banding
+    (16 bands x 4 rows) than the recall-pinned doc_jaccard_pairs entry, so
+    this one is honestly probabilistic → rows-only correctness + pytest."""
+    df = lsh_verified_pairs(
+        sf_dir, threshold=threshold, num_perm=num_perm, num_bands=num_bands
+    ).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    return df[["doc_a", "doc_b", "jaccard"]].sort_values(
+        ["doc_a", "doc_b"], ignore_index=True
     )
-    if len(cand) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).set_index(
-        "doc_id"
-    )["text"]
-    jac = np.array(
-        [jaccard_token_sets(texts.at[a], texts.at[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
-    )
-    out = cand[jac >= threshold].copy()
-    out["jaccard"] = jac[jac >= threshold]
-    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -393,62 +492,136 @@ def emb_ann_ivf(
     n_queries: int = 10,
     k: int = 5,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 6,
     kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    vec_assign: int = 2,
 ) -> pd.DataFrame:
-    """IVF-style ANN — the scale path beyond brute force.
+    """IVF-style ANN — the scale path beyond brute force, distributed
+    end-to-end:
 
-    Build: deterministic seeded k-means over (a sample of) the corpus on
-    the driver → broadcast centroids → one map_batches assigns every vector
-    to its nearest centroid (the inverted lists). Search: per query, probe
-    the `nprobe` nearest clusters only, exact-rerank candidates.
-    At 100 TB the assignment pass and the per-cluster search shuffle by
-    cluster id; here the same dataflow runs at testdata scale. Approximate
-    by design → no SQL oracle; pytest checks recall vs brute force."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    vids = emb["vec_id"].to_numpy()
-    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    unit = mat / np.maximum(norms[:, None], 1e-12)
+      build:  k-means over a BOUNDED deterministic sample (<= sample_max
+              rows on the driver — at 100 TB the sample, not the corpus,
+              is the only full-vector driver residency)
+      lists:  broadcast centroids -> map_batches assigns every vector ->
+              ONE shuffle by cluster id (the inverted lists)
+      search: per-cluster map_groups scores its vectors against only the
+              queries that probe that cluster (queries + probe sets are a
+              broadcast) and emits k-row partials per (query, cluster)
+      merge:  driver merges n_queries * nprobe * k partial rows — tiny.
 
+    Approximate by design → no SQL oracle; tests/test_multimodal.py gates
+    recall >= 0.9 vs emb_ann_topk."""
+    sample = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample_max)
+        .to_pandas()
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    sunit = smat / np.maximum(
+        np.sqrt(np.einsum("ij,ij->i", smat, smat))[:, None], 1e-12
+    )
     rng = np.random.default_rng(7)
-    cent = unit[rng.choice(len(unit), size=min(n_clusters, len(unit)), replace=False)].copy()
+    cent = sunit[rng.choice(len(sunit), size=min(n_clusters, len(sunit)), replace=False)].copy()
     for _ in range(kmeans_iters):
-        assign = np.argmax(unit @ cent.T, axis=1)
+        assign = np.argmax(sunit @ cent.T, axis=1)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
-                v = unit[m].mean(axis=0)
+                v = sunit[m].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
 
-    # inverted-list assignment as the distributed pass: centroids broadcast
-    # once, one matmul per batch (at scale this feeds a groupby(cluster))
-    cent_ref = ray.put(cent)
+    # queries: parquet predicate pushdown — only n_queries rows read
+    import pyarrow.compute as pc
+
+    qtbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < n_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    qids = qtbl["vec_id"].to_numpy()
+    qmat = np.stack(qtbl["embedding"].to_numpy()).astype(np.float64)
+    qunit = qmat / np.maximum(np.sqrt(np.einsum("ij,ij->i", qmat, qmat))[:, None], 1e-12)
+    probe = np.argsort(-(qunit @ cent.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), len(cent)), dtype=bool)
+    probe_mask[np.repeat(np.arange(len(qids)), nprobe), probe.reshape(-1)] = True
+
+    bcast = ray.put((cent, qids, qunit, probe_mask))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def assign_batch(batch: pa.Table) -> pd.DataFrame:
-        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
-        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+    class AssignBatch:
+        def __init__(self, ref):
+            self.cent = (ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)[0]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            sims = u @ self.cent.T
+            # multiple assignment: each vector joins its `vec_assign`
+            # nearest inverted lists (standard IVF recall lever; storage
+            # cost x vec_assign, search cost unchanged per probe)
+            a = min(vec_assign, sims.shape[1])
+            top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+            embs = batch["embedding"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
+                    "cluster": top.reshape(-1).astype(np.int32),
+                    "embedding": [embs[i] for i in np.repeat(np.arange(len(embs)), a)],
+                }
+            )
+
+    assigned = ds.map_batches(
+        AssignBatch, fn_constructor_args=(bcast,), batch_format="pyarrow", concurrency=2
+    )
+
+    def _empty_partial() -> pd.DataFrame:
         return pd.DataFrame(
-            {"vec_id": batch["vec_id"].to_numpy(), "cluster": np.argmax(u @ c.T, axis=1)}
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
         )
 
-    adf = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
-    assign = adf.set_index("vec_id")["cluster"].reindex(vids).to_numpy()
+    def search_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        cent_, qids_, qunit_, pmask_ = ray.get(bcast) if isinstance(bcast, ray.ObjectRef) else bcast
+        c = int(g["cluster"].iloc[0])
+        qsel = np.flatnonzero(pmask_[:, c])
+        if len(qsel) == 0 or len(g) == 0:
+            return _empty_partial()
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        vids = g["vec_id"].to_numpy().astype(np.int64)
+        sims = np.round(u @ qunit_[qsel].T, 6)  # (n_vec, n_qsel)
+        parts = []
+        for col, qi in enumerate(qsel):
+            qid = int(qids_[qi])
+            mask = vids != qid
+            s, v = sims[mask, col], vids[mask]
+            order = np.lexsort((v, -s))[:k]
+            parts.append(pd.DataFrame({"query_id": qid, "vec_id": v[order], "sim": s[order]}))
+        return pd.concat(parts, ignore_index=True) if parts else _empty_partial()
 
-    qmask = vids < n_queries
-    qids, qunit = vids[qmask], unit[qmask]
-    out_rows = []
-    probe = np.argsort(-(qunit @ cent.T), axis=1)[:, :nprobe]
-    for qi, qid in enumerate(qids):
-        cand = np.isin(assign, probe[qi]) & (vids != qid)
-        cvids = vids[cand]
-        sims = np.round(unit[cand] @ qunit[qi], 6)
-        order = np.lexsort((cvids, -sims))[:k]
-        for rank, j in enumerate(order, 1):
-            out_rows.append((int(qid), int(cvids[j]), float(sims[j]), rank))
-    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim", "rank"])
+    partials = assigned.groupby("cluster").map_groups(search_cluster, batch_format="pandas")
+    allp = partials.to_pandas()  # <= n_queries * nprobe * k rows
+    if allp.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64"), "rank": pd.Series(dtype="int64")}
+        )
+    allp = allp.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    # multiple assignment can surface the same (query, vec) from two lists
+    allp = allp.drop_duplicates(["query_id", "vec_id"], ignore_index=True)
+    top = allp.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
+    top["query_id"] = top["query_id"].astype(np.int64)
+    top["vec_id"] = top["vec_id"].astype(np.int64)
+    return top
 
 
 def emb_ann_topk_sql(sf_dir: str, n_queries: int = 10, k: int = 5) -> str:

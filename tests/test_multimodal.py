@@ -73,4 +73,4 @@ def test_ivf_recall_vs_bruteforce(ray_session):
         truth = set(g["vec_id"])
         got = set(ivf[ivf["query_id"] == qid]["vec_id"])
         recalls.append(len(truth & got) / len(truth))
-    assert np.mean(recalls) >= 0.5, f"IVF recall too low: {np.mean(recalls):.2f}"
+    assert np.mean(recalls) >= 0.9, f"IVF recall too low: {np.mean(recalls):.2f}"

@@ -71,6 +71,46 @@ def test_fingerprint_order_sensitive():
     assert fp[0] == fp[2]
 
 
+def test_minhash_batch_matches_scalar():
+    mh = MinHasher(num_perm=64)
+    texts = ["the quick brown fox", "a b c", "", "hello world hello again", "x"]
+    sigs = mh.signatures_batch(texts, k=1)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == mh.signature(t, k=1)).all()
+    keys = mh.band_keys_batch(sigs, num_bands=16)
+    for i in range(len(texts)):
+        assert (keys[i] == mh.band_keys(sigs[i], num_bands=16)).all()
+
+
+def test_lsh_jaccard_recall_1_vs_all_pairs(ray_session):
+    """The LSH-blocked doc_jaccard_pairs must reproduce the all-pairs
+    result EXACTLY on the sf0.01 corpus (pairs, n_inter, n_union) — the
+    banding may only add candidates (verified away), never lose pairs."""
+    from quant_feature_pipeline_ray.pipelines.training_data import doc_jaccard_pairs
+
+    sf = "/root/testdata/sf0.01"
+    got_df = doc_jaccard_pairs(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(r.doc_id): frozenset(r.text.split(" ")) for r in docs.itertuples()}
+    ids = sorted(sets)
+    truth = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.82:
+                truth[(a, b)] = (inter, union)
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.n_inter), int(r.n_union))
+        for r in got_df.itertuples()
+    }
+    missed = set(truth) - set(got)
+    extra = set(got) - set(truth)
+    assert not missed and not extra, f"missed={len(missed)} extra={len(extra)}"
+    assert got == truth  # values too: exact intersection/union counts
+
+
 def test_lang_scores_deterministic_ties():
     df = lang_scores(pd.Series(["the la fast datos", "xyz", "the the fast"]))
     assert df["pred_lang"].tolist()[1] == "und"  # zero hits
