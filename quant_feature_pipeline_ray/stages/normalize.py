@@ -58,22 +58,66 @@ def power_calibrate(x: np.ndarray, gamma: float) -> np.ndarray:
     return np.power(np.clip(x, 0.0, 1.0), gamma)
 
 
-def global_quantiles(ds: ray.data.Dataset, col: str, qs: tuple[float, ...]) -> dict[float, float]:
-    """Pass 1: exact distributed quantiles of one numeric column.
+def _lerp_quantile(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact linear-interpolated quantile from a merged (value, count)
+    histogram — BITWISE identical to np.quantile(full_array, q,
+    method='linear') (and to DuckDB quantile_cont on the same data).
 
-    Implementation: per-batch sorted value arrays would still be O(N) on the
-    driver; instead we collect per-batch histograms? For exactness at
-    testdata scale we gather the column (numeric only, no strings) and use
-    numpy's linear-interpolation quantile — the same definition as DuckDB's
-    quantile_cont. At 100 TB this becomes a mergeable t-digest sketch with
-    FROZEN results recorded into config (the reference's fixed_quantile
-    path); the two-pass protocol and the broadcast stay identical.
-    """
-    parts = []
-    for b in ds.select_columns([col]).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        parts.append(b[col].to_numpy(zero_copy_only=False))
-    vals = np.concatenate(parts)
-    return {q: float(np.quantile(vals, q, method="linear")) for q in qs}
+    Replicates numpy's _lerp including its t >= 0.5 fix-up so the float
+    expression, not just the math, matches."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    cum = np.cumsum(counts)
+    h = q * (n - 1)  # numpy: quantiles * (count - 1)
+    i = int(np.floor(h))
+    t = h - i
+    lo = float(vals[np.searchsorted(cum, i, side="right")])
+    hi = float(vals[np.searchsorted(cum, min(i + 1, n - 1), side="right")])
+    d = hi - lo
+    r = lo + d * t
+    if t >= 0.5:
+        r = hi - d * (1 - t)
+    return float(r)
+
+
+def global_quantiles(
+    ds: ray.data.Dataset, col: str, qs: tuple[float, ...]
+) -> dict[float, float]:
+    """Pass 1: exact DISTRIBUTED quantiles of one numeric column via a
+    mergeable value-counts histogram — nothing row-scaled reaches the
+    driver.
+
+    Per-batch np.unique(value, count) partials -> groupby(value) Sum (one
+    shuffle of cardinality-bounded rows) -> driver interpolates from the
+    merged histogram with numpy's exact linear rule. Works whenever the
+    column's VALUE CARDINALITY is bounded (dt-like quantized measures,
+    integer-cent money, timestamps at fixed resolution) — the common case
+    for governance bounds. For genuinely unbounded continuous columns,
+    freeze the bounds from a calibration run instead (the reference's
+    fixed_quantile path, congfigs/step5_mapping.yaml:136-153); a lossy
+    t-digest would silently break the bitwise train/live contract this
+    module guarantees."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def vc(batch: pa.Table) -> "pd.DataFrame":
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": vals, "n": cnt.astype(np.int64)})
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(vc, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # cardinality-bounded, NOT row-bounded
+        .sort_values("v", ignore_index=True)
+    )
+    vals = hist["v"].to_numpy()
+    counts = hist["n"].to_numpy()
+    return {q: _lerp_quantile(vals, counts, q) for q in qs}
 
 
 def calibrated_normalize(

@@ -73,3 +73,38 @@ def test_time_window_counts_simple():
     out = time_window_counts(ts, new_conv, 300)
     # (ts-300s, ts] windows: row3 at 400s covers (100,400] -> rows at 250,400
     assert out.tolist() == [1, 2, 3, 2, 1]
+
+
+def test_lerp_quantile_bitwise_vs_numpy():
+    """The histogram quantile must equal np.quantile(..., 'linear') BITWISE
+    on fuzzed data (including duplicates) — the distributed two-pass
+    calibration depends on it."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.normalize import _lerp_quantile
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        n = int(rng.integers(1, 500))
+        # duplicated, quantized values — the bounded-cardinality case
+        x = np.round(rng.exponential(10.0, size=n), 2)
+        vals, counts = np.unique(x, return_counts=True)
+        for q in (0.0, 0.001, 0.25, 0.5, 0.75, 0.999, 1.0):
+            a = _lerp_quantile(vals, counts, q)
+            b = float(np.quantile(x, q, method="linear"))
+            assert a == b, (trial, q, a, b)
+
+
+def test_global_quantiles_distributed_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from quant_feature_pipeline_ray.stages.normalize import global_quantiles
+
+    rng = np.random.default_rng(3)
+    x = np.round(rng.gamma(2.0, 20.0, size=20_000), 3)
+    ds = ray.data.from_pandas(pd.DataFrame({"dt": x})).repartition(8)
+    qs = global_quantiles(ds, "dt", (0.001, 0.5, 0.999))
+    for q, v in qs.items():
+        assert v == float(np.quantile(x, q, method="linear")), q
