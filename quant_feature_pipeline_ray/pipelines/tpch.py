@@ -106,61 +106,92 @@ ORDER BY l_returnflag, l_linestatus"""
 
 
 def top_revenue_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Revenue per customer; dimension side broadcast, fact side combined
-    per batch; deterministic top-k by (revenue desc, custkey)."""
+    """Revenue per customer via a SHUFFLE JOIN on l_orderkey.
+
+    Orders is a fact-sized table — broadcasting an orderkey→custkey map
+    would put the whole fact table in driver + every-actor memory at 100 TB.
+    Instead: tagged-union co-group (the repo's standard join shape, cf.
+    stages/asof.py):
+
+      lineitem → per-batch partial revenue per orderkey (combiner: the
+                 exchange moves one row per (orderkey, batch))
+      orders   → (orderkey, custkey) rows, tagged via custkey >= 0
+      union    → groupby(o_orderkey): Sum(rev) + Max(custkey) resolves the
+                 join in ONE vectorized aggregate (lineitem rows carry
+                 custkey = -1, so Max picks the orders row's key)
+      groupby(custkey) Sum → per-block partial top-k → driver merges
+                 blocks×k rows. Only the customer NAME dimension is
+                 broadcast, and only the final k rows touch it."""
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
     )
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    omap_ref = ray.put(
-        dict(
-            zip(
-                *(lambda d: (d["o_orderkey"].to_numpy(), d["o_custkey"].to_numpy()))(
-                    orders.to_pandas()
-                )
-            )
-        )
-    )
-
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
-    class RevenuePartial:
-        """Actor pool: the orderkey→custkey map is deserialized once per
-        actor (broadcast lookup — no shuffle join for the mid-size side)."""
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        out = p.groupby("o_orderkey", as_index=False).sum()
+        out["o_custkey"] = np.int64(-1)
+        return out
 
-        def __init__(self, omap):
-            if isinstance(omap, ray.ObjectRef):
-                omap = ray.get(omap)
-            self.omap = pd.Series(omap)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
-            rev_e4 = price_c * (100 - disc_c)
-            cust_k = self.omap.reindex(batch["l_orderkey"].to_numpy()).to_numpy()
-            p = pd.DataFrame({"c_custkey": cust_k, "rev_e4": rev_e4})
-            return p.groupby("c_custkey", as_index=False).sum()
+    def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "rev_e4": np.zeros(len(batch), dtype=np.int64),
+                "o_custkey": batch["o_custkey"].to_numpy().astype(np.int64),
+            }
+        )
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
-    partials = li.map_batches(
-        RevenuePartial,
-        fn_constructor_args=(omap_ref,),
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=4,
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
     )
-    agg = partials.groupby("c_custkey").aggregate(Sum("rev_e4", alias_name="rev_e4")).to_pandas()
+    per_order = tagged.groupby("o_orderkey").aggregate(
+        Sum("rev_e4", alias_name="rev_e4"), Max("o_custkey", alias_name="c_custkey")
+    )
+
+    def cust_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["c_custkey"] >= 0]  # orderkeys missing from orders (none in TPC-H)
+        return df.groupby("c_custkey", as_index=False)["rev_e4"].sum()
+
+    per_cust = (
+        per_order.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.sort_values(
+            ["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True
+        ).head(k)
+
+    agg = (
+        per_cust.map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()  # blocks × k rows
+        .sort_values(["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True)
+        .head(k)
+    )
     agg["revenue"] = agg["rev_e4"] / 10000.0
-    agg = agg.sort_values(["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True).head(k)
     names = ray.get(cust_ref)
     agg["c_name"] = agg["c_custkey"].map(names)
     agg["c_custkey"] = agg["c_custkey"].astype(np.int64)
-    return agg[["c_custkey", "c_name", "revenue"]]
+    return agg[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
