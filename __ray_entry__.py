@@ -174,6 +174,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_regex_tokens"] = t_regex_tokens
 
+    def t_group_normalized(sf):
+        from quant_feature_pipeline_ray.stages.feature_spec import (
+            GroupNorm,
+            NormalizationSpec,
+            apply_group_normalization,
+        )
+
+        spec = NormalizationSpec(
+            groups={
+                "latency": GroupNorm(mode="tanh", lo=0.0, hi=3600.0, scale=120.0),
+                "volume": GroupNorm(mode="unit", hi=2000.0),
+                "depth": GroupNorm(mode="power", hi=50.0, gamma=0.7),
+                "structure": GroupNorm(mode="rank"),
+            },
+            columns={
+                "dt_secs": "latency",
+                "text_len": "volume",
+                "cum_turns": "depth",
+                "session_turn": "structure",
+            },
+        )
+        ds = _turns_ds(sf).select_columns(
+            ["conv_id", "turn_idx", "dt_secs", "text_len", "cum_turns", "session_turn"]
+        )
+        return apply_group_normalization(ds, spec)
+
+    q["t_group_normalized"] = t_group_normalized
+
     q["t_time_windows"] = lambda sf: _turns_ds(sf).select_columns(
         ["conv_id", "turn_idx", "ts_us"]
         + [
@@ -319,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
         "t_governed": _sql_governed(),
         "t_winsor_quantile": _sql_winsor(),
+        "t_group_normalized": _sql_group_normalized(),
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),
@@ -350,6 +379,27 @@ SELECT conv_id, turn_idx,
        round((exp(2 * {x}) - 1) / (exp(2 * {x}) + 1), 6) AS dt_governed,
        round(least(ln(1 + greatest(dt_us / 1000000.0, 0.0)) / ln(1 + {cfg.winsor_hi_s}), 1.0), 6) AS dt_unit
 FROM t ORDER BY conv_id, turn_idx"""
+
+
+def _sql_group_normalized() -> str:
+    # mirrors the NormalizationSpec in t_group_normalized: tanh via the exp
+    # identity (DuckDB 1.0 has no tanh), unit via ln(1+x), power via pow,
+    # rank via cume_dist == count(v <= x)/N — all round(...,6) both sides
+    x = "(least(greatest(dt_us / 1000000.0, 0.0), 3600.0) / 120.0)"
+    return oracle.base_cte(_SQL_TRANSCRIPTS) + """
+, s AS (
+  SELECT conv_id, turn_idx, dt_us, text_len, cum_turns,
+         CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) AS BIGINT) AS session_turn
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       dt_us / 1000000.0 AS dt_secs,
+       text_len, cum_turns, session_turn,
+       round((exp(2 * {x}) - 1) / (exp(2 * {x}) + 1), 6) AS dt_secs_norm,
+       round(least(ln(1 + greatest(text_len, 0.0)) / ln(1 + 2000.0), 1.0), 6) AS text_len_norm,
+       round(pow(least(greatest(cum_turns / 50.0, 0.0), 1.0), 0.7), 6) AS cum_turns_norm,
+       round(cume_dist() OVER (ORDER BY session_turn), 6) AS session_turn_norm
+FROM s ORDER BY conv_id, turn_idx""".replace("{x}", x)
 
 
 def _sql_winsor() -> str:

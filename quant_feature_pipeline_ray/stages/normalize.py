@@ -81,23 +81,19 @@ def _lerp_quantile(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
     return float(r)
 
 
-def global_quantiles(
-    ds: ray.data.Dataset, col: str, qs: tuple[float, ...]
-) -> dict[float, float]:
-    """Pass 1: exact DISTRIBUTED quantiles of one numeric column via a
-    mergeable value-counts histogram — nothing row-scaled reaches the
-    driver.
+def global_value_counts(ds: ray.data.Dataset, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Exact DISTRIBUTED value-counts histogram of one numeric column —
+    the mergeable sketch behind global quantiles and global rank.
 
     Per-batch np.unique(value, count) partials -> groupby(value) Sum (one
-    shuffle of cardinality-bounded rows) -> driver interpolates from the
-    merged histogram with numpy's exact linear rule. Works whenever the
-    column's VALUE CARDINALITY is bounded (dt-like quantized measures,
-    integer-cent money, timestamps at fixed resolution) — the common case
-    for governance bounds. For genuinely unbounded continuous columns,
-    freeze the bounds from a calibration run instead (the reference's
-    fixed_quantile path, congfigs/step5_mapping.yaml:136-153); a lossy
-    t-digest would silently break the bitwise train/live contract this
-    module guarantees."""
+    shuffle of cardinality-bounded rows) -> (sorted values, counts) on the
+    driver. Valid whenever the column's VALUE CARDINALITY is bounded
+    (dt-like quantized measures, integer-cent money, fixed-resolution
+    timestamps) — the common case for governance bounds. For genuinely
+    unbounded continuous columns, freeze the bounds from a calibration run
+    instead (the reference's fixed_quantile path,
+    congfigs/step5_mapping.yaml:136-153); a lossy t-digest would silently
+    break the bitwise train/live contract this module guarantees."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -115,8 +111,15 @@ def global_quantiles(
         .to_pandas()  # cardinality-bounded, NOT row-bounded
         .sort_values("v", ignore_index=True)
     )
-    vals = hist["v"].to_numpy()
-    counts = hist["n"].to_numpy()
+    return hist["v"].to_numpy(), hist["n"].to_numpy()
+
+
+def global_quantiles(
+    ds: ray.data.Dataset, col: str, qs: tuple[float, ...]
+) -> dict[float, float]:
+    """Pass 1: exact distributed quantiles from the value-counts histogram;
+    nothing row-scaled reaches the driver (see global_value_counts)."""
+    vals, counts = global_value_counts(ds, col)
     return {q: _lerp_quantile(vals, counts, q) for q in qs}
 
 
