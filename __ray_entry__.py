@@ -207,7 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         + [
             f"{kind}_roll_{p}s"
             for p in DEFAULT_CONFIG.agg_windows_s
-            for kind in ("turns", "chars")
+            for kind in (
+                "turns", "chars", "tlen_first", "tlen_min", "tlen_max", "tlen_last",
+            )
         ]
     )
 

@@ -136,6 +136,15 @@ def sql_time_windows(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
         )
         parts.append(f"CAST(COUNT(*) OVER {wname} AS BIGINT) AS turns_roll_{p_s}s")
         parts.append(f"CAST(SUM(text_len) OVER {wname} AS BIGINT) AS chars_roll_{p_s}s")
+        # sliding first/min/max/last (W2 completion): first = the window's
+        # min-turn_idx row (ts is monotone per conv ⇒ deterministic under
+        # equal-ts ties, matching the engine's searchsorted gather)
+        parts.append(
+            f"CAST(arg_min(text_len, turn_idx) OVER {wname} AS BIGINT) AS tlen_first_roll_{p_s}s"
+        )
+        parts.append(f"CAST(MIN(text_len) OVER {wname} AS BIGINT) AS tlen_min_roll_{p_s}s")
+        parts.append(f"CAST(MAX(text_len) OVER {wname} AS BIGINT) AS tlen_max_roll_{p_s}s")
+        parts.append(f"CAST(text_len AS BIGINT) AS tlen_last_roll_{p_s}s")
     return (
         base_cte(path, cfg)
         + "\nSELECT conv_id, turn_idx, ts_us, "

@@ -55,6 +55,7 @@ def transcript_features(
     path: "str | ray.data.Dataset",
     cfg: FeatureConfig = DEFAULT_CONFIG,
     num_buckets: int | None = None,
+    text_exchange: str = "blob",
 ) -> ray.data.Dataset:
     """Build the full per-turn feature table from a transcript parquet path
     (or an already-constructed transcript Dataset).
@@ -64,6 +65,14 @@ def transcript_features(
     measured sweet spot; 200 auto-split blocks cost ~8x the wall time of 32
     right-sized ones at sf0.1).
 
+    text_exchange:
+      * "blob" (default): text bypasses the per-row exchange — text_len is
+        derived pre-shuffle and text crosses as one zstd-compressed
+        Arrow-IPC blob row per (block, bucket), reattached post-kernel
+        (stages/text_exchange.py). ~60% of the exchange bytes were text.
+      * "inline": the round-1 path (whole rows through the exchange) —
+        kept as the parity pin (tests/test_flagship.py).
+
     The per-bucket kernel is the ARROW-native path
     (stages/turn_features_arrow) so string columns never become pickled
     pandas object blocks in the object store; it is pinned bitwise-equal to
@@ -72,7 +81,20 @@ def transcript_features(
     from quant_feature_pipeline_ray.stages.turn_features_arrow import featurize_bucket_arrow
 
     ds = path if isinstance(path, ray.data.Dataset) else read_transcripts(path)
-    bucketed = with_bucket(ds, key="conv_id", num_buckets=num_buckets or max(32, cluster_cpus()))
+    B = num_buckets or max(32, cluster_cpus())
+    if text_exchange == "blob":
+        from quant_feature_pipeline_ray.stages.text_exchange import (
+            pack_for_exchange,
+            run_bucket_with_text,
+        )
+
+        packed = ds.map_batches(
+            lambda t: pack_for_exchange(t, B), batch_format="pyarrow"
+        )
+        return packed.groupby(BUCKET_COL).map_groups(
+            lambda t: run_bucket_with_text(t, cfg), batch_format="pyarrow"
+        )
+    bucketed = with_bucket(ds, key="conv_id", num_buckets=B)
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda t: featurize_bucket_arrow(t.drop_columns([BUCKET_COL]), cfg),
         batch_format="pyarrow",

@@ -185,6 +185,38 @@ def time_window_counts(
     return out
 
 
+def time_window_ohlc(
+    ts_us: np.ndarray, new_conv: np.ndarray, window_s: int, x: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """W2 completion: (first, min, max) of `x` over the trailing
+    (ts-p, ts] time window per conversation — the sliding o/h/l of the
+    reference's rolling_preview_ohlcv (step2_resample.py:298-322)
+    transposed to event resolution ('close' is x itself; emit separately).
+
+    min/max use pandas' cython variable-length time rolling (closed='right'
+    ⟺ the (ts-p, ts] convention of time_window_counts); 'first' is a
+    searchsorted gather — rows are turn-ordered with ts monotone per conv,
+    so the window's first row is its min-turn_idx row (deterministic even
+    under equal-ts ties)."""
+    p = np.int64(window_s) * 1_000_000
+    n = len(ts_us)
+    first = np.empty(n, dtype=np.int64)
+    starts = np.flatnonzero(new_conv)
+    ends = np.append(starts[1:], n)
+    for a, b in zip(starts, ends):
+        seg = ts_us[a:b]
+        lo = a + np.searchsorted(seg, seg - p, side="right")
+        first[a:b] = x[lo]
+    seg_id = np.cumsum(new_conv.astype(np.int64))
+    s = pd.Series(
+        x.astype(np.float64), index=pd.DatetimeIndex(ts_us.view("datetime64[us]"))
+    )
+    r = s.groupby(seg_id).rolling(f"{window_s}s", closed="right")
+    mn = r.min().to_numpy().astype(np.int64)  # x is int64 < 2^53: exact
+    mx = r.max().to_numpy().astype(np.int64)
+    return first, mn, mx
+
+
 def compute_turn_features(
     df: pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG, leak_free_only: bool = False
 ) -> pd.DataFrame:
@@ -275,6 +307,11 @@ def compute_turn_features(
     for p_s in cfg.agg_windows_s:
         out[f"turns_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s)
         out[f"chars_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s, weights=text_len)
+        f, mn, mx = time_window_ohlc(ts_us, new_conv, p_s, text_len)
+        out[f"tlen_first_roll_{p_s}s"] = f
+        out[f"tlen_min_roll_{p_s}s"] = mn
+        out[f"tlen_max_roll_{p_s}s"] = mx
+        out[f"tlen_last_roll_{p_s}s"] = text_len  # sliding 'close'
 
     # --- EMA registers (W12 EMA; recursive adjust=False) and percentile rank
     # (W6) — cython-grouped pandas; pytest-oracled, not SQL-expressible

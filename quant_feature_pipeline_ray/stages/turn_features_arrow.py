@@ -95,15 +95,19 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     dt_us[new_conv] = 0
     dt_secs = dt_us / 1e6
 
+    has_text = "text" in tbl.column_names
     cols: dict[str, object] = {
         "conv_id": tbl["conv_id"],
         "turn_idx": tbl["turn_idx"],
         "ts_us": ts_us,
         "role": tbl["role"],
         "tool": tbl["tool"],
-        "text": tbl["text"],
         "dt_secs": dt_secs,
     }
+    if has_text:
+        # without text (blob-exchange light rows), the caller reattaches
+        # the column at this position after the kernel
+        cols = {**dict(list(cols.items())[:5]), "text": tbl["text"], "dt_secs": dt_secs}
 
     # sessionize
     gap_us = np.int64(cfg.session_gap_s * 1e6)
@@ -118,7 +122,10 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     cols["cum_turns"] = rn + 1
 
     # scalar derivations — arrow kernels, no Python strings
-    text_len = pc.utf8_length(tbl["text"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if has_text:
+        text_len = pc.utf8_length(tbl["text"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:  # derived pre-shuffle by the blob exchange's pack stage
+        text_len = tbl["text_len"].to_numpy(zero_copy_only=False)
     cols["text_len"] = text_len
     is_tool = pc.not_equal(tbl["tool"], "").to_numpy(zero_copy_only=False).astype(np.int64)
     cols["is_tool"] = is_tool
@@ -155,11 +162,19 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     cols["gap_event"] = _run_length_event(mask, conv, cfg.gap_event_min_persist)
 
     # trailing TIME-window aggregates (W2/W9 analogue)
-    from quant_feature_pipeline_ray.stages.turn_features import time_window_counts
+    from quant_feature_pipeline_ray.stages.turn_features import (
+        time_window_counts,
+        time_window_ohlc,
+    )
 
     for p_s in cfg.agg_windows_s:
         cols[f"turns_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s)
         cols[f"chars_roll_{p_s}s"] = time_window_counts(ts_us, new_conv, p_s, weights=text_len)
+        f, mn, mx = time_window_ohlc(ts_us, new_conv, p_s, text_len)
+        cols[f"tlen_first_roll_{p_s}s"] = f
+        cols[f"tlen_min_roll_{p_s}s"] = mn
+        cols[f"tlen_max_roll_{p_s}s"] = mx
+        cols[f"tlen_last_roll_{p_s}s"] = text_len
 
     # EMA + rolling rank — cython-grouped pandas over NUMERIC columns only
     import pandas as pd

@@ -73,3 +73,22 @@ def test_dedup_keep_last(dist_out, sf001_transcripts):
     n_unique = len(raw.drop_duplicates(["conv_id", "turn_idx"]))
     assert len(dist_out) == n_unique
     assert not dist_out["text"].str.endswith(":stale").any()
+
+
+def test_blob_exchange_parity(ray_session, dist_out, sf001_transcripts):
+    """text_exchange='blob' (text bypasses the per-row exchange as
+    compressed blob rows) must be BITWISE identical to the inline path."""
+    inline = (
+        transcript_features(sf001_transcripts, text_exchange="inline")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert list(inline.columns) == list(dist_out.columns)
+    assert len(inline) == len(dist_out)
+    for c in inline.columns:
+        a, b = dist_out[c].to_numpy(), inline[c].to_numpy()
+        if a.dtype.kind == "f":
+            ok = ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+        else:
+            ok = (a == b).all()
+        assert ok, f"blob exchange diverges in column {c}"
