@@ -202,6 +202,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_group_normalized"] = t_group_normalized
 
+    def t_momentum(sf):
+        from quant_feature_pipeline_ray.stages.momentum import rolling_window_momentum
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: rolling_window_momentum(
+                compute_turn_features(g), period_s=300, lookback=2, anchor_offset_s=60
+            ),
+            num_buckets=64,
+        )
+
+    q["t_momentum"] = t_momentum
+
     q["t_time_windows"] = lambda sf: _turns_ds(sf).select_columns(
         ["conv_id", "turn_idx", "ts_us"]
         + [
@@ -350,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "t_governed": _sql_governed(),
         "t_winsor_quantile": _sql_winsor(),
         "t_group_normalized": _sql_group_normalized(),
+        "t_momentum": _sql_momentum(),
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),
@@ -402,6 +416,14 @@ SELECT conv_id, turn_idx,
        round(pow(least(greatest(cum_turns / 50.0, 0.0), 1.0), 0.7), 6) AS cum_turns_norm,
        round(cume_dist() OVER (ORDER BY session_turn), 6) AS session_turn_norm
 FROM s ORDER BY conv_id, turn_idx""".replace("{x}", x)
+
+
+def _sql_momentum() -> str:
+    from quant_feature_pipeline_ray.stages.momentum import sql_momentum
+
+    return sql_momentum(
+        oracle.base_cte(_SQL_TRANSCRIPTS), period_s=300, lookback=2, anchor_offset_s=60
+    )
 
 
 def _sql_winsor() -> str:
