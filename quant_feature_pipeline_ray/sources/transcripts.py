@@ -46,6 +46,19 @@ def default_num_blocks(path: str) -> int:
     return max(cluster_cpus(), nbytes // TARGET_BLOCK_BYTES + 1)
 
 
+def _is_csv(path: str) -> bool:
+    import os
+
+    if path.endswith(".csv"):
+        return True
+    if os.path.isdir(path):
+        names = os.listdir(path)
+        return any(f.endswith(".csv") for f in names) and not any(
+            f.endswith(".parquet") for f in names
+        )
+    return False
+
+
 def read_transcripts(
     path: str,
     columns: list[str] | None = None,
@@ -53,10 +66,17 @@ def read_transcripts(
     ts_start=None,
     ts_stop=None,
 ) -> ray.data.Dataset:
-    """Projected, optionally time-sliced transcript read (M2/M3 analogues).
+    """Projected, optionally time-sliced transcript read with CSV/parquet
+    extension dispatch (S3/M2/M3 analogues; reference: read_df_auto,
+    tools/io_paths.py:9-18 reads whichever of csv/parquet exists).
 
-    ts_start/ts_stop are pushed down as a parquet row-group predicate on
-    `ts` (reference: start/end slicing, step2_resample.py:146-149)."""
+    Parquet: ts_start/ts_stop are pushed down as a row-group predicate on
+    `ts` (reference: start/end slicing, step2_resample.py:146-149).
+    CSV: rows flow through the normalize_ts stage (epoch-unit sniffing /
+    string parsing -> canonical timestamp[us]) and the time slice is a
+    vectorized post-read filter — CSV has no row-group statistics to
+    push into. Output is bitwise-identical to the parquet path
+    (tests/test_setops.py::test_csv_read_parity)."""
     import pyarrow.compute as pc
 
     flt = None
@@ -65,6 +85,26 @@ def read_transcripts(
     if ts_stop is not None:
         f2 = pc.field("ts") <= ts_stop
         flt = f2 if flt is None else flt & f2
+    if _is_csv(path):
+        from quant_feature_pipeline_ray.sources.normalize_ts import normalize_ts_batch
+
+        ds = ray.data.read_csv(path)
+
+        import pyarrow as pa
+
+        def norm(batch):
+            batch = normalize_ts_batch(batch)
+            batch = batch.select(columns or INPUT_COLUMNS)
+            if "turn_idx" in batch.column_names:
+                # CSV type inference widens to int64; the canonical
+                # transcript schema (and the parquet path) carries int32
+                i = batch.column_names.index("turn_idx")
+                batch = batch.set_column(i, "turn_idx", batch["turn_idx"].cast(pa.int32()))
+            if flt is not None:
+                batch = batch.filter(flt)
+            return batch
+
+        return ds.map_batches(norm, batch_format="pyarrow")
     return ray.data.read_parquet(
         path,
         columns=columns or INPUT_COLUMNS,

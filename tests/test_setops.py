@@ -73,3 +73,51 @@ def test_sample_tail(ray_session, sf001_transcripts):
     cutoff = got["ts"].min()
     full = ds.to_pandas()
     assert (full[full["ts"] < cutoff]["ts"] < cutoff).all()
+
+
+def test_csv_read_parity(ray_session, sf001_transcripts, tmp_path):
+    """CSV ingestion (extension dispatch + normalize_ts) must be bitwise
+    equal to the parquet path end-to-end through the flagship."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from quant_feature_pipeline_ray.pipelines.flagship import transcript_features
+    from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+
+    files = (
+        sorted(
+            os.path.join(sf001_transcripts, f)
+            for f in os.listdir(sf001_transcripts)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(sf001_transcripts)
+        else [sf001_transcripts]
+    )
+    csv_dir = tmp_path / "csv_in"
+    csv_dir.mkdir()
+    for i, f in enumerate(files):
+        df = pq.read_table(f).to_pandas()
+        df.to_csv(csv_dir / f"part-{i:03d}.csv", index=False)
+
+    a = (
+        transcript_features(read_transcripts(sf001_transcripts))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    b = (
+        transcript_features(read_transcripts(str(csv_dir)))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f":
+            ok = ((x == y) | (np.isnan(x) & np.isnan(y))).all()
+        else:
+            ok = (x == y).all()
+        assert ok, f"csv path diverges from parquet path in {c}"
