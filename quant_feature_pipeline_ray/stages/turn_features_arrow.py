@@ -216,20 +216,15 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
         g_dtsum = np.add.reduceat(dt_us, starts)
         g_dt_mean = g_dtsum / (g_turns * 1e6)
 
-        # as-of: for each turn, latest window (same conv) with w_end <= ts.
-        # Windows of a conv form a contiguous ascending run of g_end.
-        j = np.full(n, -1, dtype=np.int64)
-        conv_starts = np.flatnonzero(new_conv)
-        conv_ends = np.append(conv_starts[1:], n)
-        gpos = np.searchsorted(starts, conv_starts)  # first group of each conv
-        gpos_end = np.append(gpos[1:], len(starts))
-        for ci in range(len(conv_starts)):
-            lo, hi = gpos[ci], gpos_end[ci]
-            a, b = conv_starts[ci], conv_ends[ci]
-            # rightmost group with g_end <= ts  (backward as-of, exact match ok)
-            pos = np.searchsorted(g_end[lo:hi], ts_us[a:b], side="right") - 1
-            j[a:b] = np.where(pos >= 0, lo + pos, -1)
-        hit = j >= 0
+        # as-of: latest window (same conv) with w_end <= ts. Window ends
+        # are STRICTLY increasing per conv and every row's ts sits inside
+        # its own (last) window, so the rightmost qualifying group is
+        # always the row's own group minus one — provided that neighbor
+        # belongs to the same conversation. O(n), no per-conv loop.
+        own = np.cumsum(gb.astype(np.int64)) - 1
+        conv_first_group = np.maximum.accumulate(np.where(new_conv, own, 0))
+        j = own - 1
+        hit = own > conv_first_group
         jj = np.maximum(j, 0)
         pre = f"w{p_s}_"
         cols[pre + "w_end_us"] = np.where(hit, g_end[jj], 0)
