@@ -55,7 +55,7 @@ def transcript_features(
     path: "str | ray.data.Dataset",
     cfg: FeatureConfig = DEFAULT_CONFIG,
     num_buckets: int | None = None,
-    text_exchange: str = "blob",
+    text_exchange: str = "inline",
 ) -> ray.data.Dataset:
     """Build the full per-turn feature table from a transcript parquet path
     (or an already-constructed transcript Dataset).
@@ -66,12 +66,19 @@ def transcript_features(
     right-sized ones at sf0.1).
 
     text_exchange:
-      * "blob" (default): text bypasses the per-row exchange — text_len is
-        derived pre-shuffle and text crosses as one zstd-compressed
-        Arrow-IPC blob row per (block, bucket), reattached post-kernel
-        (stages/text_exchange.py). ~60% of the exchange bytes were text.
-      * "inline": the round-1 path (whole rows through the exchange) —
-        kept as the parity pin (tests/test_flagship.py).
+      * "inline" (default): whole rows through the one hash exchange.
+        MEASURED best on a single node, where the exchange is
+        shared-memory plasma (bytes are one memcpy) and the blob codec +
+        extra text sort cost real CPU: sf1.0 2->8 cpu A/B over 3 clean
+        rounds — inline 62-66 s @2 / 18-23 s @8, blob 83-112 s @2 /
+        29-35 s @8, same 2->8 efficiency band (BASELINE.md).
+      * "blob": text bypasses the per-row exchange — text_len is derived
+        pre-shuffle and text crosses as one lz4-compressed Arrow-IPC blob
+        row per (block, bucket), reattached post-kernel
+        (stages/text_exchange.py). ~60% of the exchange bytes are text at
+        a 4-6x codec ratio, so this is the path for a REAL multi-node
+        cluster where the exchange crosses the network. Bitwise parity
+        with inline is pinned (tests/test_flagship.py).
 
     The per-bucket kernel is the ARROW-native path
     (stages/turn_features_arrow) so string columns never become pickled

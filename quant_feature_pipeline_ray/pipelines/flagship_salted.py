@@ -87,7 +87,17 @@ def transcript_features_salted(
             if len(pa.compute.unique(body["conv_id"])) == 1:
                 return featurize_conversation_salted(body, cfg, chunk_rows=chunk_rows)
             # two heavy convs collided into one salt code — rare; the plain
-            # kernel is still correct, just unsplit
+            # kernel is still correct, just unsplit. Log it: a silent
+            # fallback here would hide a skew hotspot at scale.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "salted route %d holds %d heavy conversations (salt "
+                "collision) — running unsplit; raise the salt space if "
+                "this recurs",
+                gid,
+                len(pa.compute.unique(body["conv_id"])),
+            )
         return featurize_bucket_arrow(body, cfg)
 
     return (

@@ -487,6 +487,120 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 ORDER BY vec_a, vec_b"""
 
 
+def _kmeans_centroids(
+    sf_dir: str, n_clusters: int, kmeans_iters: int, sample_max: int
+) -> np.ndarray:
+    """Seeded spherical k-means over a BOUNDED deterministic sample — the
+    only full-vector driver residency of the IVF family."""
+    sample = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample_max)
+        .to_pandas()
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    sunit = smat / np.maximum(np.sqrt(np.einsum("ij,ij->i", smat, smat))[:, None], 1e-12)
+    rng = np.random.default_rng(7)
+    cent = sunit[rng.choice(len(sunit), size=min(n_clusters, len(sunit)), replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sunit @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sunit[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def emb_cosine_dups_ivf(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    vec_assign: int = 4,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs, IVF-BUCKETED — the 100 TB path in front of
+    the exact O(N^2) sweep (emb_cosine_dups, which stays as the
+    oracle-checked verify/baseline):
+
+      centroids (bounded-sample k-means, broadcast) → each vector joins
+      its `vec_assign` nearest clusters → ONE shuffle by cluster id →
+      per-cluster pairwise matmul emits pairs >= threshold → distributed
+      pair dedup (hash-partitioned drop_duplicates).
+
+    Approximate: a pair is found iff the two vectors share a cluster
+    under multiple assignment. tests/test_training_data.py gates recall
+    vs the exact sweep at sf0.01."""
+    cent = _kmeans_centroids(sf_dir, n_clusters, kmeans_iters, sample_max)
+    cent_ref = ray.put(cent)
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Assign:
+        def __init__(self, ref):
+            self.cent = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            sims = u @ self.cent.T
+            a = min(vec_assign, sims.shape[1])
+            top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+            embs = batch["embedding"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
+                    "cluster": top.reshape(-1).astype(np.int32),
+                    "embedding": [embs[i] for i in np.repeat(np.arange(len(embs)), a)],
+                }
+            )
+
+    assigned = ds.map_batches(
+        Assign, fn_constructor_args=(cent_ref,), batch_format="pyarrow", concurrency=2
+    )
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs()
+        vids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vids)
+        vids = vids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        sims = np.round(u @ u.T, 6)
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1) & (vids[:, None] < vids[None, :]))
+        return pd.DataFrame({"vec_a": vids[ai], "vec_b": vids[bi], "sim": sims[ai, bi]})
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy().astype(np.uint64)
+        c = b["vec_b"].to_numpy().astype(np.uint64)
+        pk = ((a * np.uint64(0x9E3779B97F4A7C15) ^ c) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("pk", pa.array(pk))
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_a", "vec_b"], ignore_index=True).drop(columns=["pk"])
+
+    out = (
+        assigned.groupby("cluster")
+        .map_groups(pairs_in_cluster, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty_pairs()
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
 def emb_ann_ivf(
     sf_dir: str,
     n_queries: int = 10,
@@ -512,24 +626,7 @@ def emb_ann_ivf(
 
     Approximate by design → no SQL oracle; tests/test_multimodal.py gates
     recall >= 0.9 vs emb_ann_topk."""
-    sample = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        .limit(sample_max)
-        .to_pandas()
-    )
-    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    sunit = smat / np.maximum(
-        np.sqrt(np.einsum("ij,ij->i", smat, smat))[:, None], 1e-12
-    )
-    rng = np.random.default_rng(7)
-    cent = sunit[rng.choice(len(sunit), size=min(n_clusters, len(sunit)), replace=False)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sunit @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = sunit[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent = _kmeans_centroids(sf_dir, n_clusters, kmeans_iters, sample_max)
 
     # queries: parquet predicate pushdown — only n_queries rows read
     import pyarrow.compute as pc

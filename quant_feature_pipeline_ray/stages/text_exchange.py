@@ -84,12 +84,15 @@ def pack_for_exchange(batch: pa.Table, num_buckets: int) -> pa.Table:
     )
     order = np.argsort(b, kind="stable")
     sb = b[order]
+    # ONE gather into bucket order, then O(1) zero-copy slices per bucket
+    # (32 scattered takes cost ~10x one take + slices)
+    sub_sorted = sub_all.take(pa.array(order)).combine_chunks()
     bounds = np.flatnonzero(np.concatenate(([True], sb[1:] != sb[:-1])))
     ends = np.append(bounds[1:], len(sb))
     bucket_ids, blobs = [], []
     for a, e in zip(bounds, ends):
         bucket_ids.append(int(sb[a]))
-        blobs.append(_ipc_zstd(sub_all.take(pa.array(order[a:e]))))
+        blobs.append(_ipc_zstd(sub_sorted.slice(a, e - a)))
     cols = {}
     for f in light.schema:
         if f.name == BUCKET_COL:

@@ -116,3 +116,21 @@ def test_lang_scores_deterministic_ties():
     assert df["pred_lang"].tolist()[1] == "und"  # zero hits
     assert df["pred_lang"].tolist()[2] == "en"
     assert df["pred_lang"].tolist()[0] == "und"  # en==es tie -> und
+
+
+def test_cosine_dups_ivf_recall_vs_exact(ray_session):
+    """IVF-bucketed cosine near-dup must recover (almost) every exact pair
+    at sf0.01; precision is 1.0 by construction (same sim formula)."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        emb_cosine_dups,
+        emb_cosine_dups_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = emb_cosine_dups(sf)
+    approx = emb_cosine_dups_ivf(sf)
+    truth = set(zip(exact["vec_a"], exact["vec_b"]))
+    got = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert not (got - truth), "IVF variant emitted a pair the exact sweep lacks"
+    recall = len(got & truth) / len(truth) if truth else 1.0
+    assert recall >= 0.9, f"IVF cosine-dup recall too low: {recall:.3f}"
