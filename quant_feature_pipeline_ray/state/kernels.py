@@ -221,10 +221,10 @@ class StreamingTurnKernel:
         ext_tl2 = np.concatenate([st.tail_tw_text_len, text_len])
         pos = np.arange(1, len(ext_ts2) + 1)
         cs_c = np.concatenate([[0], np.cumsum(ext_tl2)])
-        ohlc_series = pd.Series(
-            ext_tl2.astype(np.float64),
-            index=pd.DatetimeIndex(ext_ts2.view("datetime64[us]")),
+        from quant_feature_pipeline_ray.stages.turn_features import (
+            sliding_minmax_from_bounds,
         )
+
         for p_s in cfg.agg_windows_s:
             p_us = np.int64(p_s) * 1_000_000
             lo = np.searchsorted(ext_ts2, ext_ts2 - p_us, side="right")
@@ -234,9 +234,9 @@ class StreamingTurnKernel:
             # the time-bounded tail already carries every row any batch
             # window can reach (same retention argument as *_roll_*s)
             out[f"tlen_first_roll_{p_s}s"] = ext_tl2[lo][t2:]
-            r = ohlc_series.rolling(f"{p_s}s", closed="right")
-            out[f"tlen_min_roll_{p_s}s"] = r.min().to_numpy().astype(np.int64)[t2:]
-            out[f"tlen_max_roll_{p_s}s"] = r.max().to_numpy().astype(np.int64)[t2:]
+            mn, mx = sliding_minmax_from_bounds(ext_tl2, lo)
+            out[f"tlen_min_roll_{p_s}s"] = mn[t2:]
+            out[f"tlen_max_roll_{p_s}s"] = mx[t2:]
             out[f"tlen_last_roll_{p_s}s"] = text_len
         hour = (ts_us // 3_600_000_000) % 24
         days = ts_us // 86_400_000_000
