@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
+    q["tpch_q3"] = tpch.tpch_q3
+    q["tpch_q6"] = tpch.tpch_q6
     q["top_revenue_customers"] = tpch.top_revenue_customers
 
     # --- training-data ops (documents / embeddings)
@@ -322,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     q["doc_simhash"] = td.doc_simhash
+    q["doc_fingerprint"] = td.doc_fingerprint
+    q["doc_vocab"] = td.doc_vocab
+    q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
     q["emb_ann_ivf"] = td.emb_ann_ivf
@@ -351,12 +356,17 @@ def oracle_sql() -> dict[str, str]:
         "e_sessionize": oracle.sql_events_sessionize(),
         "e_asof_window": oracle.sql_events_asof_window(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
+        "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
+        "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),
         "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
-        # doc_minhash_lsh / doc_simhash: probabilistic / non-SQL → rows-only
+        # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
+        # mod-2^64 arithmetic → rows-only (pytest-pinned)
+        "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
+        "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),

@@ -246,3 +246,167 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey
 ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, o_custkey
 LIMIT {k}"""
+
+
+def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-30", k: int = 10) -> pd.DataFrame:
+    """Shipping-priority report (TPC-H Q3 shape): 3-way join composed as
+    broadcast-dimension filter + ONE tagged-union shuffle join.
+
+      customer (dimension) → broadcast the qualifying custkey SET (ray.put);
+                 at 100 TB this side stays millions of int64s, not the fact
+                 tables.
+      orders   → filter o_orderdate < cutoff AND o_custkey ∈ set inside
+                 map_batches (no shuffle); emit one tagged row per order
+                 carrying (orderdate, priority).
+      lineitem → filter l_shipdate > cutoff; per-batch partial revenue per
+                 orderkey (combiner), tagged odate_us = -1.
+      union    → ONE groupby(o_orderkey): Sum(rev) + Max(odate_us) +
+                 Max(prio) resolves the inner join; rows missing either side
+                 are dropped by (rev > 0 AND odate_us >= 0).
+      top-k    → per-block partial top-k, driver merges blocks×k rows.
+
+    Revenue in integer cents×bp (e4) so partial sums are associative and
+    the DuckDB comparison is bitwise."""
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys: list[np.ndarray] = []
+    for b in cust.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        m = pa.compute.equal(b["c_mktsegment"], segment)
+        keys.append(b.filter(m)["c_custkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        mask = (odate < np.datetime64(cutoff_ts, "us")) & np.isin(
+            batch["o_custkey"].to_numpy(zero_copy_only=False), ks
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[mask],
+                "rev_e4": np.zeros(int(mask.sum()), dtype=np.int64),
+                "odate_us": odate[mask].astype(np.int64),
+                "o_orderpriority": batch["o_orderpriority"].to_numpy(zero_copy_only=False)[mask],
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        mask = ship > np.datetime64(cutoff_ts, "us")
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[mask] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[mask] * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[mask],
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        out = p.groupby("o_orderkey", as_index=False).sum()
+        out["odate_us"] = np.int64(-1)
+        out["o_orderpriority"] = ""
+        return out
+
+    from ray.data.aggregate import Max, Sum
+
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
+    )
+    per_order = tagged.groupby("o_orderkey").aggregate(
+        Sum("rev_e4", alias_name="rev_e4"),
+        Max("odate_us", alias_name="odate_us"),
+        Max("o_orderpriority", alias_name="o_orderpriority"),
+    )
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[(df["rev_e4"] > 0) & (df["odate_us"] >= 0)]
+        return df.sort_values(
+            ["rev_e4", "o_orderkey"], ascending=[False, True], ignore_index=True
+        ).head(k)
+
+    agg = (
+        per_order.map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()  # blocks × k rows
+        .sort_values(["rev_e4", "o_orderkey"], ascending=[False, True], ignore_index=True)
+        .head(k)
+    )
+    return pd.DataFrame(
+        {
+            "l_orderkey": agg["o_orderkey"].astype(np.int64),
+            "revenue": agg["rev_e4"] / 10000.0,
+            "o_orderdate": agg["odate_us"].astype("datetime64[us]"),
+            "o_orderpriority": agg["o_orderpriority"],
+        }
+    )
+
+
+def tpch_q3_sql(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-30", k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, l_orderkey
+LIMIT {k}"""
+
+
+def tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): predicate-heavy scan +
+    ONE global scalar aggregate. Per-batch partial sums (int cents×bp) →
+    a single-row Sum aggregate; nothing but two int64s per block moves."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo, hi = np.datetime64("1997-01-01", "us"), np.datetime64("1998-01-01", "us")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy()
+        mask = (ship >= lo) & (ship < hi) & (disc_c >= 3) & (disc_c <= 7) & (qty < 24)
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[mask] * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "rev_e4": [np.int64((price_c * disc_c[mask]).sum())],
+                "n": [np.int64(mask.sum())],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"), Sum("n", alias_name="n_items"))
+    )
+    return pd.DataFrame(
+        {"revenue": [agg["rev_e4"] / 10000.0], "n_items": [np.int64(agg["n_items"])]}
+    )
+
+
+def tpch_q6_sql(sf_dir: str) -> str:
+    return """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
+  AND l_quantity < 24"""

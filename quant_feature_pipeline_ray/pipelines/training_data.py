@@ -735,3 +735,125 @@ SELECT query_id, vec_id, sim,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}
 ORDER BY query_id, rank"""
+
+
+# ------------------------------------------------------- global vocabulary
+def doc_vocab(sf_dir: str, min_count: int = 10, batch_size: int = 4096) -> ray.data.Dataset:
+    """Global vocabulary build (wordcount) with PARTIAL aggregation.
+
+    The canonical corpus-statistics shuffle: per-batch combiner collapses
+    each batch to its distinct tokens (one row per (token, batch), counts
+    already summed) BEFORE the groupby — the exchange moves vocabulary-sized
+    partials, not one row per token occurrence. Emits term frequency `tf`
+    and document frequency `df` (docs containing the token ≥ once).
+
+    Tokenizer: split on single space, empty tokens dropped — mirrors
+    DuckDB's string_split(text, ' ') in the oracle bitwise."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        # arrow-native tokenize: one C-level split over the whole batch,
+        # list_parent_indices recovers which doc each token came from
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame(
+            {
+                "token": flat.filter(keep).to_pandas(),
+                "d": parent.filter(keep).to_pandas(),
+            }
+        )
+        out = pairs.groupby("token", as_index=False).agg(tf=("d", "size"), df=("d", "nunique"))
+        out["tf"] = out["tf"].astype(np.int64)
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("token")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+    return agg.filter(expr=f"tf >= {min_count}")
+
+
+def doc_vocab_sql(sf_dir: str, min_count: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM toks
+WHERE token <> ''
+GROUP BY token
+HAVING COUNT(*) >= {min_count}
+ORDER BY token"""
+
+
+# ------------------------------------------------------ grouped top-k docs
+def doc_topk_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k documents per language by size (grouped top-k operator).
+
+    Scale shape: per-batch partial top-k PER GROUP inside map_batches (each
+    batch emits ≤ k rows per language it contains), then a final per-group
+    top-k over blocks×langs×k rows. No global sort; the only exchange is
+    the tiny partial-result groupby. Deterministic tie-break (n_chars DESC,
+    doc_id ASC) keeps the result reproducible and oracle-exact."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        return df.groupby("lang", as_index=False, sort=False).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+    out = parts.groupby("lang", as_index=False, sort=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount().astype(np.int64) + 1
+    return out[["lang", "rank", "doc_id", "n_chars"]]
+
+
+def doc_topk_per_lang_sql(sf_dir: str, k: int = 10) -> str:
+    return f"""
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+WHERE rank <= {k}
+ORDER BY lang, rank"""
+
+
+# ----------------------------------------------------- rolling fingerprint
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Order-sensitive rolling-FNV document fingerprint (stateless map).
+
+    64-bit FNV-1a over the token stream (functions/textstats.fingerprint64)
+    — swap two tokens and the fingerprint changes, unlike a token-set hash.
+    Mod-2^64 arithmetic is not ANSI-SQL-expressible → rows-only in the
+    driver; the order-sensitivity and stability properties are pinned in
+    tests/test_training_data.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                # reinterpret as int64 so the value survives parquet/pandas
+                # round-trips without uint64 edge cases
+                "fp64": fingerprint64(texts).view(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

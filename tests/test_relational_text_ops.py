@@ -1,0 +1,106 @@
+"""Round-2 widening ops: TPC-H-style join compositions (q3/q6), global
+vocabulary build, grouped top-k, rolling-hash fingerprint query.
+
+Each SQL-expressible op is compared EXACTLY (integer-money discipline, no
+tolerance) against DuckDB on the sf0.001 tables; doc_fingerprint is pinned
+against the straight-line scalar implementation."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir: str, tables: list[str]):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _assert_exact(got: pd.DataFrame, ref: pd.DataFrame, name: str):
+    assert len(got) == len(ref), f"{name}: row count {len(got)} != {len(ref)}"
+    cols = sorted(got.columns)
+    assert cols == sorted(ref.columns), f"{name}: schema mismatch"
+    g = got[cols].sort_values(cols, ignore_index=True)
+    r = ref[cols].sort_values(cols, ignore_index=True)
+    for c in cols:
+        a, b = g[c].to_numpy(), r[c].to_numpy()
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            a, b = a.astype(np.float64), b.astype(np.float64)
+            ok = ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+        else:
+            ok = (a == b).all()
+        assert ok, f"{name}: column {c} mismatches oracle"
+
+
+def test_tpch_q3_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import tpch
+
+    con = _duck(SF, ["customer", "orders", "lineitem"])
+    got = tpch.tpch_q3(SF)
+    ref = con.execute(tpch.tpch_q3_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "tpch_q3")
+
+
+def test_tpch_q6_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import tpch
+
+    con = _duck(SF, ["lineitem"])
+    got = tpch.tpch_q6(SF)
+    ref = con.execute(tpch.tpch_q6_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "tpch_q6")
+
+
+def test_doc_vocab_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["documents"])
+    got = td.doc_vocab(SF).to_pandas()
+    ref = con.execute(td.doc_vocab_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "doc_vocab")
+
+
+def test_doc_vocab_partials_are_batch_invariant(ray_session):
+    """The combiner must be associative: tf/df totals cannot depend on how
+    rows split into batches. Compare batch_size=7 against one big batch."""
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    big = td.doc_vocab(SF).to_pandas().sort_values("token", ignore_index=True)
+    small = td.doc_vocab(SF, batch_size=7).to_pandas().sort_values("token", ignore_index=True)
+    pd.testing.assert_frame_equal(big, small)
+
+
+def test_doc_topk_per_lang_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["documents"])
+    got = td.doc_topk_per_lang(SF)
+    ref = con.execute(td.doc_topk_per_lang_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "doc_topk_per_lang")
+
+
+def test_doc_fingerprint_matches_scalar_reference(ray_session):
+    from quant_feature_pipeline_ray.functions.textstats import fingerprint64
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_fingerprint(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).sort_values(
+        "doc_id", ignore_index=True
+    )
+    ref = fingerprint64(docs["text"]).view(np.int64)
+    assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (got["fp64"].to_numpy() == ref).all()
+    # distinct texts -> distinct fingerprints on this fixture
+    assert got["fp64"].nunique() == docs["text"].nunique()
