@@ -126,3 +126,95 @@ def events_asof_window(path: str, window_s: int = 3600, num_buckets: int = 32) -
         prefix="w_",
         fill_zero=True,
     )
+
+
+def events_interval_join(
+    path: str, strategy: str = "bucketed", num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Range join: every event × every derived 'active window' containing
+    its ts (m:n point-in-interval join — the operator Ray Data lacks
+    natively; stages/interval_join.py).
+
+    Interval side derived from the data itself (deterministic, unaligned to
+    any ts bucketing): per event_type, the middle [10%, 40%) slice of that
+    type's global time span — int64-µs arithmetic end-to-end so the DuckDB
+    range-join oracle is exact. The interval derivation is itself a partial
+    Min/Max aggregate (one tiny shuffle of ≤ types×blocks rows).
+
+    strategy="bucketed" drives the large×large co-partitioned path;
+    "broadcast" drives the small-side path; both bitwise-equal
+    (tests/test_interval_join.py)."""
+    import pyarrow as pa
+
+    from quant_feature_pipeline_ray.stages.interval_join import (
+        broadcast_interval_join,
+        bucketed_interval_join,
+    )
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(batch: "pa.Table") -> "pa.Table":
+        ts_us = batch["ts"].cast(pa.int64())
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    points = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def span_partial(batch: "pa.Table") -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "itype": batch["event_type"].to_numpy(zero_copy_only=False),
+                "ts_us": batch["ts_us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("itype", as_index=False)["ts_us"]
+        return g.min().rename(columns={"ts_us": "t0"}).merge(
+            g.max().rename(columns={"ts_us": "t1"}), on="itype"
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    spans = (
+        points.map_batches(span_partial, batch_format="pyarrow")
+        .groupby("itype")
+        .aggregate(Min("t0", alias_name="t0"), Max("t1", alias_name="t1"))
+        .to_pandas()  # ≤ #event_types rows
+    )
+    iv = pd.DataFrame(
+        {
+            "w_start_us": spans["t0"] + (spans["t1"] - spans["t0"]) // 10,
+            "w_end_us": spans["t0"] + (4 * (spans["t1"] - spans["t0"])) // 10,
+            "itype": spans["itype"],
+        }
+    )
+    if strategy == "broadcast":
+        return broadcast_interval_join(points, iv)
+    import ray.data as rd
+
+    return bucketed_interval_join(
+        points,
+        rd.from_pandas(iv),
+        bucket_width_us=3_600_000_000,
+        num_partitions=num_partitions,
+    )
+
+
+def events_interval_join_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+span AS (
+  SELECT event_type AS itype, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+  FROM e GROUP BY event_type
+),
+iv AS (
+  SELECT itype,
+         t0 + (t1 - t0) // 10 AS w_start_us,
+         t0 + (4 * (t1 - t0)) // 10 AS w_end_us
+  FROM span
+)
+SELECT e.event_id, e.user_id, e.event_type, e.ts_us,
+       iv.w_start_us, iv.w_end_us, iv.itype
+FROM e JOIN iv ON e.ts_us >= iv.w_start_us AND e.ts_us < iv.w_end_us
+ORDER BY event_id, itype"""
