@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
+    q["emb_hyperplane_lsh"] = td.emb_hyperplane_lsh
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm

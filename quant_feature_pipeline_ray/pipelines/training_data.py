@@ -857,3 +857,118 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------- random-hyperplane LSH near-dup
+def emb_hyperplane_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    num_bits: int = 64,
+    num_bands: int = 16,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs via RANDOM-HYPERPLANE LSH (SimHash on the
+    embedding column) — the third scale path next to the IVF bucketing
+    (emb_cosine_dups_ivf) and the exact O(N^2) sweep (emb_cosine_dups,
+    the oracle-checked baseline).
+
+      seeded Gaussian hyperplanes H (d x num_bits), broadcast once →
+      sign bits per vector → banded keys (num_bands bands of
+      num_bits/num_bands bits) → ONE shuffle on the hashed band-key space →
+      exact pairwise cosine verify inside each band bucket (buckets
+      segmented INSIDE hash partitions — never one map_groups per tiny
+      bucket) → distributed pair dedup.
+
+    P[band collision] = (1 - theta/pi)^bits_per_band, so bits_per_band
+    trades recall against bucket size: the default (4 bits x 16 bands) is
+    tuned for this fixture's low 0.4 threshold; a production 0.9+ near-dup
+    threshold wants 8-16 bits per band, giving exponentially finer buckets.
+    Recall >= 0.9 vs the exact sweep is gated in
+    tests/test_training_data.py."""
+    bpb = num_bits // num_bands
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    d = len(ds.limit(1).to_pandas()["embedding"].iloc[0])
+    H = np.random.default_rng(seed).standard_normal((d, num_bits))
+    h_ref = ray.put(H)
+    weights = (1 << np.arange(bpb, dtype=np.int64))[None, :]
+
+    class BandKeys:
+        def __init__(self, ref):
+            self.H = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            bits = (u @ self.H) > 0  # (n, num_bits)
+            embs = batch["embedding"].to_numpy(zero_copy_only=False)
+            vids = batch["vec_id"].to_numpy()
+            frames = []
+            for b in range(num_bands):
+                val = (bits[:, b * bpb : (b + 1) * bpb] @ weights.T).ravel()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": (np.int64(b) << np.int64(bpb)) | val,
+                            "vec_id": vids,
+                            "embedding": list(embs),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    keyed = ds.map_batches(
+        BandKeys, fn_constructor_args=(h_ref,), batch_format="pyarrow", concurrency=2
+    )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        # segment by exact band key INSIDE the hash partition (thousands of
+        # tiny buckets would cost ~10ms each as map_groups calls)
+        for _, g in df.groupby("key", sort=False):
+            if len(g) < 2:
+                continue
+            vids = g["vec_id"].to_numpy().astype(np.int64)
+            order = np.argsort(vids)
+            vids = vids[order]
+            m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            sims = np.round(u @ u.T, 6)
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1) & (vids[:, None] < vids[None, :]))
+            if len(ai):
+                outs.append(
+                    pd.DataFrame({"vec_a": vids[ai], "vec_b": vids[bi], "sim": sims[ai, bi]})
+                )
+        return pd.concat(outs, ignore_index=True) if outs else _empty()
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy().astype(np.uint64)
+        c = b["vec_b"].to_numpy().astype(np.uint64)
+        pk = ((a * np.uint64(0x9E3779B97F4A7C15) ^ c) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("pk", pa.array(pk))
+
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_a", "vec_b"], ignore_index=True).drop(columns=["pk"])
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    verified = partition_map_groups(
+        keyed, verify_partition, key="key", num_buckets=n_parts
+    )
+    out = (
+        verified.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty()
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)

@@ -134,3 +134,20 @@ def test_cosine_dups_ivf_recall_vs_exact(ray_session):
     assert not (got - truth), "IVF variant emitted a pair the exact sweep lacks"
     recall = len(got & truth) / len(truth) if truth else 1.0
     assert recall >= 0.9, f"IVF cosine-dup recall too low: {recall:.3f}"
+
+
+def test_hyperplane_lsh_recall_vs_exact(ray_session):
+    """Random-hyperplane LSH near-dup must recover >= 0.9 of the exact
+    O(N^2) sweep's pairs at sf0.01, and every emitted pair must appear in
+    the exact result (the in-bucket verify is exact, so precision is 1.0
+    by construction — a miss here means the verify drifted)."""
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    d = "/root/testdata/sf0.01"
+    exact = td.emb_cosine_dups(d)
+    lsh = td.emb_hyperplane_lsh(d)
+    ek = set(zip(exact["vec_a"], exact["vec_b"]))
+    lk = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert len(ek) > 0
+    assert len(ek & lk) / len(ek) >= 0.9
+    assert lk <= ek  # exact verify => no false positives
