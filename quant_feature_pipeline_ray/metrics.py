@@ -60,15 +60,21 @@ def continuity_metrics(turns: ray.data.Dataset, session_gap_s: float = 1800.0) -
         )["isgap"].sum()["isgap"]
         return out
 
-    from ray.data.aggregate import Max, Min, Sum
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     partials = turns.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("conv_id").aggregate(
-        Sum("turns", alias_name="turns"),
-        Max("max_gap_us", alias_name="max_gap_us"),
-        Min("min_ts", alias_name="min_ts"),
-        Max("max_ts", alias_name="max_ts"),
-        Sum("n_gaps", alias_name="n_sessions_minus_1"),
+    # conv_id is a corpus-cardinality key — hash-partitioned pandas reduce,
+    # never Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    agg = grouped_aggregate(
+        partials,
+        "conv_id",
+        {
+            "turns": ("turns", "sum"),
+            "max_gap_us": ("max_gap_us", "max"),
+            "min_ts": ("min_ts", "min"),
+            "max_ts": ("max_ts", "max"),
+            "n_sessions_minus_1": ("n_gaps", "sum"),
+        },
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -40,13 +40,14 @@ def heavy_conversations(ds: ray.data.Dataset, heavy_threshold: int) -> set[str]:
         vc = pd.Series(batch["conv_id"].to_numpy(zero_copy_only=False)).value_counts()
         return pd.DataFrame({"conv_id": vc.index.to_numpy(), "n": vc.to_numpy()})
 
-    from ray.data.aggregate import Sum
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
-    counts = (
-        ds.select_columns(["conv_id"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(Sum("n", alias_name="n"))
+    # conv_id is corpus-cardinality — hash-partitioned pandas reduce, never
+    # Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    counts = grouped_aggregate(
+        ds.select_columns(["conv_id"]).map_batches(partial, batch_format="pyarrow"),
+        "conv_id",
+        {"n": ("n", "sum")},
     )
     heavy = counts.filter(lambda row: row["n"] > heavy_threshold)
     return {r["conv_id"] for r in heavy.iter_rows()}

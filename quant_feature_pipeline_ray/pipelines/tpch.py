@@ -155,13 +155,17 @@ def top_revenue_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Max, Sum
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
         orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
     )
-    per_order = tagged.groupby("o_orderkey").aggregate(
-        Sum("rev_e4", alias_name="rev_e4"), Max("o_custkey", alias_name="c_custkey")
+    # orderkey/custkey are fact-cardinality keys: hash-partitioned pandas
+    # reduce, never Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    per_order = grouped_aggregate(
+        tagged,
+        "o_orderkey",
+        {"rev_e4": ("rev_e4", "sum"), "c_custkey": ("o_custkey", "max")},
     )
 
     def cust_partial(batch: pa.Table) -> pd.DataFrame:
@@ -169,10 +173,10 @@ def top_revenue_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
         df = df[df["c_custkey"] >= 0]  # orderkeys missing from orders (none in TPC-H)
         return df.groupby("c_custkey", as_index=False)["rev_e4"].sum()
 
-    per_cust = (
-        per_order.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    per_cust = grouped_aggregate(
+        per_order.map_batches(cust_partial, batch_format="pyarrow"),
+        "c_custkey",
+        {"rev_e4": ("rev_e4", "sum")},
     )
 
     def topk_partial(batch: pa.Table) -> pd.DataFrame:
@@ -318,15 +322,21 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-30", 
         out["o_orderpriority"] = ""
         return out
 
-    from ray.data.aggregate import Max, Sum
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
         orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
     )
-    per_order = tagged.groupby("o_orderkey").aggregate(
-        Sum("rev_e4", alias_name="rev_e4"),
-        Max("odate_us", alias_name="odate_us"),
-        Max("o_orderpriority", alias_name="o_orderpriority"),
+    # orderkey is a FACT-cardinality key: hash-partitioned pandas reduce,
+    # never Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    per_order = grouped_aggregate(
+        tagged,
+        "o_orderkey",
+        {
+            "rev_e4": ("rev_e4", "sum"),
+            "odate_us": ("odate_us", "max"),
+            "o_orderpriority": ("o_orderpriority", "max"),
+        },
     )
 
     def topk_partial(batch: pa.Table) -> pd.DataFrame:

@@ -124,11 +124,13 @@ def doc_exact_dedup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
-    agg = hashed.groupby("h").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies")
+    # the content-hash keyspace is corpus-sized — hash-partitioned pandas
+    # reduce, never Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    agg = grouped_aggregate(
+        hashed, "h", {"rep_doc_id": ("doc_id", "min"), "n_copies": ("doc_id", "size")}
     )
     return agg.drop_columns(["h"])
 
@@ -771,12 +773,14 @@ def doc_vocab(sf_dir: str, min_count: int = 10, batch_size: int = 4096) -> ray.d
         out["df"] = out["df"].astype(np.int64)
         return out
 
-    from ray.data.aggregate import Sum
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("token")
-        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    # vocabulary-sized keyspace — hash-partitioned pandas reduce, never
+    # Ray's per-group sort-aggregate (stages/hash_aggregate.py)
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        "token",
+        {"tf": ("tf", "sum"), "df": ("df", "sum")},
     )
     return agg.filter(expr=f"tf >= {min_count}")
 
