@@ -144,10 +144,17 @@ def run_bench() -> dict:
     timed(
         "events_asof_window", lambda: ev.events_asof_window(f"{sf_dir}/events.parquet").count()
     )
+    timed(
+        "events_interval_join",
+        lambda: ev.events_interval_join(f"{sf_dir}/events.parquet").count(),
+    )
     timed("tpch_q1", lambda: tpch.tpch_q1(sf_dir))
+    timed("tpch_q3", lambda: tpch.tpch_q3(sf_dir))
     timed("doc_exact_dedup", lambda: td.doc_exact_dedup(sf_dir).count())
     timed("doc_token_stats", lambda: td.doc_token_stats(sf_dir).count())
+    timed("doc_vocab", lambda: td.doc_vocab(sf_dir).count())
     timed("emb_ann_topk", lambda: td.emb_ann_topk(sf_dir))
+    timed("emb_hyperplane_lsh", lambda: td.emb_hyperplane_lsh(sf_dir))
 
     ray.shutdown()
     return {

@@ -903,25 +903,21 @@ def emb_hyperplane_lsh(
         def __init__(self, ref):
             self.H = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
             m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
             u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
             bits = (u @ self.H) > 0  # (n, num_bits)
-            embs = batch["embedding"].to_numpy(zero_copy_only=False)
-            vids = batch["vec_id"].to_numpy()
-            frames = []
+            n = len(m)
+            # band-major fan-out as ONE arrow take — the embedding column
+            # crosses the exchange as arrow list<float>, never as pickled
+            # Python object rows (16x the rows makes that cost real)
+            keys = np.empty(n * num_bands, dtype=np.int64)
             for b in range(num_bands):
                 val = (bits[:, b * bpb : (b + 1) * bpb] @ weights.T).ravel()
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "key": (np.int64(b) << np.int64(bpb)) | val,
-                            "vec_id": vids,
-                            "embedding": list(embs),
-                        }
-                    )
-                )
-            return pd.concat(frames, ignore_index=True)
+                keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(bpb)) | val
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), num_bands))
+            rep = batch.select(["vec_id", "embedding"]).take(idx)
+            return rep.append_column("key", pa.array(keys))
 
     keyed = ds.map_batches(
         BandKeys, fn_constructor_args=(h_ref,), batch_format="pyarrow", concurrency=2
