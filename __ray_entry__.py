@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     q["doc_simhash"] = td.doc_simhash
     q["doc_fingerprint"] = td.doc_fingerprint
+    q["doc_quality_filter"] = td.doc_quality_filter
+    q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["emb_norms"] = td.emb_norms
@@ -369,6 +371,9 @@ def oracle_sql() -> dict[str, str]:
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
+        "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
+        # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
+        # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),

@@ -972,3 +972,123 @@ def emb_hyperplane_lsh(
     if out.empty:
         return _empty()
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+# ----------------------------------------------------- curation funnel ops
+def doc_quality_filter(
+    sf_dir: str,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> ray.data.Dataset:
+    """C4-style heuristic quality filter (the canonical pre-training
+    curation funnel): length floor, gibberish ceiling (mean token length),
+    stopword floor. Stateless map_batches — composes the exact
+    integer-ratio stats of doc_token_stats and keeps only survivors, so
+    the filter is bitwise-reproducible against the SQL oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        st = token_counts(texts)
+        st["stopword_hits"] = stopword_hits(texts)
+        keep = (
+            (st["n_tokens"].to_numpy() >= min_tokens)
+            & (st["token_chars"].to_numpy() / st["n_tokens"].to_numpy() <= max_mean_token_len)
+            & (st["stopword_hits"].to_numpy() / st["n_tokens"].to_numpy() >= min_stopword_ratio)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[keep],
+                "lang": batch["lang"].to_numpy(zero_copy_only=False)[keep],
+                "n_tokens": st["n_tokens"].to_numpy()[keep],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_quality_filter_sql(
+    sf_dir: str,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({sw}))) AS BIGINT) AS sw_hits
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens
+FROM s
+WHERE n_tokens >= {min_tokens}
+  AND token_chars / n_tokens <= {max_mean_token_len}
+  AND sw_hits / n_tokens >= {min_stopword_ratio}
+ORDER BY doc_id"""
+
+
+def doc_pack_sequences(
+    sf_dir: str, context_len: int = 512, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Greedy sequence packing (sample packing for pre-training): assign
+    docs to fixed-budget context windows of `context_len` tokens,
+    first-fit in doc_id order WITHIN each hash partition.
+
+    The packing recurrence (cumsum with reset at the budget) is inherently
+    sequential, so it parallelizes per partition — each partition packs its
+    own docs independently and bin ids are made globally unique as
+    (partition << 32) | local_bin. Oversized docs (> context_len) get their
+    own bin, truncation flagged. Deterministic: same input → same packing.
+    Rows-only in the driver (the reset recurrence is not ANSI-SQL);
+    straight-line parity + invariants pinned in tests/test_training_data.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        st = token_counts(batch["text"].to_pandas())
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "n_tokens": st["n_tokens"].to_numpy()}
+        )
+
+    def pack_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", ignore_index=True)
+        part = int(df["_bucket"].iat[0]) if "_bucket" in df.columns and len(df) else 0
+        toks = np.minimum(df["n_tokens"].to_numpy(), context_len)
+        n = len(toks)
+        bin_id = np.empty(n, dtype=np.int64)
+        offset = np.empty(n, dtype=np.int64)
+        cur_bin, cur_fill = 0, 0
+        # sequential first-fit within the partition: O(n) python loop over
+        # a cumsum-with-reset recurrence — the one loop the semantics force;
+        # partitions pack in parallel, so per-task n stays bounded
+        for i in range(n):
+            t = int(toks[i])
+            if cur_fill + t > context_len and cur_fill > 0:
+                cur_bin += 1
+                cur_fill = 0
+            bin_id[i] = cur_bin
+            offset[i] = cur_fill
+            cur_fill += t
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "packed_tokens": toks,
+                "truncated": (df["n_tokens"].to_numpy() > context_len).astype(np.int64),
+                "bin_id": (np.int64(part) << np.int64(32)) | bin_id,
+                "bin_offset": offset,
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    return partition_map_groups(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        pack_partition,
+        key="doc_id",
+        num_buckets=num_partitions,
+        drop_bucket=False,
+    )

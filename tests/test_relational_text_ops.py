@@ -104,3 +104,59 @@ def test_doc_fingerprint_matches_scalar_reference(ray_session):
     assert (got["fp64"].to_numpy() == ref).all()
     # distinct texts -> distinct fingerprints on this fixture
     assert got["fp64"].nunique() == docs["text"].nunique()
+
+
+def test_doc_quality_filter_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["documents"])
+    got = td.doc_quality_filter(SF).to_pandas()
+    ref = con.execute(td.doc_quality_filter_sql(SF)).df()
+    con.close()
+    assert 0 < len(ref) < 500, "filter should drop some docs and keep some"
+    _assert_exact(got, ref, "doc_quality_filter")
+
+
+def test_doc_pack_sequences_invariants_and_parity(ray_session):
+    from quant_feature_pipeline_ray.hashing import stable_bucket
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    L = 512
+    got = td.doc_pack_sequences(SF, context_len=L).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+
+    # invariant: bins never exceed the budget; offsets are the running fill
+    agg = got.groupby("bin_id")["packed_tokens"].sum()
+    assert (agg <= L).all()
+    for _, g in got.sort_values(["bin_id", "bin_offset"]).groupby("bin_id"):
+        fills = np.concatenate([[0], np.cumsum(g["packed_tokens"].to_numpy())[:-1]])
+        assert (g["bin_offset"].to_numpy() == fills).all()
+
+    # straight-line parity: replay first-fit per hash partition in doc_id order
+    from quant_feature_pipeline_ray.functions.textstats import token_counts
+
+    nt = token_counts(docs["text"]).loc[:, "n_tokens"].to_numpy()
+    part = stable_bucket(docs["doc_id"].to_numpy(), 32)
+    ref_rows = {}
+    for p in np.unique(part):
+        sel = np.flatnonzero(part == p)
+        order = sel[np.argsort(docs["doc_id"].to_numpy()[sel])]
+        cur_bin, cur_fill = 0, 0
+        for i in order:
+            t = int(min(nt[i], L))
+            if cur_fill + t > L and cur_fill > 0:
+                cur_bin, cur_fill = cur_bin + 1, 0
+            ref_rows[int(docs["doc_id"].iat[i])] = (int(p) << 32 | cur_bin, cur_fill)
+            cur_fill += t
+    ref_bin = np.array([ref_rows[d][0] for d in got["doc_id"]])
+    ref_off = np.array([ref_rows[d][1] for d in got["doc_id"]])
+    assert (got["bin_id"].to_numpy() == ref_bin).all()
+    assert (got["bin_offset"].to_numpy() == ref_off).all()
+    # determinism: a second run is identical
+    again = td.doc_pack_sequences(SF, context_len=L).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, again)
