@@ -187,11 +187,18 @@ def run_scaling() -> dict:
     scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1.0")
 
     def run(ncpu: int) -> dict:
+        # STEADY-STATE discipline: each leg takes best-of-GRAFT_SCALE_REPS
+        # after one untimed warmup. On this sandbox the allocator/page
+        # warm-up is large and SLOWER at low cpu counts (fewer reusable
+        # worker heaps), so under-repeating inflates the N-leg and reports
+        # fake super-linear "efficiency" > 1 — reps must continue until the
+        # minimum stops moving.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SF_DIR=scale_dir,
+            GRAFT_REPS=os.environ.get("GRAFT_SCALE_REPS", "4"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -209,6 +216,8 @@ def run_scaling() -> dict:
         "metric": f"scaling efficiency {n}->{4 * n} cpus (N vs 4N stand-in)",
         f"sec_{n}": lo["value"],
         f"sec_{4 * n}": hi["value"],
+        f"reps_{n}": lo["queries"]["flagship_backfill_reps"],
+        f"reps_{4 * n}": hi["queries"]["flagship_backfill_reps"],
         f"turns_per_sec_{n}": tps_lo,
         f"turns_per_sec_{4 * n}": tps_hi,
         "scaling_efficiency": round(eff, 3),
