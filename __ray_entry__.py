@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_fingerprint"] = td.doc_fingerprint
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
+    q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["emb_norms"] = td.emb_norms
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
+        "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),

@@ -1092,3 +1092,125 @@ def doc_pack_sequences(
         num_buckets=num_partitions,
         drop_bucket=False,
     )
+
+
+def doc_curation_funnel(
+    sf_dir: str,
+    threshold: float = 0.82,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> ray.data.Dataset:
+    """The composed end-to-end curation funnel — what a pre-training data
+    pipeline actually runs, as ONE dataflow:
+
+      quality filter (C4-style heuristics)
+      ∩ exact-dedup representative (min doc_id per identical text)
+      ∖ near-dup victims (doc_b of every verified Jaccard pair — the
+        deterministic higher-id-loses rule, so removal is SQL-expressible
+        and independent of discovery order)
+
+    Scale shape: the three legs are each scale-safe pipelines already
+    (stateless filter; hash-only exact dedup; LSH-blocked verified pairs),
+    and the composition is ONE tagged-union grouped_aggregate on doc_id —
+    no driver-side key sets, no broadcast of anything corpus-sized."""
+    filt = doc_quality_filter(sf_dir, min_tokens, max_mean_token_len, min_stopword_ratio)
+
+    def tag_f(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "n_tokens": batch["n_tokens"].to_numpy(),
+                "f": np.ones(len(batch), dtype=np.int64),
+                "r": np.zeros(len(batch), dtype=np.int64),
+                "v": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    reps = doc_exact_dedup(sf_dir)
+
+    def tag_r(batch: pa.Table) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["rep_doc_id"].to_numpy(),
+                "lang": [""] * n,
+                "n_tokens": np.zeros(n, dtype=np.int64),
+                "f": np.zeros(n, dtype=np.int64),
+                "r": np.ones(n, dtype=np.int64),
+                "v": np.zeros(n, dtype=np.int64),
+            }
+        )
+
+    pairs = lsh_verified_pairs(sf_dir, threshold=threshold)
+
+    def tag_v(batch: pa.Table) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_b"].to_numpy(),
+                "lang": [""] * n,
+                "n_tokens": np.zeros(n, dtype=np.int64),
+                "f": np.zeros(n, dtype=np.int64),
+                "r": np.zeros(n, dtype=np.int64),
+                "v": np.ones(n, dtype=np.int64),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    tagged = (
+        filt.map_batches(tag_f, batch_format="pyarrow")
+        .union(reps.map_batches(tag_r, batch_format="pyarrow"))
+        .union(pairs.map_batches(tag_v, batch_format="pyarrow"))
+    )
+    agg = grouped_aggregate(
+        tagged,
+        "doc_id",
+        {
+            "lang": ("lang", "max"),
+            "n_tokens": ("n_tokens", "max"),
+            "f": ("f", "max"),
+            "r": ("r", "max"),
+            "v": ("v", "max"),
+        },
+    )
+    return agg.filter(expr="f == 1 and r == 1 and v == 0").drop_columns(["f", "r", "v"])
+
+
+def doc_curation_funnel_sql(
+    sf_dir: str,
+    threshold: float = 0.82,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({sw}))) AS BIGINT) AS sw_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, n_tokens FROM s
+  WHERE n_tokens >= {min_tokens}
+    AND token_chars / n_tokens <= {max_mean_token_len}
+    AND sw_hits / n_tokens >= {min_stopword_ratio}
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+victims AS (
+  SELECT DISTINCT b.doc_id
+  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {threshold}
+)
+SELECT q.doc_id, q.lang, q.n_tokens
+FROM q
+WHERE q.doc_id IN (SELECT doc_id FROM reps)
+  AND q.doc_id NOT IN (SELECT doc_id FROM victims)
+ORDER BY q.doc_id"""

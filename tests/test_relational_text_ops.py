@@ -160,3 +160,17 @@ def test_doc_pack_sequences_invariants_and_parity(ray_session):
         "doc_id", ignore_index=True
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_doc_curation_funnel_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["documents"])
+    got = td.doc_curation_funnel(SF).to_pandas()
+    ref = con.execute(td.doc_curation_funnel_sql(SF)).df()
+    con.close()
+    # the funnel must actually remove docs at every stage on this fixture
+    n_docs = 500
+    n_filter = len(td.doc_quality_filter(SF).to_pandas())
+    assert 0 < len(ref) < n_filter < n_docs
+    _assert_exact(got, ref, "doc_curation_funnel")
