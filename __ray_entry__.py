@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
     q["e_asof_window"] = lambda sf: ev.events_asof_window(f"{sf}/events.parquet")
     q["e_interval_join"] = lambda sf: ev.events_interval_join(f"{sf}/events.parquet")
+    q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "e_sessionize": oracle.sql_events_sessionize(),
         "e_asof_window": oracle.sql_events_asof_window(),
         "e_interval_join": ev.events_interval_join_sql(),
+        "e_running_total": ev.events_running_total_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),

@@ -218,3 +218,56 @@ SELECT e.event_id, e.user_id, e.event_type, e.ts_us,
        iv.w_start_us, iv.w_end_us, iv.itype
 FROM e JOIN iv ON e.ts_us >= iv.w_start_us AND e.ts_us < iv.w_end_us
 ORDER BY event_id, itype"""
+
+
+def events_running_total(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Ordered window function: per-user running total of `value` in event
+    order (the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) shape).
+
+    One hash partition by user_id; inside each partition a single
+    conv-major sort + global cumsum with per-user reset (cumsum minus the
+    user's base — O(n), no per-user loop). Integer cents keep the running
+    sum associative and bitwise vs the oracle."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        user = df["user_id"].to_numpy()
+        vc = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        n = len(df)
+        new_user = np.empty(n, dtype=bool)
+        if n:
+            new_user[0] = True
+            np.not_equal(user[1:], user[:-1], out=new_user[1:])
+        cs = np.cumsum(vc)
+        # per-user base via ffilled start INDEX (index accumulate stays
+        # monotone even when values are negative and cs is not)
+        idx = np.arange(n, dtype=np.int64)
+        start_idx = np.maximum.accumulate(np.where(new_user, idx, 0))
+        run_c = cs - (cs - vc)[start_idx]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": user,
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "value": df["value"].to_numpy(),
+                "running_total": run_c / 100.0,
+                "user_event_seq": idx - start_idx + 1,
+            }
+        )
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "value"])
+    return partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+
+
+def events_running_total_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) / 100.0
+         AS running_total,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS user_event_seq
+FROM events
+ORDER BY event_id"""

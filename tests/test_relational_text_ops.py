@@ -174,3 +174,48 @@ def test_doc_curation_funnel_matches_duckdb(ray_session):
     n_filter = len(td.doc_quality_filter(SF).to_pandas())
     assert 0 < len(ref) < n_filter < n_docs
     _assert_exact(got, ref, "doc_curation_funnel")
+
+
+def test_events_running_total_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    con = _duck(SF, ["events"])
+    got = ev.events_running_total(f"{SF}/events.parquet").to_pandas()
+    ref = con.execute(ev.events_running_total_sql()).df()
+    con.close()
+    _assert_exact(got, ref, "e_running_total")
+
+
+def test_events_running_total_handles_negative_values(ray_session):
+    """The per-user base must be ffilled by START INDEX, not by a running
+    max of partial sums — negative values make the global cumsum
+    non-monotone and would corrupt a max-based reset."""
+    import ray.data
+
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 10**9, n)).astype("int64"), unit="us"
+            ),
+            "value": np.round(rng.normal(0, 50, n), 2),  # signed!
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td_:
+        p = os.path.join(td_, "events.parquet")
+        df.to_parquet(p, index=False)
+        got = ev.events_running_total(p).to_pandas().sort_values("event_id", ignore_index=True)
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}'")
+        ref = con.execute(ev.events_running_total_sql()).df()
+        con.close()
+    _assert_exact(got, ref, "e_running_total_signed")
