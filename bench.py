@@ -104,7 +104,9 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         transcript_features(path).write_parquet(out_dir)
     reps = []
-    for _ in range(int(os.environ.get("GRAFT_REPS", "2"))):  # best-of-N: host noise is ±50%
+    # best-of-N: host noise is ±50%, and allocator warm-up amortizes over
+    # several runs (see BASELINE.md round-2 steady-state discipline)
+    for _ in range(int(os.environ.get("GRAFT_REPS", "4"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         transcript_features(path).write_parquet(out_dir)
