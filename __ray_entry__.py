@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_asof_window"] = lambda sf: ev.events_asof_window(f"{sf}/events.parquet")
     q["e_interval_join"] = lambda sf: ev.events_interval_join(f"{sf}/events.parquet")
     q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
+    q["e_pivot"] = lambda sf: ev.events_pivot(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -332,12 +333,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
+    q["doc_tfidf_topk"] = td.doc_tfidf_topk
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
     q["emb_hyperplane_lsh"] = td.emb_hyperplane_lsh
+    q["emb_label_centroids"] = td.emb_label_centroids
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm
@@ -363,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "e_asof_window": oracle.sql_events_asof_window(),
         "e_interval_join": ev.events_interval_join_sql(),
         "e_running_total": ev.events_running_total_sql(),
+        "e_pivot": ev.events_pivot_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),
@@ -379,7 +383,9 @@ def oracle_sql() -> dict[str, str]:
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),
+        "doc_tfidf_topk": td.doc_tfidf_topk_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
+        "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)

@@ -271,3 +271,67 @@ SELECT event_id, user_id,
          AS user_event_seq
 FROM events
 ORDER BY event_id"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Pivot (long→wide): per-user event-type counts + value sums as
+    columns. Per-batch partial pivot (one pandas crosstab-style groupby per
+    batch) → grouped_aggregate sums — the exchange moves one wide partial
+    row per (user, batch), never the long rows. Fixed, config-declared
+    column set (a data-dependent pivot would need a schema-discovery pass
+    first — same two-phase shape as the interval join's span scan)."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["ts", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow as _pa
+
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "value_c": np.round(batch["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False)["value_c"].agg(
+            n="size", value_c="sum"
+        )
+        out = pd.DataFrame({"user_id": g["user_id"].unique()})
+        out = out.set_index("user_id")
+        for t in EVENT_TYPES:
+            sub = g[g["event_type"] == t].set_index("user_id")
+            out[f"n_{t}"] = sub["n"].reindex(out.index, fill_value=0).astype(np.int64)
+            out[f"sum_{t}_c"] = sub["value_c"].reindex(out.index, fill_value=0).astype(np.int64)
+        return out.reset_index()
+
+    aggs = {}
+    for t in EVENT_TYPES:
+        aggs[f"n_{t}"] = (f"n_{t}", "sum")
+        aggs[f"sum_{t}_c"] = (f"sum_{t}_c", "sum")
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", aggs,
+        num_partitions=num_buckets,
+    )
+
+    def finalize(batch: pa.Table) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": batch["user_id"].to_numpy()})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = batch[f"n_{t}"].to_numpy()
+            out[f"sum_{t}"] = batch[f"sum_{t}_c"].to_numpy() / 100.0
+        return out
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_pivot_sql() -> str:
+    cols = []
+    for t in EVENT_TYPES:
+        cols.append(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}")
+        cols.append(
+            f"CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) / 100.0 AS sum_{t}"
+        )
+    return "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id ORDER BY user_id"

@@ -1214,3 +1214,133 @@ FROM q
 WHERE q.doc_id IN (SELECT doc_id FROM reps)
   AND q.doc_id NOT IN (SELECT doc_id FROM victims)
 ORDER BY q.doc_id"""
+
+
+def emb_label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Vector aggregate: per-label centroid of the embedding column.
+
+    Per-batch partial = one matmul (one-hot-label.T @ matrix) producing a
+    d-wide sum row per label per batch → grouped_aggregate over the d sum
+    columns + count → mean per dimension, emitted LONG (label, dim, mean)
+    so the SQL oracle (CROSS JOIN range(d), avg(embedding[dim])) compares
+    row-for-row. round(,6) absorbs float-sum ordering across the exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    d = len(ds.limit(1).to_pandas()["embedding"].iloc[0])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        onehot = np.zeros((len(uniq), len(labels)), dtype=np.float64)
+        onehot[inv, np.arange(len(labels))] = 1.0
+        sums = onehot @ m  # (n_labels, d)
+        out = pd.DataFrame({"label": uniq, "n": np.bincount(inv).astype(np.int64)})
+        for j in range(d):
+            out[f"s{j}"] = sums[:, j]
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    aggs = {"n": ("n", "sum")}
+    for j in range(d):
+        aggs[f"s{j}"] = (f"s{j}", "sum")
+    agg = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"), "label", aggs)
+
+    def melt(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy()
+        n = batch["n"].to_numpy().astype(np.float64)
+        k = len(labels)
+        sums = np.column_stack([batch[f"s{j}"].to_numpy() for j in range(d)])
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels, d).astype(np.int64),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+                "mean": np.round((sums / n[:, None]).ravel(), 6),
+            }
+        )
+
+    return agg.map_batches(melt, batch_format="pyarrow")
+
+
+def emb_label_centroids_sql(sf_dir: str, d: int = 64) -> str:
+    return f"""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(r.dim AS BIGINT) AS dim,
+       round(avg(embedding[r.dim]), 6) AS mean
+FROM embeddings CROSS JOIN range(1, {d + 1}) r(dim)
+GROUP BY label, r.dim
+ORDER BY label, dim"""
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-doc top-k TF-IDF terms: the global document-frequency table
+    (vocabulary-bounded, built by the doc_vocab dataflow) is collected once
+    and BROADCAST via ray.put — the canonical computed-dimension pattern —
+    then each batch scores and ranks its own docs locally: tokenize →
+    per-(doc, token) tf → idf lookup → top-k by (rounded score desc,
+    token asc). Docs never span batches, so there is NO second shuffle.
+    round(,6) on the score makes the rank deterministic in both engines."""
+    dfreq = doc_vocab(sf_dir, min_count=1).to_pandas()  # vocabulary-bounded
+    n_docs = int(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    )
+    df_ref = ray.put(dict(zip(dfreq["token"], dfreq["df"].astype(np.int64))))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Score:
+        def __init__(self, ref):
+            self.df = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            split = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            keep = pc.not_equal(flat, "")
+            pairs = pd.DataFrame(
+                {
+                    "d": parent.filter(keep).to_pandas(),
+                    "token": flat.filter(keep).to_pandas(),
+                }
+            )
+            tf = pairs.groupby(["d", "token"], as_index=False).agg(tf=("token", "size"))
+            tf["tf"] = tf["tf"].astype(np.int64)
+            dfv = tf["token"].map(self.df).to_numpy(dtype=np.float64)
+            tf["score"] = np.round(tf["tf"].to_numpy() * np.log(float(n_docs) / dfv), 6)
+            tf = tf.sort_values(["d", "score", "token"], ascending=[True, False, True])
+            top = tf.groupby("d", as_index=False, sort=False).head(k).reset_index(drop=True)
+            top["rank"] = top.groupby("d").cumcount().astype(np.int64) + 1
+            top["doc_id"] = batch["doc_id"].to_numpy()[top["d"].to_numpy()]
+            return top[["doc_id", "rank", "token", "tf", "score"]]
+
+    return ds.map_batches(Score, fn_constructor_args=(df_ref,), batch_format="pyarrow", concurrency=2)
+
+
+def doc_tfidf_topk_sql(sf_dir: str, k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM toks WHERE token <> '' GROUP BY token
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+  FROM tf, dfreq, n WHERE tf.token = dfreq.token
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY doc_id, rank"""

@@ -219,3 +219,33 @@ def test_events_running_total_handles_negative_values(ray_session):
         ref = con.execute(ev.events_running_total_sql()).df()
         con.close()
     _assert_exact(got, ref, "e_running_total_signed")
+
+
+def test_events_pivot_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    con = _duck(SF, ["events"])
+    got = ev.events_pivot(f"{SF}/events.parquet").to_pandas()
+    ref = con.execute(ev.events_pivot_sql()).df()
+    con.close()
+    _assert_exact(got, ref, "e_pivot")
+
+
+def test_emb_label_centroids_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["embeddings"])
+    got = td.emb_label_centroids(SF).to_pandas()
+    ref = con.execute(td.emb_label_centroids_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "emb_label_centroids")
+
+
+def test_doc_tfidf_topk_matches_duckdb(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    con = _duck(SF, ["documents"])
+    got = td.doc_tfidf_topk(SF).to_pandas()
+    ref = con.execute(td.doc_tfidf_topk_sql(SF)).df()
+    con.close()
+    _assert_exact(got, ref, "doc_tfidf_topk")
