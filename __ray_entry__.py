@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
+    q["doc_distinct_tokens_hll"] = td.doc_distinct_tokens_hll
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
     q["emb_ann_ivf"] = td.emb_ann_ivf

@@ -1344,3 +1344,41 @@ FROM (
 )
 WHERE rank <= {k}
 ORDER BY doc_id, rank"""
+
+
+def doc_distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate global distinct-token count via a distributed
+    HyperLogLog (functions/sketches.py): per-batch register partials
+    (one (register, rho) row per NON-ZERO register per batch) → ONE
+    grouped_aggregate max over the register space → O(m) driver
+    estimate. The sketch is the scale path for unbounded keyspaces where
+    the exact value-counts histogram (bounded-cardinality tool) cannot
+    fit; accuracy vs the exact count is pytest-gated at 5% (sketch std
+    error ~1.6% at m=4096)."""
+    from quant_feature_pipeline_ray.functions.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        keep = pc.not_equal(flat, "")
+        toks = flat.filter(keep).to_numpy(zero_copy_only=False)
+        reg = hll_registers(content_hash(toks))
+        nz = np.flatnonzero(reg)
+        return pd.DataFrame({"register": nz.astype(np.int64), "rho": reg[nz].astype(np.int64)})
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "register",
+        {"rho": ("rho", "max")},
+    ).to_pandas()  # <= m = 4096 rows, never row-scaled
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    reg[merged["register"].to_numpy()] = merged["rho"].to_numpy().astype(np.uint8)
+    return pd.DataFrame({"distinct_tokens_est": [hll_estimate(reg)]})

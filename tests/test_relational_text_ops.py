@@ -249,3 +249,35 @@ def test_doc_tfidf_topk_matches_duckdb(ray_session):
     ref = con.execute(td.doc_tfidf_topk_sql(SF)).df()
     con.close()
     _assert_exact(got, ref, "doc_tfidf_topk")
+
+
+def test_hll_distinct_tokens_within_5pct(ray_session):
+    import duckdb as _dd
+
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    d = "/root/testdata/sf0.01"
+    est = float(td.doc_distinct_tokens_hll(d)["distinct_tokens_est"].iloc[0])
+    con = _dd.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT token) FROM (SELECT unnest(string_split(text,' ')) AS token "
+        f"FROM '{d}/documents.parquet') WHERE token <> ''"
+    ).fetchone()[0]
+    con.close()
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_merge_is_order_invariant():
+    """Registers must merge associatively: folding one big array equals
+    max-merging the registers of any split of it."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.functions.sketches import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+    whole = hll_registers(h)
+    parts = np.maximum.reduce([hll_registers(c) for c in np.array_split(h, 7)])
+    assert (whole == parts).all()
+    assert abs(hll_estimate(whole) - 100_000) / 100_000 < 0.05
