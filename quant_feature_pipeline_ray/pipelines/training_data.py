@@ -1143,13 +1143,16 @@ def doc_curation_funnel(
             }
         )
 
-    pairs = lsh_verified_pairs(sf_dir, threshold=threshold)
+    # victims via the linear-output path: one mark per doc, never the
+    # Θ(clique²) pair set (2.4 M pairs / 130 s on the clique-heavy sf0.1
+    # fixture; lsh_victims applies the identical higher-id-loses rule)
+    victims = lsh_victims(sf_dir, threshold=threshold)
 
     def tag_v(batch: pa.Table) -> pd.DataFrame:
         n = len(batch)
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_b"].to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(),
                 "lang": [""] * n,
                 "n_tokens": np.zeros(n, dtype=np.int64),
                 "f": np.zeros(n, dtype=np.int64),
@@ -1163,7 +1166,7 @@ def doc_curation_funnel(
     tagged = (
         filt.map_batches(tag_f, batch_format="pyarrow")
         .union(reps.map_batches(tag_r, batch_format="pyarrow"))
-        .union(pairs.map_batches(tag_v, batch_format="pyarrow"))
+        .union(victims.map_batches(tag_v, batch_format="pyarrow"))
     )
     agg = grouped_aggregate(
         tagged,
@@ -1382,3 +1385,121 @@ def doc_distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
     reg = np.zeros(HLL_M, dtype=np.uint8)
     reg[merged["register"].to_numpy()] = merged["rho"].to_numpy().astype(np.uint8)
     return pd.DataFrame({"distinct_tokens_est": [hll_estimate(reg)]})
+
+
+def lsh_victims(
+    sf_dir: str,
+    threshold: float = 0.82,
+    num_perm: int = 64,
+    num_bands: int = 32,
+    shingle_k: int = 1,
+) -> ray.data.Dataset:
+    """Near-dup VICTIM set (docs with any lower-id Jaccard match) — the
+    linear-output companion to lsh_verified_pairs.
+
+    On clique-heavy corpora the pair set is Θ(clique²) (measured: 2.4 M
+    pairs from 5 k docs on the sf0.1 fixture, 130 s mostly materializing
+    them), but dedup REMOVAL only needs one bit per doc. Same band
+    dataflow; the in-bucket verify marks column-wise any-match instead of
+    enumerating pairs, and the output dedup is a doc_id grouped_aggregate.
+    Exactly the funnel's higher-id-loses rule, so doc_curation_funnel
+    keeps its oracle while dropping the quadratic intermediate."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from quant_feature_pipeline_ray.functions.dedupfns import _token_hashes
+
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            sigs = self.mh.signatures_batch(texts, k=shingle_k)
+            keys = self.mh.band_keys_batch(sigs, num_bands=num_bands)
+            # ride the DISTINCT TOKEN-HASH SET along instead of raw text:
+            # set Jaccard is invariant under the (injective-in-practice)
+            # 64-bit token hash — smaller exchange bytes and no per-bucket
+            # re-tokenization across the num_bands copies
+            tok_sets = [np.unique(_token_hashes(t.split(" "))).view(np.int64) for t in texts]
+            n = len(ids)
+            b = num_bands
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+                    "key": pa.array(keys.reshape(-1).view(np.int64)),
+                    "doc_id": pa.array(np.repeat(ids, b)),
+                    "toks": pa.array(
+                        [tok_sets[i] for i in range(n) for _ in range(b)],  # doc-major
+                        type=pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    exploded = docs.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+
+    def add_gk(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy().view(np.uint64)
+        band = b["band"].to_numpy().astype(np.uint64)
+        gk = ((key * np.uint64(0x9E3779B97F4A7C15) + band) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+        return b.append_column("gk", pa.array(gk))
+
+    def victims_in_group(g: pd.DataFrame) -> np.ndarray:
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return ids[:0]
+        order = np.argsort(ids)
+        ids = ids[order]
+        tok_arrays = list(g["toks"].to_numpy()[order])  # int64 hash sets
+        counts = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=len(ids))
+        vocab, inv = np.unique(np.concatenate(tok_arrays), return_inverse=True)
+        m = len(ids)
+        M = np.zeros((m, len(vocab)), dtype=np.float32)
+        M[np.repeat(np.arange(m), counts), inv] = 1.0
+        inter = (M @ M.T).astype(np.int64)
+        union = counts[:, None] + counts[None, :] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        hit = np.triu(jac >= threshold, k=1)  # row i < col j by id order
+        return ids[hit.any(axis=0)]
+
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["band", "key"], kind="mergesort", ignore_index=True)
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        n = len(df)
+        gb = np.empty(n, dtype=bool)
+        gb[0] = True
+        gb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(gb)
+        ends = np.append(starts[1:], n)
+        # near-identical cliques collide in EVERY band, so the same doc-set
+        # bucket reappears once per band that hashed into this partition —
+        # identical doc sets produce identical victim sets, verify each once
+        seen: set[bytes] = set()
+        hits = []
+        ids_all = df["doc_id"].to_numpy()
+        for a, b in zip(starts, ends):
+            if b - a < 2:
+                continue
+            sig = np.sort(ids_all[a:b]).tobytes()
+            if sig in seen:
+                continue
+            seen.add(sig)
+            hits.append(victims_in_group(df.iloc[a:b]))
+        v = np.unique(np.concatenate(hits)) if hits else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"doc_id": v.astype(np.int64)})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    marked = (
+        exploded.map_batches(add_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(verify_partition, batch_format="pandas")
+    )
+    # a doc can be marked in several bands/partitions -> distinct doc_id
+    return grouped_aggregate(marked, "doc_id", {"n": ("doc_id", "size")}).drop_columns(["n"])
