@@ -317,7 +317,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
     q["tpch_q3"] = tpch.tpch_q3
+    q["tpch_q5"] = tpch.tpch_q5
     q["tpch_q6"] = tpch.tpch_q6
+    q["tpch_q14"] = tpch.tpch_q14
+    q["tpch_q18"] = tpch.tpch_q18
     q["top_revenue_customers"] = tpch.top_revenue_customers
 
     # --- training-data ops (documents / embeddings)
@@ -370,7 +373,10 @@ def oracle_sql() -> dict[str, str]:
         "e_pivot": ev.events_pivot_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
+        "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
         "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),
+        "tpch_q14": tpch.tpch_q14_sql(_SQL_SF_DIR),
+        "tpch_q18": tpch.tpch_q18_sql(_SQL_SF_DIR),
         "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),

@@ -420,3 +420,310 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
   AND l_quantity < 24"""
+
+
+def tpch_q5(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> pd.DataFrame:
+    """Local-supplier-volume report (TPC-H Q5 shape): the 6-table join as a
+    TWO-stage shuffle pipeline plus broadcast dimensions.
+
+      region+nation+supplier → driver-side (true dimensions: region 5 rows,
+                 nation 25, supplier 100·SF); broadcast suppkey→nationkey for
+                 the qualifying region only.
+      stage 1 (exchange on custkey): customer rows (custkey, c_nationkey ∈
+                 region) ∪ date-filtered orders rows (custkey, orderkey);
+                 per-partition pandas merge resolves orderkey→c_nat. The
+                 customer FACT side is never broadcast — at 10^12-row scale
+                 customers shuffle like any fact table.
+      stage 2 (exchange on orderkey): stage-1 rows (orderkey, nat=c_nat,
+                 tagged rev=-1) ∪ lineitem partial revenue per (orderkey,
+                 s_nat) — supplier nationkey resolved from the broadcast, rows
+                 outside the region dropped at the scan. Per-partition merge
+                 on (orderkey, nat) implements the c_nat == s_nat equi-join;
+                 per-nation partial sums leave each partition.
+      final    → ≤25 nation rows on the driver, name-joined, sorted.
+
+    Revenue in integer cents×bp (e4) so partial sums are associative and the
+    DuckDB comparison is bitwise."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    regionkeys = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = regionkeys.loc[regionkeys["r_name"] == region, "r_regionkey"]
+    nat_in_region = nation.loc[nation["n_regionkey"].isin(rkey), "n_nationkey"].to_numpy()
+    n_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nat_in_region)]
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
+    )
+    nat_set_ref = ray.put(np.sort(nat_in_region.astype(np.int64)))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pa.Table) -> pd.DataFrame:
+        nats = ray.get(nat_set_ref) if isinstance(nat_set_ref, ray.ObjectRef) else nat_set_ref
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(cn, nats)
+        return pd.DataFrame(
+            {
+                "k_cust": ck[m],
+                "o_orderkey": np.full(int(m.sum()), -1, dtype=np.int64),
+                "nat": cn[m],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = (odate >= lo) & (odate < hi)
+        return pd.DataFrame(
+            {
+                "k_cust": batch["o_custkey"].to_numpy(zero_copy_only=False)[m],
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "nat": np.full(int(m.sum()), -1, dtype=np.int64),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    stage1_in = cust.map_batches(cust_rows, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def resolve_cust(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = g[g["o_orderkey"] < 0][["k_cust", "nat"]]
+        os_ = g[g["o_orderkey"] >= 0][["k_cust", "o_orderkey"]]
+        j = os_.merge(cmap, on="k_cust", how="inner")
+        return j[["o_orderkey", "nat"]]
+
+    order_nat = partition_map_groups(stage1_in, resolve_cust, key="k_cust", num_buckets=32)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        sk, sn = ray.get(supp_ref) if isinstance(supp_ref, ray.ObjectRef) else supp_ref
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(sk) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "nat": pd.Series(dtype="int64"),
+                    "rev_e4": pd.Series(dtype="int64"),
+                }
+            )
+        pos_c = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        m = sk[pos_c] == lsk
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "nat": sn[pos_c[m]],
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        return p.groupby(["o_orderkey", "nat"], as_index=False).sum()
+
+    def order_tag(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["rev_e4"] = np.int64(-1)  # tag: this (orderkey, nat) came from stage 1
+        return df[["o_orderkey", "nat", "rev_e4"]]
+
+    stage2_in = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        order_nat.map_batches(order_tag, batch_format="pyarrow")
+    )
+
+    def resolve_nation(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["o_orderkey", "nat"], as_index=False)["rev_e4"].agg(["sum", "min"])
+        # a (orderkey, nat) pair counts iff BOTH sides present: min == -1
+        # proves the stage-1 (c_nat) row, sum+1 restores the revenue
+        hit = gg[gg["min"] == -1].copy()
+        hit["rev_e4"] = hit["sum"] + 1
+        hit = hit[hit["rev_e4"] > 0]
+        return hit.groupby("nat", as_index=False)["rev_e4"].sum()
+
+    parts = partition_map_groups(stage2_in, resolve_nation, key="o_orderkey", num_buckets=32)
+    out = parts.to_pandas().groupby("nat", as_index=False)["rev_e4"].sum()
+    out["n_name"] = out["nat"].map(n_names)
+    out["revenue"] = out["rev_e4"] / 10000.0
+    return (
+        out[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True], ignore_index=True)
+    )
+
+
+def tpch_q5_sql(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> str:
+    return f"""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_lo}' AND o_orderdate < TIMESTAMP '{date_hi}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+
+def tpch_q14(sf_dir: str, date_lo: str = "1997-01-01", date_hi: str = "1998-01-01") -> pd.DataFrame:
+    """Promotion-revenue share (TPC-H Q14 shape): broadcast-dimension
+    attribute join + conditional GLOBAL aggregate.
+
+    part is a genuine dimension (2k·SF rows of (partkey, is_promo)) —
+    broadcast once via ray.put as a sorted key array + bool flag; each
+    lineitem batch resolves is_promo with one searchsorted, accumulates TWO
+    integer partial sums, and ships 2 int64s per block. Nothing shuffles."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    order = np.argsort(part["p_partkey"].to_numpy())
+    part_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64)[order],
+            (part["p_type"].to_numpy() == "PROMO")[order],
+        )
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pk, promo = ray.get(part_ref) if isinstance(part_ref, ray.ObjectRef) else part_ref
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = (ship >= lo) & (ship < hi)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)[m]
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        pos = np.clip(np.searchsorted(pk, lpk), 0, len(pk) - 1)
+        is_promo = (pk[pos] == lpk) & promo[pos]
+        return pd.DataFrame(
+            {
+                "promo_e4": [np.int64(rev[is_promo].sum())],
+                "total_e4": [np.int64(rev.sum())],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).aggregate(
+        Sum("promo_e4", alias_name="promo_e4"), Sum("total_e4", alias_name="total_e4")
+    )
+    return pd.DataFrame(
+        {
+            "promo_revenue": [agg["promo_e4"] / 10000.0],
+            "total_revenue": [agg["total_e4"] / 10000.0],
+            "promo_share_pct": [100.0 * agg["promo_e4"] / agg["total_e4"]],
+        }
+    )
+
+
+def tpch_q14_sql(sf_dir: str, date_lo: str = "1997-01-01", date_hi: str = "1998-01-01") -> str:
+    e4 = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    return f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {e4} ELSE 0 END) AS BIGINT) / 10000.0 AS promo_revenue,
+       CAST(SUM({e4}) AS BIGINT) / 10000.0 AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {e4} ELSE 0 END) AS BIGINT)
+             / CAST(SUM({e4}) AS BIGINT) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{date_lo}' AND l_shipdate < TIMESTAMP '{date_hi}'"""
+
+
+def tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100) -> pd.DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): grouped HAVING filter that
+    feeds a join-back.
+
+      lineitem → per-batch partial qty per orderkey (combiner) →
+                 grouped_aggregate(orderkey) → filter sum > threshold.
+                 The qualifying set is SMALL BY CONSTRUCTION (heavy-hitter
+                 orders) — the one situation where collecting keys to the
+                 driver and re-broadcasting them is the scale-correct plan
+                 (same pattern as a Bloom-filtered semi-join build side).
+      orders   → filtered by broadcast key membership inside map_batches
+                 (no shuffle); the k·dim-sized result joins customer names
+                 driver-side.
+    Quantities in integer centi-units so partial sums are associative and
+    the DuckDB comparison is bitwise."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "qty_c": np.round(batch["l_quantity"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return p.groupby("o_orderkey", as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    per_order = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow", batch_size=65536),
+        "o_orderkey",
+        {"qty_c": ("qty_c", "sum")},
+    )
+    heavy = per_order.filter(expr=f"qty_c > {qty_threshold * 100}").to_pandas()
+    key_ref = ray.put(np.sort(heavy["o_orderkey"].to_numpy(np.int64)))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref) if isinstance(key_ref, ray.ObjectRef) else key_ref
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[pos] == ok))
+
+    picked = orders.map_batches(pick, batch_format="pyarrow").to_pandas()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = picked.merge(heavy, on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    out["sum_qty"] = out["qty_c"] / 100.0
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        ignore_index=True,
+    ).head(k)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+
+
+def tpch_q18_sql(sf_dir: str, qty_threshold: int = 300, k: int = 100) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > {qty_threshold * 100}
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT {k}"""

@@ -70,6 +70,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    only = [a for a in sys.argv[2:] if not a.startswith("-")]
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     import time
 
