@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_interval_join"] = lambda sf: ev.events_interval_join(f"{sf}/events.parquet")
     q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
     q["e_pivot"] = lambda sf: ev.events_pivot(f"{sf}/events.parquet")
+    q["e_json_extract"] = lambda sf: ev.events_json_extract(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -334,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
+    q["doc_chunk"] = td.doc_chunk
+    q["doc_stratified_sample"] = td.doc_stratified_sample
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -371,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "e_interval_join": ev.events_interval_join_sql(),
         "e_running_total": ev.events_running_total_sql(),
         "e_pivot": ev.events_pivot_sql(),
+        "e_json_extract": ev.events_json_extract_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -384,6 +388,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
+        "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),
+        "doc_stratified_sample": td.doc_stratified_sample_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

@@ -335,3 +335,56 @@ def events_pivot_sql() -> str:
             f"CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) / 100.0 AS sum_{t}"
         )
     return "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id ORDER BY user_id"
+
+
+def events_json_extract(path: str) -> ray.data.Dataset:
+    """Semi-structured payload extraction + grouped aggregate: pull the
+    integer field `k` out of the JSON `props` column, then per-event-type
+    count / sum / min / max.
+
+    The extraction is a VECTORIZED regex over the whole batch (pandas
+    str.extract on a compiled pattern) — the right kernel for a fixed-shape
+    payload; an arbitrarily-nested payload would swap in orjson.loads per
+    row inside the same map_batches stage (still one pass, no shuffle).
+    Event-type cardinality is a handful, so the final step is Ray's native
+    aggregate (COVERAGE.md A1b rule: native only for handful-of-groups)."""
+    import re
+
+    ds = _read_events(path, ["event_type", "props"])
+    pat = re.compile(r'"k":\s*(-?\d+)')
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        props = batch["props"].to_pandas()
+        k = props.str.extract(pat, expand=False).astype("int64")
+        p = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(zero_copy_only=False), "k": k}
+        )
+        return p.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), k_sum=("k", "sum"), k_min=("k", "min"), k_max=("k", "max")
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+        )
+    )
+    return out
+
+
+def events_json_extract_sql() -> str:
+    k = r"""CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)"""
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({k}) AS BIGINT) AS k_sum,
+       CAST(min({k}) AS BIGINT) AS k_min,
+       CAST(max({k}) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type ORDER BY event_type"""

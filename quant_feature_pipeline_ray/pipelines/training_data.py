@@ -1503,3 +1503,111 @@ def lsh_victims(
     )
     # a doc can be marked in several bands/partitions -> distinct doc_id
     return grouped_aggregate(marked, "doc_id", {"n": ("doc_id", "size")}).drop_columns(["n"])
+
+
+# ------------------------------------------------------- chunking & sampling
+def doc_chunk(sf_dir: str, chunk_tokens: int = 30) -> ray.data.Dataset:
+    """Sequence chunking (the pretraining window-packing precursor): split
+    every document into consecutive `chunk_tokens`-token chunks, one output
+    row per chunk — the flat_map shape (1 row in, ceil(n/c) rows out).
+
+    Pure per-batch transform, no shuffle; chunk boundaries are token
+    offsets, so the output is deterministic and exactly reproducible in SQL
+    (DuckDB list_slice oracle). Cost is O(total tokens); the chunk-assembly
+    loop iterates CHUNKS (not characters): at 100 TB this stage streams and
+    scales embarrassingly."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    c = chunk_tokens
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        out_id, out_ci, out_tx, out_nt = [], [], [], []
+        for did, t in zip(doc_ids, texts):
+            toks = t.split(" ")
+            n = len(toks)
+            n_chunks = (n + c - 1) // c
+            for ci in range(n_chunks):
+                seg = toks[ci * c : (ci + 1) * c]
+                out_id.append(did)
+                out_ci.append(ci)
+                out_tx.append(" ".join(seg))
+                out_nt.append(len(seg))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "chunk_idx": np.asarray(out_ci, dtype=np.int64),
+                "chunk_text": out_tx,
+                "n_tokens": np.asarray(out_nt, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_chunk_sql(sf_dir: str, chunk_tokens: int = 30) -> str:
+    c = chunk_tokens
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id,
+       u.ci AS chunk_idx,
+       array_to_string(list_slice(tk, ci * {c} + 1, least((ci + 1) * {c}, len(tk))), ' ') AS chunk_text,
+       CAST(least((ci + 1) * {c}, len(tk)) - ci * {c} AS BIGINT) AS n_tokens
+FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / {c}.0) AS BIGINT))) AS u(ci)
+ORDER BY doc_id, chunk_idx"""
+
+
+DEFAULT_SAMPLE_RATES = {"en": 0.5, "zh": 1.0, "fr": 0.25, "es": 0.25, "de": 0.75}
+
+
+def doc_stratified_sample(
+    sf_dir: str, rates: dict[str, float] | None = None
+) -> ray.data.Dataset:
+    """Deterministic stratified sampling: keep each doc with per-language
+    probability `rates[lang]`, decided by a content-independent hash of the
+    doc_id — the standard reproducible downsampling/upsampling primitive for
+    corpus mixing.
+
+    Selection = md5(doc_id)[:8] as uint32 / 2^32 < rate. md5 is chosen
+    because the DuckDB oracle computes the IDENTICAL bytes (md5 is
+    bit-stable everywhere), making an approximate-looking operator exactly
+    checkable. At scale the only change is swapping md5 for a vectorized
+    64-bit hash (the engine's content_hash) — the dataflow (stateless
+    map_batches filter, rate table broadcast, no shuffle) is unchanged."""
+    import hashlib
+
+    rt = dict(DEFAULT_SAMPLE_RATES if rates is None else rates)
+    rates_ref = ray.put(rt)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref) if isinstance(rates_ref, ray.ObjectRef) else rates_ref
+        doc_ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        u = np.fromiter(
+            (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                for d in doc_ids
+            ),
+            dtype=np.uint64,
+            count=len(doc_ids),
+        )
+        thresh = np.fromiter(
+            (r.get(l, 0.0) * 4294967296.0 for l in langs), dtype=np.float64, count=len(langs)
+        )
+        return batch.filter(pa.array(u.astype(np.float64) < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_stratified_sample_sql(sf_dir: str, rates: dict[str, float] | None = None) -> str:
+    rt = dict(DEFAULT_SAMPLE_RATES if rates is None else rates)
+    case = " ".join(f"WHEN lang = '{l}' THEN {r}" for l, r in rt.items())
+    return f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < (CASE {case} ELSE 0.0 END) * 4294967296.0
+ORDER BY doc_id"""
