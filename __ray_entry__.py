@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
+    q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
+    q["doc_heavy_hitters"] = td.doc_heavy_hitters
     q["doc_chunk"] = td.doc_chunk
     q["doc_stratified_sample"] = td.doc_stratified_sample
     q["doc_vocab"] = td.doc_vocab
@@ -388,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
+        "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
+        "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),
         "doc_stratified_sample": td.doc_stratified_sample_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),

@@ -1611,3 +1611,209 @@ FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
       < (CASE {case} ELSE 0.0 END) * 4294967296.0
 ORDER BY doc_id"""
+
+
+# ------------------------------------------- substring-level duplication
+def doc_ngram_dup_frac(sf_dir: str, n: int = 5, num_partitions: int = 32) -> ray.data.Dataset:
+    """Substring-level duplication profile (the Lee-et-al "deduplicating
+    training data" shape): for every document, the fraction of its n-token
+    positions whose n-gram also occurs in ANOTHER document.
+
+    Dataflow (all linear, text never leaves the scan):
+      map      → tokenize per batch, vectorized 64-bit token hashes, rolling
+                 polynomial n-gram hashes (wrapping uint64 — no string
+                 n-grams are ever materialized), per-(ngram, doc) position
+                 counts (combiner).
+      exchange 1 (by ngram hash) → a (g, doc) pair is unique globally, so
+                 within each hash partition `groupby(g).size()` IS the
+                 distinct-doc count; emit per-doc (npos, shared_npos).
+      exchange 2 (by doc_id)    → grouped_aggregate sums → dup_frac.
+
+    Both exchanges move O(total n-gram positions) fixed-width rows. The
+    engine groups by a 64-bit combined hash while the oracle groups by the
+    n-gram STRING — a cross-n-gram hash collision (~N²/2^64) would merge two
+    groups; at corpus scale this is the standard accepted bias, at test
+    scale it is ~1e-11."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = 0x9E3779B97F4A7C15
+    MASK = (1 << 64) - 1
+    powers = np.array([(pow(A, n - 1 - j, 1 << 64)) & MASK for j in range(n)], dtype=np.uint64)
+
+    def ngram_stage(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        if len(texts) == 0 or counts.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "g": pd.Series(dtype="uint64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "npos": pd.Series(dtype="int64"),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+        th = content_hash(flat)  # vectorized SipHash, uint64
+        # rolling polynomial over windows of n token hashes (wrapping uint64)
+        m = len(th)
+        valid_doc = np.repeat(np.arange(len(texts)), counts)
+        g = np.zeros(max(m - n + 1, 0), dtype=np.uint64)
+        for j in range(n):
+            g += th[j : m - n + 1 + j] * powers[j]
+        # a position is valid iff its window stays inside one document
+        ok = valid_doc[: m - n + 1] == valid_doc[n - 1 :]
+        p = pd.DataFrame(
+            {
+                "g": g[ok],
+                "doc_id": doc_ids[valid_doc[: m - n + 1][ok]].astype(np.int64),
+            }
+        )
+        out = p.groupby(["g", "doc_id"], as_index=False).size()
+        return out.rename(columns={"size": "npos"})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    pairs = ds.map_batches(ngram_stage, batch_format="pyarrow")
+
+    def mark_shared(part: pd.DataFrame) -> pd.DataFrame:
+        ndocs = part.groupby("g")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"],
+                "npos": part["npos"],
+                "shared_npos": np.where(ndocs > 1, part["npos"], 0).astype(np.int64),
+            }
+        )
+
+    marked = partition_map_groups(pairs, mark_shared, key="g", num_buckets=num_partitions)
+    agg = grouped_aggregate(
+        marked,
+        "doc_id",
+        {"n_pos": ("npos", "sum"), "n_shared_pos": ("shared_npos", "sum")},
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["dup_frac"] = df["n_shared_pos"].to_numpy() / df["n_pos"].to_numpy()
+        return df
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_ngram_dup_frac_sql(sf_dir: str, n: int = 5) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS g
+  FROM toks, UNNEST(range(1, len(tk) - {n - 2})) AS u(i)
+),
+pg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS npos FROM pos GROUP BY doc_id, g),
+sh AS (SELECT g, count(*) AS ndocs FROM pg GROUP BY g)
+SELECT pg.doc_id,
+       CAST(sum(npos) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN ndocs > 1 THEN npos ELSE 0 END) AS BIGINT) AS n_shared_pos,
+       CAST(sum(CASE WHEN ndocs > 1 THEN npos ELSE 0 END) AS BIGINT)
+         / CAST(sum(npos) AS BIGINT) AS dup_frac
+FROM pg JOIN sh USING (g)
+GROUP BY pg.doc_id
+ORDER BY pg.doc_id"""
+
+
+# ----------------------------------------------------- frequency sketching
+_MG_OFF_SENTINEL = " __mg_offset__"
+
+
+def doc_heavy_hitters(
+    sf_dir: str, threshold: int = 300, k_sketch: int = 256, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Heavy-hitter tokens (corpus count >= threshold) via a two-pass
+    Misra-Gries sketch — EXACT output with sketch-bounded memory.
+
+    Pass 1 (candidates): per-batch token counts truncated to k_sketch
+    counters by subtracting the (k+1)-th largest count off_b — the
+    Misra-Gries reduction. A token's undercount within batch b is at most
+    off_b, so after grouped_aggregate sums the partials,
+    est <= true <= est + sum(off_b) for EVERY token (including tokens
+    truncated to absence — each off_b rides along as a sentinel row).
+    Hence est >= T - sum(off_b) is a guaranteed SUPERSET of the true heavy
+    hitters, PROVIDED T > sum(off_b); below that, a token can vanish from
+    every batch sketch and the protocol fails fast with a ValueError
+    telling the caller to widen k_sketch (classic MG width condition:
+    sum(off_b) <= total_tokens / (k_sketch+1)). The summed sketch is
+    <= blocks x k_sketch rows — bounded regardless of vocabulary size
+    (the full-vocab doc_vocab pipeline is the exact-everything alternative;
+    this is the path when the vocabulary itself doesn't fit).
+
+    Pass 2 (verify): broadcast the sorted candidate array, count ONLY
+    candidate tokens exactly (per-batch combiner + one grouped_aggregate),
+    keep count >= T. Output is bitwise-exact -> DuckDB HAVING oracle."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        toks = np.concatenate([t.split(" ") for t in texts]) if len(texts) else np.array([], object)
+        if len(toks) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=object), "c": pd.Series(dtype="int64")})
+        uniq, cnt = np.unique(toks.astype(object), return_counts=True)
+        off = 0
+        if len(uniq) > k_sketch:
+            off = int(np.partition(cnt, len(cnt) - k_sketch - 1)[len(cnt) - k_sketch - 1])
+            kept = cnt - off
+            uniq, cnt = uniq[kept > 0], kept[kept > 0]
+        out = pd.DataFrame({"token": uniq, "c": cnt.astype(np.int64)})
+        if off:
+            out = pd.concat(
+                [out, pd.DataFrame({"token": [_MG_OFF_SENTINEL], "c": [np.int64(off)]})],
+                ignore_index=True,
+            )
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    sketch = grouped_aggregate(
+        ds.map_batches(mg_partial, batch_format="pyarrow", batch_size=4096),
+        "token",
+        {"est": ("c", "sum")},
+        num_partitions=num_partitions,
+    ).to_pandas()  # <= blocks x k_sketch rows by construction
+    off_rows = sketch["token"] == _MG_OFF_SENTINEL
+    total_off = int(sketch.loc[off_rows, "est"].sum())
+    if threshold <= total_off:
+        raise ValueError(
+            f"doc_heavy_hitters: sketch too narrow for exactness — threshold "
+            f"{threshold} <= max possible undercount {total_off}; widen k_sketch "
+            f"(currently {k_sketch}) or raise the threshold"
+        )
+    cand = sketch.loc[~off_rows & (sketch["est"] >= threshold - total_off), "token"]
+    cand_ref = ray.put(np.sort(cand.to_numpy(object)))
+
+    def exact_partial(batch: pa.Table) -> pd.DataFrame:
+        cs = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        texts = batch["text"].to_pandas()
+        toks = np.concatenate([t.split(" ") for t in texts]) if len(texts) else np.array([], object)
+        if len(toks) == 0 or len(cs) == 0:
+            return pd.DataFrame({"token": pd.Series(dtype=object), "c": pd.Series(dtype="int64")})
+        uniq, cnt = np.unique(toks.astype(object), return_counts=True)
+        pos = np.clip(np.searchsorted(cs, uniq), 0, len(cs) - 1)
+        m = cs[pos] == uniq
+        return pd.DataFrame({"token": uniq[m], "c": cnt[m].astype(np.int64)})
+
+    exact = grouped_aggregate(
+        ds.map_batches(exact_partial, batch_format="pyarrow", batch_size=4096),
+        "token",
+        {"n": ("c", "sum")},
+        num_partitions=num_partitions,
+    )
+    return exact.filter(expr=f"n >= {threshold}")
+
+
+def doc_heavy_hitters_sql(sf_dir: str, threshold: int = 300) -> str:
+    return f"""
+SELECT t.token, CAST(count(*) AS BIGINT) AS n
+FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+GROUP BY t.token
+HAVING count(*) >= {threshold}
+ORDER BY t.token"""

@@ -151,3 +151,82 @@ def test_hyperplane_lsh_recall_vs_exact(ray_session):
     assert len(ek) > 0
     assert len(ek & lk) / len(ek) >= 0.9
     assert lk <= ek  # exact verify => no false positives
+
+
+def test_ngram_dup_frac_matches_string_ngrams(ray_session):
+    """Hashed rolling n-grams must reproduce the exact string-n-gram
+    duplication profile (no collisions at test scale)."""
+    from collections import Counter
+
+    from quant_feature_pipeline_ray.pipelines.training_data import doc_ngram_dup_frac
+
+    sf = "/root/testdata/sf0.001"
+    n = 5
+    got = doc_ngram_dup_frac(sf, n=n).to_pandas().set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    per_doc = {}
+    owners = Counter()  # ngram -> #distinct docs
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        per_doc[int(r.doc_id)] = c
+        for g in c:
+            owners[g] += 1
+    for doc_id, c in per_doc.items():
+        npos = sum(c.values())
+        shared = sum(v for g, v in c.items() if owners[g] > 1)
+        row = got.loc[doc_id]
+        assert int(row["n_pos"]) == npos
+        assert int(row["n_shared_pos"]) == shared
+        assert row["dup_frac"] == shared / npos
+
+
+def test_heavy_hitters_exact_and_sketch_bounded(ray_session, tmp_path):
+    """Two-pass Misra-Gries heavy hitters must be EXACT (candidate
+    superset + exact verify) whenever the width condition
+    threshold > sum(off_b) holds, and must FAIL FAST (not silently drop
+    hitters) when the sketch is too narrow for the requested threshold."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from quant_feature_pipeline_ray.pipelines.training_data import doc_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    threshold = 40
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    truth = Counter()
+    for t in docs["text"]:
+        truth.update(t.split(" "))
+    expect = {tok: c for tok, c in truth.items() if c >= threshold}
+    got = doc_heavy_hitters(sf, threshold=threshold, k_sketch=256).to_pandas()
+    gm = dict(zip(got["token"], got["n"].astype(int)))
+    assert gm == expect
+    # the fixture vocabulary is near-uniform-heavy: a 16-counter sketch
+    # cannot certify threshold 40 — the engine must refuse, not drop rows
+    with _pytest.raises(ValueError, match="sketch too narrow"):
+        doc_heavy_hitters(sf, threshold=threshold, k_sketch=16)
+
+    # skewed corpus: few giants over a huge rare tail — the regime MG is
+    # for. Truncation fires in every batch (vocab >> k) yet off_b stays
+    # tiny, so a narrow sketch is still exact.
+    rng = np.random.default_rng(7)
+    giants = [f"giant{i}" for i in range(5)]
+    rows = []
+    for d in range(200):
+        toks = [giants[j % 5] for j in range(10)] + [
+            f"rare{rng.integers(0, 200_000)}" for _ in range(60)
+        ]
+        rows.append(" ".join(toks))
+    p = tmp_path / "skew"
+    p.mkdir()
+    pd.DataFrame({"doc_id": range(200), "text": rows}).to_parquet(p / "documents.parquet")
+    truth2 = Counter()
+    for t in rows:
+        truth2.update(t.split(" "))
+    expect2 = {tok: c for tok, c in truth2.items() if c >= 50}
+    got2 = doc_heavy_hitters(str(p), threshold=50, k_sketch=64).to_pandas()
+    gm2 = dict(zip(got2["token"], got2["n"].astype(int)))
+    assert gm2 == expect2
+    assert set(gm2) == set(f"giant{i}" for i in range(5))
