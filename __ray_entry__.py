@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q6"] = tpch.tpch_q6
     q["tpch_q14"] = tpch.tpch_q14
     q["tpch_q18"] = tpch.tpch_q18
+    q["tpch_q10"] = tpch.tpch_q10
+    q["order_priority_check"] = tpch.order_priority_check
+    q["idle_customer_balance"] = tpch.idle_customer_balance
     q["top_revenue_customers"] = tpch.top_revenue_customers
 
     # --- training-data ops (documents / embeddings)
@@ -383,6 +386,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),
         "tpch_q14": tpch.tpch_q14_sql(_SQL_SF_DIR),
         "tpch_q18": tpch.tpch_q18_sql(_SQL_SF_DIR),
+        "tpch_q10": tpch.tpch_q10_sql(_SQL_SF_DIR),
+        "order_priority_check": tpch.order_priority_check_sql(_SQL_SF_DIR),
+        "idle_customer_balance": tpch.idle_customer_balance_sql(_SQL_SF_DIR),
         "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),

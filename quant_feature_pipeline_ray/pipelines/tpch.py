@@ -727,3 +727,311 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > {qty_threshold * 100}
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT {k}"""
+
+
+def tpch_q10(
+    sf_dir: str,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    k: int = 20,
+) -> pd.DataFrame:
+    """Returned-item report (TPC-H Q10 shape): multi-filter fact-fact join
+    + grouped revenue + distributed top-k + dimension decoration.
+
+      lineitem (l_returnflag = 'R') → per-batch partial revenue per
+                 orderkey (combiner);
+      orders   (quarter filter)     → (orderkey, custkey) tagged rows;
+      union    → ONE grouped_aggregate on o_orderkey: Sum(rev) + Max(cust)
+                 resolves the join (a row qualifies iff BOTH sides landed:
+                 custkey >= 0 AND rev > 0);
+      groupby(custkey) Sum → per-block partial top-k → driver merges
+                 blocks×k rows; only the final k rows touch the broadcast
+                 customer/nation dimensions."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        m = batch["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        out = p.groupby("o_orderkey", as_index=False).sum()
+        out["o_custkey"] = np.int64(-1)
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = (odate >= lo) & (odate < hi)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "rev_e4": np.zeros(int(m.sum()), dtype=np.int64),
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False)[m],
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+    per_order = grouped_aggregate(
+        tagged,
+        "o_orderkey",
+        {"rev_e4": ("rev_e4", "sum"), "c_custkey": ("o_custkey", "max")},
+    )
+
+    def cust_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[(df["c_custkey"] >= 0) & (df["rev_e4"] > 0)]
+        return df.groupby("c_custkey", as_index=False)["rev_e4"].sum()
+
+    per_cust = grouped_aggregate(
+        per_order.map_batches(cust_partial, batch_format="pyarrow"),
+        "c_custkey",
+        {"rev_e4": ("rev_e4", "sum")},
+    )
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.sort_values(
+            ["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True
+        ).head(k)
+
+    agg = (
+        per_cust.map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True)
+        .head(k)
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    agg = agg.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    agg["revenue"] = agg["rev_e4"] / 10000.0
+    agg = agg.sort_values(
+        ["rev_e4", "c_custkey"], ascending=[False, True], ignore_index=True
+    )
+    return agg[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def tpch_q10_sql(
+    sf_dir: str,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+    k: int = 20,
+) -> str:
+    e4 = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    return f"""
+SELECT c_custkey, any_value(c_name) AS c_name,
+       CAST(SUM({e4}) AS BIGINT) / 10000.0 AS revenue,
+       any_value(c_acctbal) AS c_acctbal,
+       any_value(n_name) AS n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{date_lo}' AND o_orderdate < TIMESTAMP '{date_hi}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY SUM({e4}) DESC, c_custkey
+LIMIT {k}"""
+
+
+def order_priority_check(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-07-01"
+) -> pd.DataFrame:
+    """Order-priority EXISTS check (TPC-H Q4 shape): a fact-fact SEMI-join
+    where neither side can be broadcast.
+
+      lineitem → per-batch DISTINCT orderkeys with l_returnflag = 'R'
+                 (combiner: the exchange moves one row per (orderkey,
+                 batch), pri = '' tag);
+      orders   (date filter) → (orderkey, o_orderpriority) rows;
+      exchange on orderkey → per-partition pandas groupby: max(pri) picks
+                 the orders row's priority ('' sorts below every real
+                 value), max(has_li) proves the EXISTS; per-partition
+                 partial counts per priority;
+      driver   → sums a handful of (priority, n) rows."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def li_keys(batch: pa.Table) -> pd.DataFrame:
+        m = batch["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        keys = np.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False)[m])
+        return pd.DataFrame(
+            {
+                "o_orderkey": keys,
+                "pri": np.full(len(keys), "", dtype=object),
+                "has_li": np.ones(len(keys), dtype=np.int64),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = (odate >= lo) & (odate < hi)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "pri": batch["o_orderpriority"].to_numpy(zero_copy_only=False)[m],
+                "has_li": np.zeros(int(m.sum()), dtype=np.int64),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    tagged = li.map_batches(li_keys, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby("o_orderkey").agg(pri=("pri", "max"), has_li=("has_li", "max"))
+        hit = per_key[(per_key["has_li"] == 1) & (per_key["pri"] != "")]
+        out = hit.groupby("pri", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = partition_map_groups(tagged, semi_count, key="o_orderkey", num_buckets=32)
+    out = parts.to_pandas().groupby("pri", as_index=False)["n"].sum()
+    out = out.rename(columns={"pri": "o_orderpriority"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+def order_priority_check_sql(
+    sf_dir: str, date_lo: str = "1996-01-01", date_hi: str = "1996-07-01"
+) -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{date_lo}' AND o_orderdate < TIMESTAMP '{date_hi}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def idle_customer_balance(sf_dir: str, recent: str = "2000-06-01") -> pd.DataFrame:
+    """Global-scalar subquery + anti-join + grouped rollup (TPC-H Q22
+    shape): customers whose balance beats the positive-balance average and
+    who have no RECENT orders (>= `recent`), rolled up per nation.
+
+      pass 1 → per-batch integer-cent partial (sum, n) over positive
+               balances; two int64s per block reach the driver — the
+               threshold avg is exact and associative;
+      orders → recent-buyer custkey set broadcast (the anti-join side; a
+               Bloom filter of it at 100 TB);
+      pass 2 → filter acctbal_cents * n_pos > sum_cents (INTEGER compare —
+               no float-threshold drift) AND custkey not in orders;
+               per-batch partial (count, cents) per nationkey → tiny final
+               aggregate."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def bal_partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame(
+            {"sum_cents": [np.int64(cents[pos].sum())], "n_pos": [np.int64(pos.sum())]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow", batch_size=65536).aggregate(
+        Sum("sum_cents", alias_name="sum_cents"), Sum("n_pos", alias_name="n_pos")
+    )
+    sum_cents, n_pos = int(tot["sum_cents"]), int(tot["n_pos"])
+
+    cutoff = np.datetime64(recent, "us")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    keys = set()
+    for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        odate = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        keys.update(b["o_custkey"].to_numpy(zero_copy_only=False)[odate >= cutoff].tolist())
+    keys_ref = ray.put(np.sort(np.fromiter(keys, dtype=np.int64)))
+
+    def pick(batch: pa.Table) -> pd.DataFrame:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        cents = np.round(batch["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        rich = cents * n_pos > sum_cents
+        if len(ks):
+            pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+            rich &= ks[pos] != ck
+        p = pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"].to_numpy(zero_copy_only=False)[rich].astype(np.int64),
+                "numcust": np.ones(int(rich.sum()), dtype=np.int64),
+                "cents": cents[rich],
+            }
+        )
+        return p.groupby("c_nationkey", as_index=False).sum()
+
+    agg = (
+        cust.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if agg.empty and "cents" not in agg.columns:
+        agg = pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "cents": pd.Series(dtype="int64"),
+            }
+        )
+    agg["totacctbal"] = agg["cents"] / 100.0
+    agg["numcust"] = agg["numcust"].astype(np.int64)
+    agg["c_nationkey"] = agg["c_nationkey"].astype(np.int64)
+    return agg[["c_nationkey", "numcust", "totacctbal"]].sort_values(
+        "c_nationkey", ignore_index=True
+    )
+
+
+def idle_customer_balance_sql(sf_dir: str, recent: str = "2000-06-01") -> str:
+    return f"""
+WITH thresh AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM customer WHERE round(c_acctbal * 100) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
+FROM customer, thresh
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thresh.n_pos > thresh.sum_cents
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{recent}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey"""
