@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
     q["e_pivot"] = lambda sf: ev.events_pivot(f"{sf}/events.parquet")
     q["e_json_extract"] = lambda sf: ev.events_json_extract(f"{sf}/events.parquet")
+    q["e_lead_lag"] = lambda sf: ev.events_lead_lag(f"{sf}/events.parquet")
+    q["e_rank_topn"] = lambda sf: ev.events_rank_topn(f"{sf}/events.parquet")
+    q["e_distinct_users"] = lambda sf: ev.events_distinct_users(f"{sf}/events.parquet")
+    q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -380,6 +384,10 @@ def oracle_sql() -> dict[str, str]:
         "e_running_total": ev.events_running_total_sql(),
         "e_pivot": ev.events_pivot_sql(),
         "e_json_extract": ev.events_json_extract_sql(),
+        "e_lead_lag": ev.events_lead_lag_sql(),
+        "e_rank_topn": ev.events_rank_topn_sql(),
+        "e_distinct_users": ev.events_distinct_users_sql(),
+        "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),

@@ -388,3 +388,206 @@ SELECT event_type,
        CAST(max({k}) AS BIGINT) AS k_max
 FROM events
 GROUP BY event_type ORDER BY event_type"""
+
+
+def events_lead_lag(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Generic per-entity LAG/LEAD window functions (the reference's
+    shift-family, step5_featueres_unified.py lag/lead deltas, on a second
+    entity key): previous/next value and inter-event gap per user in
+    (ts, event_id) order.
+
+    One hash partition by user_id; inside each partition a single
+    user-major sort, then global shift with boundary masking (no per-user
+    loop). Floats are COPIED (lag/lead) or subtracted (delta) — identical
+    IEEE ops on identical doubles, so the DuckDB comparison is bitwise."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        user = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(df)
+        same_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_prev[1:] = user[1:] == user[:-1]
+        lag = np.full(n, np.nan)
+        lead = np.full(n, np.nan)
+        gap = np.full(n, np.nan)
+        if n > 1:
+            lag[1:] = np.where(same_prev[1:], val[:-1], np.nan)
+            lead[:-1] = np.where(same_prev[1:], val[1:], np.nan)
+            gap[1:] = np.where(same_prev[1:], (ts_us[1:] - ts_us[:-1]).astype(np.float64), np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": user,
+                "ts_us": ts_us,
+                "value": val,
+                "value_lag": lag,
+                "value_lead": lead,
+                "value_delta": val - lag,
+                "gap_us": gap,
+            }
+        )
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "value"])
+    return partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+
+
+def events_lead_lag_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       value,
+       LAG(value)  OVER w AS value_lag,
+       LEAD(value) OVER w AS value_lead,
+       value - LAG(value) OVER w AS value_delta,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id"""
+
+
+def events_rank_topn(path: str, n: int = 3, num_buckets: int = 32) -> ray.data.Dataset:
+    """Grouped rank + top-N filter (ROW_NUMBER() <= n shape): each user's
+    n highest-value events with their rank. Deterministic under value ties
+    via the event_id tiebreak. Per hash partition: one sort + groupby.head
+    — never a global sort; output is n·|users| rows."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        user = df["user_id"].to_numpy()
+        m = len(df)
+        idx = np.arange(m, dtype=np.int64)
+        new_user = np.empty(m, dtype=bool)
+        if m:
+            new_user[0] = True
+            np.not_equal(user[1:], user[:-1], out=new_user[1:])
+        start_idx = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rank = idx - start_idx + 1
+        keep = rank <= n
+        return pd.DataFrame(
+            {
+                "user_id": user[keep],
+                "event_id": df["event_id"].to_numpy()[keep],
+                "value": df["value"].to_numpy()[keep],
+                "rnk": rank[keep],
+            }
+        )
+
+    ds = _read_events(path, ["event_id", "user_id", "value"])
+    return partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+
+
+def events_rank_topn_sql(n: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+  FROM events)
+WHERE rnk <= {n}
+ORDER BY user_id, rnk"""
+
+
+def events_distinct_users(path: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT entity) per group at fact scale: per-batch
+    DISTINCT (event_type, user) pairs (combiner — the exchange moves one
+    row per pair per batch, not one per event), hash exchange on user_id so
+    every copy of a pair lands in ONE partition, per-partition dedup +
+    count, driver sums a handful of (type, n) partials. Raw event counts
+    ride the same exchange as per-pair partial sums."""
+    ds = _read_events(path, ["user_id", "event_type"])
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["user_id", "event_type"], as_index=False).size()
+        out["n_events"] = out.pop("size").astype(np.int64)
+        return out
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], as_index=False)["n_events"].sum()
+        out = agg.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"), n_events=("n_events", "sum")
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    parts = partition_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        per_partition,
+        key="user_id",
+        num_buckets=num_buckets,
+    )
+    out = parts.to_pandas().groupby("event_type", as_index=False)[["n_users", "n_events"]].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def events_distinct_users_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+def events_grouped_quantiles(path: str, qs: tuple[float, ...] = (0.5, 0.9)) -> pd.DataFrame:
+    """Exact per-group quantiles at fact scale via the distributed
+    value-counts histogram (stages/normalize.global_value_counts, grouped):
+    per-batch (group, value) count partials -> ONE composite-key
+    grouped_aggregate -> driver interpolates each group's
+    cardinality-bounded histogram with numpy's exact _lerp. Bitwise equal
+    to DuckDB quantile_cont (value carries 2 decimals -> bounded
+    cardinality; for unbounded floats freeze constants or accept a
+    rows-only sketch, cf. normalize.global_value_counts docstring)."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.normalize import _lerp_quantile
+
+    ds = _read_events(path, ["event_type", "value"])
+
+    def vc(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "v": batch["value"].to_numpy(),
+            }
+        )
+        out = df.groupby(["event_type", "v"], as_index=False).size()
+        out["n"] = out.pop("size").astype(np.int64)
+        return out
+
+    hist = (
+        grouped_aggregate(
+            ds.map_batches(vc, batch_format="pyarrow"),
+            ["event_type", "v"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # cardinality-bounded per group, NOT row-bounded
+        .sort_values(["event_type", "v"], ignore_index=True)
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals, counts = g["v"].to_numpy(), g["n"].to_numpy()
+        rows.append(
+            {"event_type": et, **{f"q{int(q * 100)}": _lerp_quantile(vals, counts, q) for q in qs}}
+        )
+    return pd.DataFrame(rows)
+
+
+def events_grouped_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9)) -> str:
+    cols = ", ".join(f"quantile_cont(value, {q}) AS q{int(q * 100)}" for q in qs)
+    return f"SELECT event_type, {cols} FROM events GROUP BY event_type ORDER BY event_type"
