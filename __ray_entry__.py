@@ -215,6 +215,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_momentum"] = t_momentum
 
+    def t_rolling_cov(sf, w: int = 20):
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.stages.turn_features import (
+            _conv_segments,
+            rolling_cov_corr_int,
+        )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)
+            dt_us = np.round(t["dt_secs"].to_numpy() * 1e6).astype(np.int64)
+            y = t["text_len"].to_numpy().astype(np.int64)
+            _, rn = _conv_segments(t["conv_id"].to_numpy())
+            cov_num, varx_num, vary_num, corr = rolling_cov_corr_int(dt_us, y, rn, w)
+            return pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_numpy(),
+                    "turn_idx": t["turn_idx"].to_numpy(),
+                    "cov_num": cov_num,
+                    "varx_num": varx_num,
+                    "vary_num": vary_num,
+                    "lat_tlen_corr": corr,
+                }
+            )
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_rolling_cov"] = t_rolling_cov
+
     q["t_time_windows"] = lambda sf: _turns_ds(sf).select_columns(
         ["conv_id", "turn_idx", "ts_us"]
         + [
@@ -424,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "t_winsor_quantile": _sql_winsor(),
         "t_group_normalized": _sql_group_normalized(),
         "t_momentum": _sql_momentum(),
+        "t_rolling_cov": _sql_rolling_cov(),
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),
@@ -484,6 +515,33 @@ def _sql_momentum() -> str:
     return sql_momentum(
         oracle.base_cte(_SQL_TRANSCRIPTS), period_s=300, lookback=2, anchor_offset_s=60
     )
+
+
+def _sql_rolling_cov(w: int = 20) -> str:
+    # mirrors turn_features.rolling_cov_corr_int: exact int64 numerators
+    # over the trailing ROWS frame, corr via the identical IEEE expression
+    return oracle.base_cte(_SQL_TRANSCRIPTS) + f"""
+, s AS (
+  SELECT conv_id, turn_idx,
+         CAST(count(*)                  OVER w AS BIGINT) AS n,
+         SUM(dt_us // 10000)            OVER w AS sx,
+         SUM(text_len)                  OVER w AS sy,
+         SUM((dt_us // 10000) * (dt_us // 10000)) OVER w AS sxx,
+         SUM(text_len * text_len)       OVER w AS syy,
+         SUM((dt_us // 10000) * text_len) OVER w AS sxy
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+       CAST(n * syy - sy * sy AS BIGINT) AS vary_num,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+            ELSE NULL END AS lat_tlen_corr
+FROM s ORDER BY conv_id, turn_idx"""
 
 
 def _sql_winsor() -> str:

@@ -374,3 +374,45 @@ def compute_turn_features(
         out["dow_sin"] = np.sin(2 * np.pi * (isodow - 1) / 7.0)
         out["dow_cos"] = np.cos(2 * np.pi * (isodow - 1) / 7.0)
     return out
+
+
+def rolling_cov_corr_int(
+    dt_us: np.ndarray, y: np.ndarray, rn: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Integer-exact trailing-window covariance numerators + correlation
+    between centisecond latency and an int64 companion series (W12-family
+    pair statistics; reference's rolling corr indicators live in the same
+    cumsum battery, step5_featueres_unified.py:157-196).
+
+    Emits the EXACT integer numerators
+        cov_num  = n·Σxy − Σx·Σy
+        varx_num = n·Σx² − (Σx)²      (x = dt_us // 10⁴, centiseconds)
+        vary_num = n·Σy² − (Σy)²
+    and corr = cov_num / sqrt(float(varx_num) · float(vary_num)) — every
+    float op is a correctly-rounded IEEE primitive on exactly-equal
+    integers, so a SQL window-frame oracle matches bitwise.
+
+    Exactness bound: every product the numerators touch is ≤ w²·max(x)²,
+    so require w²·max(dt_cs)² < 2^63 (a ~17-day in-conversation gap at
+    w=20) and w²·max(y)² < 2^63 — fail fast like rolling_mean_std_int."""
+    x = dt_us // 10_000
+    for name, arr in (("dt_cs", x), ("y", y)):
+        if len(arr):
+            m = int(np.abs(arr).max())
+            if w * w * m * m >= 2**63:
+                raise ValueError(
+                    f"rolling_cov_corr_int: {name} magnitude {m} exceeds the "
+                    f"int64-exact bound for w={w}; winsorize upstream"
+                )
+    sx, n_in = _windowed_sum_int(x, rn, w)
+    sy, _ = _windowed_sum_int(y, rn, w)
+    sxx, _ = _windowed_sum_int(x * x, rn, w)
+    syy, _ = _windowed_sum_int(y * y, rn, w)
+    sxy, _ = _windowed_sum_int(x * y, rn, w)
+    cov_num = n_in * sxy - sx * sy
+    varx_num = n_in * sxx - sx * sx
+    vary_num = n_in * syy - sy * sy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov_num / np.sqrt(varx_num.astype(np.float64) * vary_num.astype(np.float64))
+    corr = np.where((n_in >= 2) & (varx_num > 0) & (vary_num > 0), corr, np.nan)
+    return cov_num, varx_num, vary_num, corr

@@ -61,3 +61,46 @@ def test_lag_and_lead(engine_and_oracle):
     assert np.allclose(lag1[1:], dt[:-1])
     assert np.allclose(lead1[:-1], dt[1:])
     assert lead1[-1] == 0.0
+
+
+def test_rolling_cov_corr_int_matches_loop():
+    """rolling_cov_corr_int vs an O(N·w) straight-line loop, exact ints."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.turn_features import (
+        _conv_segments,
+        rolling_cov_corr_int,
+    )
+
+    rng = np.random.default_rng(11)
+    conv = np.sort(rng.integers(0, 7, 400))
+    dt_us = rng.integers(0, 500_000_000, 400)  # up to 500 s
+    y = rng.integers(0, 3000, 400)
+    _, rn = _conv_segments(conv)
+    w = 9
+    cov_num, varx_num, vary_num, corr = rolling_cov_corr_int(dt_us, y, rn, w)
+    x = dt_us // 10_000
+    for i in range(len(conv)):
+        s = i - min(rn[i] + 1, w) + 1
+        xs, ys = x[s : i + 1].astype(object), y[s : i + 1].astype(object)
+        n = len(xs)
+        cn = n * sum(xs * ys) - sum(xs) * sum(ys)
+        vx = n * sum(xs * xs) - sum(xs) ** 2
+        vy = n * sum(ys * ys) - sum(ys) ** 2
+        assert cov_num[i] == cn and varx_num[i] == vx and vary_num[i] == vy
+        if n >= 2 and vx > 0 and vy > 0:
+            assert corr[i] == cn / np.sqrt(np.float64(vx) * np.float64(vy))
+        else:
+            assert np.isnan(corr[i])
+
+
+def test_rolling_cov_corr_int_overflow_guard():
+    import numpy as np
+    import pytest
+
+    from quant_feature_pipeline_ray.stages.turn_features import rolling_cov_corr_int
+
+    huge = np.array([0, 2**52], dtype=np.int64)  # dt_cs ~ 2^38.7; w²m² > 2^63
+    rn = np.array([0, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="int64-exact bound"):
+        rolling_cov_corr_int(huge, np.array([1, 1], dtype=np.int64), rn, 20)
