@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_id"] = td.doc_lang_id
     q["doc_exact_dedup"] = td.doc_exact_dedup
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
+    q["doc_dup_clusters"] = td.doc_dup_clusters
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     q["doc_simhash"] = td.doc_simhash
     q["doc_fingerprint"] = td.doc_fingerprint
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
+        "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),

@@ -1817,3 +1817,182 @@ FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
 GROUP BY t.token
 HAVING count(*) >= {threshold}
 ORDER BY t.token"""
+
+
+# ------------------------------------------------- near-dup cluster assembly
+
+
+def doc_dup_clusters(
+    sf_dir: str, threshold: float = 0.82, max_passes: int = 24
+) -> pd.DataFrame:
+    """Connected components over the near-dup pair graph: every document is
+    assigned cluster_id = min doc_id of its similarity component (singletons
+    map to themselves). This is the pairs->clusters step real dedup needs:
+    keep one representative per CLUSTER, not per pair (a-b and b-c dup pairs
+    must collapse a, b, c even though a-c never verified).
+
+    Algorithm: the alternating large-star / small-star CC of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC'14) — the published
+    shuffle-efficient CC for exactly this dedup-graph workload. Each pass is
+    ONE hash exchange over the (node, parent) edge list:
+
+        replicate each edge to both endpoints' hash partitions ->
+        per-partition vectorized grouped min m(u) = min(neighbors(u), u) ->
+          large-star pass: emit (v, m(u)) for neighbors v > u
+          small-star pass: emit (v, m(u)) for neighbors v < u, plus (u, m(u))
+
+    Both emissions keep parent < node, so edges stay canonically oriented;
+    the multiset converges to per-component stars rooted at the component
+    min in O(log^2 n) passes (2-4 for clique-like dup components).
+    Convergence is detected from an order-free potential (edge count +
+    endpoint sums + a mixed hash) computed as per-block partial sums — the
+    driver only ever sees that 4-tuple per pass plus the final
+    (doc_id, cluster_id) table the caller asked for. Edge tables are
+    materialized per pass and stay linear in the number of verified pairs."""
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    n_parts = max(8, cluster_cpus())
+
+    def _star_bucket(arr: np.ndarray) -> np.ndarray:
+        mixed = (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+    pairs = lsh_verified_pairs(sf_dir, threshold=threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        c = b["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.maximum(a, c)),
+                "parent": pa.array(np.minimum(a, c)),
+            }
+        )
+
+    edges = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        # a symmetric incidence (u,v)+(v,u) must reach BOTH endpoints'
+        # partitions: replicate each canonical edge to pk(node) and pk(parent)
+        n = b["node"].to_numpy()
+        p = b["parent"].to_numpy()
+        pk = np.concatenate([_star_bucket(n), _star_bucket(p)]).astype(np.int32)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([n, n])),
+                "parent": pa.array(np.concatenate([p, p])),
+                "_pk": pa.array(pk),
+            }
+        )
+
+    def _empty_edges() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "parent": pd.Series(dtype="int64")}
+        )
+
+    def star_pass(large: bool):
+        def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return _empty_edges()
+            my_pk = int(g["_pk"].iloc[0])
+            u = np.concatenate([g["node"].to_numpy(), g["parent"].to_numpy()])
+            v = np.concatenate([g["parent"].to_numpy(), g["node"].to_numpy()])
+            df = pd.DataFrame({"u": u, "v": v})
+            df = df[_star_bucket(df["u"].to_numpy()) == my_pk]
+            if df.empty:
+                return _empty_edges()
+            df = df.drop_duplicates(ignore_index=True)
+            m = df.groupby("u")["v"].transform("min")
+            m = np.minimum(m.to_numpy(), df["u"].to_numpy())
+            uu = df["u"].to_numpy()
+            vv = df["v"].to_numpy()
+            if large:
+                sel = vv > uu
+                out_node, out_parent = vv[sel], m[sel]
+            else:
+                sel = vv < uu
+                _, first_idx = np.unique(uu, return_index=True)
+                out_node = np.concatenate([vv[sel], uu[first_idx]])
+                out_parent = np.concatenate([m[sel], m[first_idx]])
+            ok = out_node != out_parent
+            out = pd.DataFrame({"node": out_node[ok], "parent": out_parent[ok]})
+            return out.drop_duplicates(ignore_index=True)
+
+        return per_partition
+
+    def potential(ds) -> tuple:
+        def part(b: pa.Table) -> pd.DataFrame:
+            n = b["node"].to_numpy().astype(np.uint64)
+            p = b["parent"].to_numpy().astype(np.uint64)
+            mix = (n * np.uint64(0x9E3779B97F4A7C15)) ^ (p * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pd.DataFrame(
+                {
+                    "n": [np.int64(len(n))],
+                    "su": [np.int64(n.sum(dtype=np.uint64).astype(np.int64))],
+                    "sv": [np.int64(p.sum(dtype=np.uint64).astype(np.int64))],
+                    "h": [np.int64(mix.sum(dtype=np.uint64).astype(np.int64))],
+                }
+            )
+
+        t = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        return tuple(int(t[c].sum()) for c in ("n", "su", "sv", "h"))
+
+    hist: list[tuple] = [potential(edges)]
+    for i in range(max_passes):
+        fn = star_pass(large=(i % 2 == 0))
+        edges = (
+            edges.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(fn, batch_format="pandas")
+            .materialize()
+        )
+        hist.append(potential(edges))
+        # stable through one large AND one small pass => star fixpoint
+        if len(hist) >= 3 and hist[-1] == hist[-2] == hist[-3]:
+            break
+    else:
+        raise RuntimeError(f"doc_dup_clusters: no convergence in {max_passes} passes")
+
+    # final: all docs union star edges, singletons -> self
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doc_tagged = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"], "parent": b["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    final = grouped_aggregate(
+        edges.union(doc_tagged),
+        "node",
+        {"cluster_id": ("parent", "min")},
+        num_partitions=n_parts,
+    )
+    out = final.to_pandas().rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id", ignore_index=True)[["doc_id", "cluster_id"]]
+
+
+def doc_dup_clusters_sql(sf_dir: str, threshold: float = 0.82) -> str:
+    # transitive closure by recursive min-label BFS: the component-min node m
+    # reaches every member along paths of members > m, so min(label) per node
+    # is the component min; UNION (distinct) bounds the recursion.
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {threshold}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN sym e ON e.a = cc.node WHERE cc.label < e.b
+),
+m AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN m ON d.doc_id = m.node
+ORDER BY d.doc_id"""

@@ -230,3 +230,37 @@ def test_heavy_hitters_exact_and_sketch_bounded(ray_session, tmp_path):
     gm2 = dict(zip(got2["token"], got2["n"].astype(int)))
     assert gm2 == expect2
     assert set(gm2) == set(f"giant{i}" for i in range(5))
+
+
+def test_dup_clusters_match_union_find(ray_session):
+    """doc_dup_clusters (alternating large/small-star CC) must equal a
+    driver-side union-find over the same verified pair set: cluster_id is
+    the min doc_id of each similarity component; singletons map to self."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        doc_dup_clusters,
+        doc_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = doc_dup_clusters(sf)
+    pairs = doc_jaccard_pairs(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+
+    parent = {int(d): int(d) for d in docs["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    want = {d: find(d) for d in parent}
+    got_map = dict(zip(got["doc_id"].astype(int), got["cluster_id"].astype(int)))
+    assert got_map == want
+    # every cluster id is its own representative
+    assert all(got_map[c] == c for c in set(got_map.values()))
