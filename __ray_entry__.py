@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
     q["emb_hyperplane_lsh"] = td.emb_hyperplane_lsh
     q["emb_label_centroids"] = td.emb_label_centroids
+    q["emb_covariance"] = td.emb_covariance
+    q["emb_pca_project"] = td.emb_pca_project
+    q["emb_kmeans"] = td.emb_kmeans
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm
@@ -452,6 +455,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
+        "emb_covariance": td.emb_covariance_sql(_SQL_SF_DIR),
+        # emb_pca_project / emb_kmeans: eigensolver / float-mean iteration not
+        # SQL-expressible → rows-only (straight-line numpy parity pytests)
         "t_governed": _sql_governed(),
         "t_winsor_quantile": _sql_winsor(),
         "t_group_normalized": _sql_group_normalized(),

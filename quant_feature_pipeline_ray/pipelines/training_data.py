@@ -1996,3 +1996,227 @@ m AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
 SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN m ON d.doc_id = m.node
 ORDER BY d.doc_id"""
+
+
+# -------------------------------------------- embedding matrix analytics
+
+
+def emb_covariance(sf_dir: str, quant: int = 1000) -> pd.DataFrame:
+    """Distributed covariance matrix of the embedding columns (upper
+    triangle, long format). The vectors are quantized to integer
+    milli-units q = floor(x * quant) so every partial sum is an exact
+    int64 and the result is bitwise order-independent (the repo's
+    integer-sum oracle discipline; floor not round — numpy rounds
+    half-to-even, SQL half-away).
+
+    Scale pattern (the W12-family "global second moment" shape): each batch
+    emits ONE d x d int64 Gram partial as long (i, j, sqq) rows — d(d+1)/2
+    rows per batch regardless of batch height — plus per-dim sums and a
+    count; grouped_aggregate reduces them in one small exchange. The driver
+    only sees the final d(d+1)/2-row table. cov = (n*Sij - Si*Sj) / (n^2
+    * quant^2), i.e. the population covariance, as the identical IEEE
+    expression in engine and oracle."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.floor(mat * quant).astype(np.int64)
+        d = q.shape[1]
+        gram = q.T @ q  # exact int64
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "dim_i": np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64),
+                "dim_j": np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64),
+                "s": np.concatenate(
+                    [gram[iu, ju], q.sum(axis=0), [len(q)]]
+                ).astype(np.int64),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["dim_i", "dim_j"],
+        {"s": ("s", "sum")},
+    ).to_pandas()  # d(d+1)/2 + d + 1 rows — driver-bounded
+
+    n = int(agg.loc[(agg["dim_i"] == -1) & (agg["dim_j"] == -1), "s"].iloc[0])
+    sums = (
+        agg[(agg["dim_j"] == -1) & (agg["dim_i"] >= 0)]
+        .set_index("dim_i")["s"]
+        .sort_index()
+    )
+    pairs = agg[(agg["dim_i"] >= 0) & (agg["dim_j"] >= 0)].copy()
+    si = sums.reindex(pairs["dim_i"].to_numpy()).to_numpy(np.int64)
+    sj = sums.reindex(pairs["dim_j"].to_numpy()).to_numpy(np.int64)
+    pairs["cov_num"] = n * pairs["s"].to_numpy(np.int64) - si * sj
+    pairs["cov"] = pairs["cov_num"] / (float(n) * n * quant * quant)
+    out = pairs[["dim_i", "dim_j", "cov_num", "cov"]].astype(
+        {"dim_i": "int64", "dim_j": "int64", "cov_num": "int64"}
+    )
+    return out.sort_values(["dim_i", "dim_j"], ignore_index=True)
+
+
+def emb_covariance_sql(sf_dir: str, quant: int = 1000, d: int = 64) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, i.i AS i,
+         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * {quant}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range({d})) AS i) i
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+m AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
+g AS (
+  SELECT a.i AS dim_i, b.i AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sqq
+  FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT g.dim_i, g.dim_j,
+       CAST(n.n * g.sqq - ma.s * mb.s AS BIGINT) AS cov_num,
+       CAST(n.n * g.sqq - ma.s * mb.s AS DOUBLE)
+         / (CAST(n.n AS DOUBLE) * n.n * {quant} * {quant}) AS cov
+FROM g, n
+JOIN m ma ON ma.i = g.dim_i
+JOIN m mb ON mb.i = g.dim_j
+ORDER BY g.dim_i, g.dim_j"""
+
+
+def emb_pca_project(sf_dir: str, n_components: int = 2, quant: int = 1000) -> pd.DataFrame:
+    """PCA projection of every embedding onto the top principal components.
+
+    Two-pass: (1) the distributed integer-exact covariance above; (2) a
+    d x d eigendecomposition on the DRIVER (d is tiny and fixed — this is
+    the classic tall-skinny PCA split) and a stateless distributed
+    projection pass with the component matrix broadcast via ray.put.
+    Sign convention: each component's largest-|loading| coordinate is made
+    positive so the output is reproducible across eigensolvers.
+    Approximate only in float (eigh) — rows-only + pytest parity vs a
+    straight-line numpy PCA."""
+    cov_long = emb_covariance(sf_dir, quant=quant)
+    d = int(cov_long["dim_i"].max()) + 1
+    C = np.zeros((d, d))
+    C[cov_long["dim_i"], cov_long["dim_j"]] = cov_long["cov"]
+    C[cov_long["dim_j"], cov_long["dim_i"]] = cov_long["cov"]
+    w, v = np.linalg.eigh(C)
+    comp = v[:, np.argsort(w)[::-1][:n_components]]  # d x p
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(n_components)])
+    comp = comp * np.where(flip == 0, 1.0, flip)[None, :]
+    cref = ray.put(comp)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        proj = mat @ c
+        out = {"vec_id": batch["vec_id"].to_numpy()}
+        for p in range(c.shape[1]):
+            out[f"pc{p + 1}"] = np.round(proj[:, p], 6)
+        return pd.DataFrame(out)
+
+    res = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return res.sort_values("vec_id", ignore_index=True)
+
+
+def emb_kmeans(
+    sf_dir: str, k: int = 8, n_iters: int = 5, quant: int = 1000
+) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, end-to-end on
+    the cluster:
+
+      init      = the k smallest vec_ids' vectors (deterministic; fetched
+                  via a per-batch partial top-k, k rows per batch)
+      assign    = stateless map_batches: one matmul per batch against the
+                  BROADCAST centroid matrix (ray.put)
+      update    = per-batch partial per-cluster sums in long (cluster, dim)
+                  format -> grouped_aggregate -> k*(d+1) rows to the driver
+      repeat    n_iters times (fixed, deterministic)
+
+    Only centroids (k x d) and the long partial table ever reach the
+    driver; assignments stay distributed until the caller collects them.
+    Rows-only in the driver contract (float sums are order-dependent);
+    tests/test_training_data.py pins assignments + centroids against a
+    straight-line numpy Lloyd from the same init."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def init_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "embedding": batch["embedding"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.nsmallest(k, "vec_id")
+
+    seed = (
+        ds.map_batches(init_partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id")
+    )
+    centroids = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def update_partial(batch: pa.Table, _cref=cref) -> pd.DataFrame:
+            c = ray.get(_cref) if isinstance(_cref, ray.ObjectRef) else _cref
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            d2 = (
+                np.einsum("ij,ij->i", mat, mat)[:, None]
+                - 2.0 * mat @ c.T
+                + np.einsum("ij,ij->i", c, c)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            kk, dd = c.shape
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kk)
+            return pd.DataFrame(
+                {
+                    "cluster": np.repeat(np.arange(kk, dtype=np.int64), dd + 1),
+                    "dim": np.tile(np.arange(-1, dd, dtype=np.int64), kk),
+                    "s": np.concatenate(
+                        [np.concatenate([[counts[c_]], sums[c_]]) for c_ in range(kk)]
+                    ),
+                }
+            )
+
+        agg = grouped_aggregate(
+            ds.map_batches(update_partial, batch_format="pyarrow", batch_size=4096),
+            ["cluster", "dim"],
+            {"s": ("s", "sum")},
+        ).to_pandas()
+        counts = (
+            agg[agg["dim"] == -1].set_index("cluster")["s"].sort_index().to_numpy()
+        )
+        wide = agg[agg["dim"] >= 0].pivot(index="cluster", columns="dim", values="s").sort_index()
+        new_c = centroids.copy()
+        nz = counts > 0
+        new_c[nz] = wide.to_numpy()[nz] / counts[nz, None]
+        centroids = new_c
+
+    cref = ray.put(centroids)
+
+    def final_assign(batch: pa.Table, _cref=cref) -> pd.DataFrame:
+        c = ray.get(_cref) if isinstance(_cref, ray.ObjectRef) else _cref
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d2 = (
+            np.einsum("ij,ij->i", mat, mat)[:, None]
+            - 2.0 * mat @ c.T
+            + np.einsum("ij,ij->i", c, c)[None, :]
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "cluster": d2.argmin(axis=1).astype(np.int64),
+                "dist2": np.round(d2.min(axis=1), 6),
+            }
+        )
+
+    out = ds.map_batches(final_assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)

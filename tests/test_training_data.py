@@ -264,3 +264,51 @@ def test_dup_clusters_match_union_find(ray_session):
     assert got_map == want
     # every cluster id is its own representative
     assert all(got_map[c] == c for c in set(got_map.values()))
+
+
+def test_emb_kmeans_matches_straightline_lloyd(ray_session):
+    """Distributed Lloyd (broadcast centroids + grouped centroid update)
+    must reproduce a straight-line numpy Lloyd from the same deterministic
+    init: identical assignments, allclose distances."""
+    from quant_feature_pipeline_ray.pipelines.training_data import emb_kmeans
+
+    sf = "/root/testdata/sf0.01"
+    km = emb_kmeans(sf, k=8, n_iters=5)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = mat[:8].copy()
+    for _ in range(5):
+        d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ C.T + (C * C).sum(1)[None, :]
+        a = d2.argmin(1)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                C[c] = mat[m].mean(0)
+    d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ C.T + (C * C).sum(1)[None, :]
+    got = km.sort_values("vec_id")
+    assert (got["cluster"].to_numpy() == d2.argmin(1)).all()
+    assert np.allclose(got["dist2"].to_numpy(), np.round(d2.min(1), 6), atol=2e-6)
+    # every cluster non-empty on this corpus
+    assert got["cluster"].nunique() == 8
+
+
+def test_emb_pca_matches_straightline(ray_session):
+    """Distributed-covariance PCA == straight-line numpy PCA over the
+    quantized matrix (same floor-quantization, same sign convention)."""
+    from quant_feature_pipeline_ray.pipelines.training_data import emb_pca_project
+
+    sf = "/root/testdata/sf0.01"
+    pca = emb_pca_project(sf, n_components=2).sort_values("vec_id")
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1000) / 1000.0
+    C = np.cov(q.T, bias=True)
+    w, v = np.linalg.eigh(C)
+    comp = v[:, np.argsort(w)[::-1][:2]]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(2)])
+    comp = comp * flip[None, :]
+    ref = mat @ comp
+    got = pca[["pc1", "pc2"]].to_numpy()
+    assert np.allclose(got, np.round(ref, 6), atol=2e-6)
+    # projections onto the top component carry more variance than the second
+    assert got[:, 0].var() > got[:, 1].var()
