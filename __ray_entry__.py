@@ -245,6 +245,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_rolling_cov"] = t_rolling_cov
 
+    def t_rolling_median(sf, w: int = 20):
+        # holistic (order-statistic) rolling window — median/p90 of the
+        # inter-turn latency over the trailing w turns; pandas rolling
+        # quantile (linear interpolation) == DuckDB windowed quantile_cont
+        # bitwise on exactly-representable integer µs
+        import numpy as np
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)
+            df = pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_numpy(),
+                    "turn_idx": t["turn_idx"].to_numpy(),
+                    "dt_us": np.round(t["dt_secs"].to_numpy() * 1e6).astype(np.int64),
+                }
+            )
+            r = df.groupby("conv_id", sort=False)["dt_us"].rolling(w, min_periods=1)
+            df["lat_median_w"] = r.median().to_numpy()
+            # linear-interpolation p90 of integer µs is a true 1-decimal
+            # value; round(,4) absorbs the last-ulp difference between
+            # lo+f*(hi-lo) (pandas) and DuckDB's interpolation expression
+            df["lat_p90_w"] = np.round(
+                r.quantile(0.9, interpolation="linear").to_numpy(), 4
+            )
+            return df
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_rolling_median"] = t_rolling_median
+
     q["t_time_windows"] = lambda sf: _turns_ds(sf).select_columns(
         ["conv_id", "turn_idx", "ts_us"]
         + [
@@ -360,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["order_priority_check"] = tpch.order_priority_check
     q["idle_customer_balance"] = tpch.idle_customer_balance
     q["top_revenue_customers"] = tpch.top_revenue_customers
+    q["order_count_distribution"] = tpch.order_count_distribution
+    q["small_qty_revenue"] = tpch.small_qty_revenue
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -380,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
+    q["doc_lm_stats"] = td.doc_lm_stats
     q["doc_distinct_tokens_hll"] = td.doc_distinct_tokens_hll
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
@@ -432,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": tpch.order_priority_check_sql(_SQL_SF_DIR),
         "idle_customer_balance": tpch.idle_customer_balance_sql(_SQL_SF_DIR),
         "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
+        "order_count_distribution": tpch.order_count_distribution_sql(_SQL_SF_DIR),
+        "small_qty_revenue": tpch.small_qty_revenue_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
@@ -450,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),
         "doc_tfidf_topk": td.doc_tfidf_topk_sql(_SQL_SF_DIR),
+        "doc_lm_stats": td.doc_lm_stats_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
@@ -463,6 +500,15 @@ def oracle_sql() -> dict[str, str]:
         "t_group_normalized": _sql_group_normalized(),
         "t_momentum": _sql_momentum(),
         "t_rolling_cov": _sql_rolling_cov(),
+        "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
+        + """
+SELECT conv_id, turn_idx, dt_us,
+       median(dt_us)                      OVER w AS lat_median_w,
+       round(quantile_cont(dt_us, 0.9) OVER w, 4) AS lat_p90_w
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY conv_id, turn_idx""",
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1035,3 +1036,131 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thresh.n_pos > thresh.sum_cents
                         WHERE o_orderdate >= TIMESTAMP '{recent}')
 GROUP BY c_nationkey
 ORDER BY c_nationkey"""
+
+
+def order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers (the left-join-then-histogram pattern).
+
+    Plan: tagged union of customer keys (n=0) and order rows (n=1) —
+    both sides shuffle ONCE on custkey through grouped_aggregate (sum
+    resolves the left join: a customer with no order rows keeps 0) —
+    then the tiny n_orders histogram reduces in a second exchange whose
+    key space is the max order count (~tens), not the customer count."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    cust_tagged = cust.map_batches(
+        lambda b: pa.table(
+            {"custkey": b["c_custkey"], "n": pa.array(np.zeros(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    order_tagged = orders.map_batches(
+        lambda b: pa.table(
+            {"custkey": b["o_custkey"], "n": pa.array(np.ones(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = grouped_aggregate(
+        cust_tagged.union(order_tagged), "custkey", {"n_orders": ("n", "sum")}
+    )
+    hist = grouped_aggregate(per_cust, "n_orders", {"n_customers": ("n_orders", "size")})
+    out = hist.to_pandas().astype({"n_orders": "int64", "n_customers": "int64"})
+    return out.sort_values("n_orders", ignore_index=True)
+
+
+def order_count_distribution_sql(sf_dir: str) -> str:
+    return """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+) GROUP BY n_orders ORDER BY n_orders"""
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of their part's average quantity — the correlated-aggregate-then-filter
+    pattern, resolved with ONE shuffle on l_partkey.
+
+    Per hash partition (which holds ALL lineitems of its parts plus the
+    part dimension rows routed there by the tagged union): compute each
+    part's (count, integer qty sum) over all its lineitems, apply the
+    exact integer predicate 5 * n * qty_c < sum_qty_c (equivalent to
+    qty < 0.2 * avg since avg = sum/(100n) in cents), restrict to the
+    brand's parts, and emit one partial revenue sum; the driver adds the
+    per-partition partials. avg_yearly = sum_cents / 700.0, the identical
+    IEEE division in the oracle."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+
+    li_tagged = li.map_batches(
+        lambda b: pa.table(
+            {
+                "partkey": b["l_partkey"],
+                "qty_c": pa.array(
+                    np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+                ),
+                "price_c": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+                ),
+                "is_part": pa.array(np.zeros(len(b), bool)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part_tagged = part.map_batches(
+        lambda b, _brand=brand: pa.table(
+            {
+                "partkey": b["p_partkey"],
+                "qty_c": pa.array(np.zeros(len(b), np.int64)),
+                "price_c": pa.array(np.zeros(len(b), np.int64)),
+                "is_part": pa.array(
+                    pc.equal(b["p_brand"], _brand).to_numpy(zero_copy_only=False)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        li_rows = g[~g["is_part"]]
+        brand_parts = set(g.loc[g["is_part"], "partkey"].to_numpy())
+        stats = li_rows.groupby("partkey").agg(n=("qty_c", "size"), sq=("qty_c", "sum"))
+        cand = li_rows[li_rows["partkey"].isin(brand_parts)]
+        if cand.empty:
+            return pd.DataFrame({"rev_c": pd.Series([0], dtype="int64")})
+        st = stats.reindex(cand["partkey"].to_numpy())
+        keep = 5 * st["n"].to_numpy(np.int64) * cand["qty_c"].to_numpy() < st["sq"].to_numpy(
+            np.int64
+        )
+        return pd.DataFrame(
+            {"rev_c": pd.Series([int(cand.loc[keep, "price_c"].sum())], dtype="int64")}
+        )
+
+    partials = partition_map_groups(
+        li_tagged.union(part_tagged), partial, key="partkey", num_buckets=32
+    ).to_pandas()
+    return pd.DataFrame({"avg_yearly": [int(partials["rev_c"].sum()) / 700.0]})
+
+
+def small_qty_revenue_sql(sf_dir: str, brand: str = "Brand#23") -> str:
+    return f"""
+WITH stats AS (
+  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) / 700.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{brand}'
+JOIN stats s ON s.pk = l.l_partkey
+WHERE 5 * s.n * CAST(round(l.l_quantity * 100) AS BIGINT) < s.sq"""

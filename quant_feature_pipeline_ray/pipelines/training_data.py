@@ -2220,3 +2220,81 @@ def emb_kmeans(
 
     out = ds.map_batches(final_assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id", ignore_index=True)
+
+
+def doc_lm_stats(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-frequency language-model statistics per document — the
+    "train a corpus model, then score every doc against it" two-pass shape
+    (unigram LM flavour) used for rarity/quality curation signals:
+
+        n_tokens   token count (with multiplicity)
+        freq_sum   sum of each token's GLOBAL corpus count
+        freq_min   rarest token's corpus count (1 => contains a hapax)
+        hapax      number of token positions whose token is a corpus hapax
+        avg_freq   freq_sum / n_tokens
+
+    Pass 1 is the doc_vocab dataflow (per-batch tf combiner -> one token-key
+    exchange); the vocabulary-bounded count table is broadcast once via
+    ray.put (swap for a token-key shuffle join if the vocabulary outgrows
+    worker heap). Pass 2 is stateless: tokenize, look up, aggregate per doc
+    inside the batch — docs never span batches, so no second shuffle. All
+    outputs are integer sums (exact DuckDB oracle); avg_freq is the same
+    IEEE division both sides."""
+    counts = doc_vocab(sf_dir, min_count=1).to_pandas()
+    cnt_ref = ray.put(dict(zip(counts["token"], counts["tf"].astype(np.int64))))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Score:
+        def __init__(self, ref):
+            self.cnt = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            split = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            keep = pc.not_equal(flat, "")
+            pairs = pd.DataFrame(
+                {
+                    "d": parent.filter(keep).to_pandas(),
+                    "c": flat.filter(keep).to_pandas().map(self.cnt).astype(np.int64),
+                }
+            )
+            g = pairs.groupby("d", as_index=False).agg(
+                n_tokens=("c", "size"),
+                freq_sum=("c", "sum"),
+                freq_min=("c", "min"),
+                hapax=("c", lambda s: int((s == 1).sum())),
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[g["d"].to_numpy()],
+                    "n_tokens": g["n_tokens"].astype(np.int64),
+                    "freq_sum": g["freq_sum"].astype(np.int64),
+                    "freq_min": g["freq_min"].astype(np.int64),
+                    "hapax": g["hapax"].astype(np.int64),
+                }
+            )
+            out["avg_freq"] = out["freq_sum"] / (out["n_tokens"] * 1.0)
+            return out
+
+    return ds.map_batches(Score, fn_constructor_args=(cnt_ref,), batch_format="pyarrow", concurrency=2)
+
+
+def doc_lm_stats_sql(sf_dir: str) -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, t.token FROM documents, UNNEST(string_split(text, ' ')) t(token)
+  WHERE t.token <> ''
+),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt.c) AS BIGINT) AS freq_sum,
+       MIN(cnt.c) AS freq_min,
+       CAST(SUM(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(cnt.c) AS BIGINT) / (count(*) * 1.0) AS avg_freq
+FROM tok JOIN cnt USING (token)
+GROUP BY tok.doc_id ORDER BY tok.doc_id"""
