@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_rank_topn"] = lambda sf: ev.events_rank_topn(f"{sf}/events.parquet")
     q["e_distinct_users"] = lambda sf: ev.events_distinct_users(f"{sf}/events.parquet")
     q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
+    q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_revenue_customers"] = tpch.top_revenue_customers
     q["order_count_distribution"] = tpch.order_count_distribution
     q["small_qty_revenue"] = tpch.small_qty_revenue
+    q["urgent_lineitem_revenue"] = tpch.urgent_lineitem_revenue
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -456,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "e_rank_topn": ev.events_rank_topn_sql(),
         "e_distinct_users": ev.events_distinct_users_sql(),
         "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
+        "e_funnel": ev.events_funnel_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -468,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_customers": tpch.top_revenue_customers_sql(_SQL_SF_DIR),
         "order_count_distribution": tpch.order_count_distribution_sql(_SQL_SF_DIR),
         "small_qty_revenue": tpch.small_qty_revenue_sql(_SQL_SF_DIR),
+        "urgent_lineitem_revenue": tpch.urgent_lineitem_revenue_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),

@@ -49,3 +49,47 @@ def hll_estimate(reg: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ----------------------------------------------------------- Bloom filter
+
+BLOOM_BITS_DEFAULT = 1 << 17  # 16 KiB per partial; ~1% fp at ~13k keys, k=7
+BLOOM_K_DEFAULT = 7
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing h1 + i*h2 (Kirsch &
+    Mitzenmacher 2006 — two 64-bit mixes give k independent-enough probes)."""
+    h = keys.astype(np.uint64, copy=False)
+    h1 = h * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(29)
+    h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)
+    h2 |= np.uint64(1)  # odd stride
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_partial(
+    keys: np.ndarray, m_bits: int = BLOOM_BITS_DEFAULT, k: int = BLOOM_K_DEFAULT
+) -> np.ndarray:
+    """One batch's Bloom bitmap (uint8, m_bits/8 bytes). Partials merge by
+    bitwise OR — associative/commutative/idempotent, so they reduce like
+    every other mergeable partial in this repo (HLL max, integer sums)."""
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    if len(keys):
+        pos = _bloom_positions(keys, m_bits, k).reshape(-1)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(
+    bits: np.ndarray, keys: np.ndarray, k: int = BLOOM_K_DEFAULT
+) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (no false
+    negatives), False = definitely absent."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    m_bits = len(bits) << 3
+    pos = _bloom_positions(keys, m_bits, k)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)

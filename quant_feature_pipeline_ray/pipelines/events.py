@@ -591,3 +591,66 @@ def events_grouped_quantiles(path: str, qs: tuple[float, ...] = (0.5, 0.9)) -> p
 def events_grouped_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9)) -> str:
     cols = ", ".join(f"quantile_cont(value, {q}) AS q{int(q * 100)}" for q in qs)
     return f"SELECT event_type, {cols} FROM events GROUP BY event_type ORDER BY event_type"
+
+
+def events_funnel(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Ordered conversion funnel per user: first 'view', then the first
+    'click' strictly after it, then the first 'purchase' strictly after
+    that — the sequential-pattern shape (stage timestamps must respect
+    event order, not just existence).
+
+    One hash exchange on user_id; inside each partition the three stages
+    resolve as vectorized grouped mins + filtered joins (no per-user Python
+    loop). NULL stage timestamps stay NULL; stage = how deep the user got."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ds = _read_events(path, ["user_id", "event_type", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        t1 = g[g["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        clicks = g[g["event_type"] == "click"].copy()
+        clicks["t1"] = clicks["user_id"].map(t1)
+        t2 = clicks[clicks["ts_us"] > clicks["t1"]].groupby("user_id")["ts_us"].min()
+        purch = g[g["event_type"] == "purchase"].copy()
+        purch["t2"] = purch["user_id"].map(t2)
+        t3 = purch[purch["ts_us"] > purch["t2"]].groupby("user_id")["ts_us"].min()
+        users = np.sort(g["user_id"].unique())
+        out = pd.DataFrame({"user_id": users})
+        out["t_view_us"] = out["user_id"].map(t1)
+        out["t_click_us"] = out["user_id"].map(t2)
+        out["t_purchase_us"] = out["user_id"].map(t3)
+        out["stage"] = (
+            out["t_view_us"].notna().astype("int64")
+            + out["t_click_us"].notna().astype("int64")
+            + out["t_purchase_us"].notna().astype("int64")
+        )
+        return out[["user_id", "stage", "t_view_us", "t_click_us", "t_purchase_us"]]
+
+    return partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+
+
+def events_funnel_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN v ON v.user_id = e.user_id AND e.ts_us > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM e JOIN c ON c.user_id = e.user_id AND e.ts_us > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST((v.t1 IS NOT NULL)::INT + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT AS BIGINT) AS stage,
+       v.t1 AS t_view_us, c.t2 AS t_click_us, p.t3 AS t_purchase_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+ORDER BY u.user_id"""

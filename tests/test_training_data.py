@@ -312,3 +312,25 @@ def test_emb_pca_matches_straightline(ray_session):
     assert np.allclose(got, np.round(ref, 6), atol=2e-6)
     # projections onto the top component carry more variance than the second
     assert got[:, 0].var() > got[:, 1].var()
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near the design point;
+    partial OR-merge equals the single-shot build."""
+    from quant_feature_pipeline_ray.functions.sketches import (
+        bloom_contains,
+        bloom_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(np.arange(1_000_000, dtype=np.uint64), 13_000, replace=False)
+    non_members = np.setdiff1d(
+        rng.integers(1_000_000, 2_000_000, 50_000).astype(np.uint64), members
+    )
+    bits = bloom_partial(members)
+    assert bloom_contains(bits, members).all()  # zero false negatives
+    fp = bloom_contains(bits, non_members).mean()
+    assert fp < 0.03, fp
+    # OR-merge of partials == single-shot build
+    merged = bloom_partial(members[:5000]) | bloom_partial(members[5000:])
+    assert np.array_equal(merged, bits)
