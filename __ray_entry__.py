@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["order_count_distribution"] = tpch.order_count_distribution
     q["small_qty_revenue"] = tpch.small_qty_revenue
     q["urgent_lineitem_revenue"] = tpch.urgent_lineitem_revenue
+    q["cheapest_supplier_per_part"] = tpch.cheapest_supplier_per_part
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -402,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_exact_dedup"] = td.doc_exact_dedup
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
+    q["doc_cluster_rep"] = td.doc_cluster_rep
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     q["doc_simhash"] = td.doc_simhash
     q["doc_fingerprint"] = td.doc_fingerprint
@@ -412,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_heavy_hitters"] = td.doc_heavy_hitters
     q["doc_chunk"] = td.doc_chunk
     q["doc_stratified_sample"] = td.doc_stratified_sample
+    q["doc_weighted_sample"] = td.doc_weighted_sample
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -472,17 +475,20 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": tpch.order_count_distribution_sql(_SQL_SF_DIR),
         "small_qty_revenue": tpch.small_qty_revenue_sql(_SQL_SF_DIR),
         "urgent_lineitem_revenue": tpch.urgent_lineitem_revenue_sql(_SQL_SF_DIR),
+        "cheapest_supplier_per_part": tpch.cheapest_supplier_per_part_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
+        "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
         # mod-2^64 arithmetic → rows-only (pytest-pinned)
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
         "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),
         "doc_stratified_sample": td.doc_stratified_sample_sql(_SQL_SF_DIR),
+        "doc_weighted_sample": td.doc_weighted_sample_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

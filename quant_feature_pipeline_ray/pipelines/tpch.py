@@ -1268,3 +1268,150 @@ SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '{priority}')"""
+
+
+def cheapest_supplier_per_part(
+    sf_dir: str, max_size: int = 5, region: str = "ASIA"
+) -> pd.DataFrame:
+    """TPC-H Q2 shape: for every small part, the cheapest offer and which
+    regional supplier makes it — the correlated-min + ARGMIN JOIN-BACK
+    pattern (find the min per group, then recover the full row achieving
+    it), resolved in two key-local exchanges:
+
+      shuffle 1 (l_partkey): lineitem offers + part dimension rows ride one
+        tagged union; per partition, per-(part, supplier) integer-cent min
+        offer, then per-part argmin with (cost, suppkey) tie-break — one
+        winner row per qualifying part leaves the exchange;
+      shuffle 2 (suppkey): winners + supplier dimension rows; the
+        nation->region map is genuinely tiny and rides broadcast.
+
+    All comparisons are on integer cents, so the argmin (and therefore the
+    surviving rows) is deterministic and matches the row_number() oracle
+    exactly."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation_ok = ray.put(set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+
+    li_tagged = li.map_batches(
+        lambda b: pa.table(
+            {
+                "partkey": b["l_partkey"],
+                "suppkey": b["l_suppkey"].cast(pa.int64()),
+                "price_c": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+                ),
+                "is_dim": pa.array(np.zeros(len(b), bool)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part_tagged = part.map_batches(
+        lambda b, _m=max_size: pa.table(
+            {
+                "partkey": b["p_partkey"],
+                "suppkey": pa.array(np.zeros(len(b), np.int64)),
+                "price_c": pa.array(np.zeros(len(b), np.int64)),
+                "is_dim": pa.array(
+                    pc.less_equal(b["p_size"], _m).to_numpy(zero_copy_only=False)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        small = set(g.loc[g["is_dim"], "partkey"].to_numpy())
+        offers = g[~g["is_dim"] & g["partkey"].isin(small)]
+        if offers.empty:
+            return pd.DataFrame(
+                {
+                    "partkey": pd.Series(dtype="int64"),
+                    "suppkey": pd.Series(dtype="int64"),
+                    "cost_c": pd.Series(dtype="int64"),
+                }
+            )
+        per_offer = offers.groupby(["partkey", "suppkey"], as_index=False).agg(
+            cost_c=("price_c", "min")
+        )
+        per_offer = per_offer.sort_values(["partkey", "cost_c", "suppkey"], ignore_index=True)
+        win = per_offer.groupby("partkey", as_index=False).first()
+        return win[["partkey", "suppkey", "cost_c"]].astype("int64")
+
+    win_ds = partition_map_groups(
+        li_tagged.union(part_tagged), winners, key="partkey", num_buckets=32
+    )
+
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet")
+    win_tagged = win_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "suppkey": b["suppkey"],
+                "partkey": b["partkey"],
+                "cost_c": b["cost_c"],
+                "s_name": pa.array([""] * len(b), pa.string()),
+                "nationkey": pa.array(np.full(len(b), -1, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp_tagged = supp.map_batches(
+        lambda b: pa.table(
+            {
+                "suppkey": b["s_suppkey"],
+                "partkey": pa.array(np.full(len(b), -1, np.int64)),
+                "cost_c": pa.array(np.zeros(len(b), np.int64)),
+                "s_name": b["s_name"],
+                "nationkey": b["s_nationkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ok = ray.get(nation_ok) if isinstance(nation_ok, ray.ObjectRef) else nation_ok
+        dim = g[g["nationkey"] >= 0].set_index("suppkey")
+        w = g[g["nationkey"] < 0]
+        names = w["suppkey"].map(dim["s_name"])
+        nk = w["suppkey"].map(dim["nationkey"])
+        keep = nk.isin(ok).to_numpy()
+        return pd.DataFrame(
+            {
+                "p_partkey": w["partkey"].to_numpy(np.int64)[keep],
+                "s_suppkey": w["suppkey"].to_numpy(np.int64)[keep],
+                "s_name": names.to_numpy(object)[keep],
+                "cost": w["cost_c"].to_numpy(np.int64)[keep] / 100.0,
+            }
+        )
+
+    out = partition_map_groups(
+        win_tagged.union(supp_tagged), resolve, key="suppkey", num_buckets=16
+    ).to_pandas()
+    return out.sort_values("p_partkey", ignore_index=True)
+
+
+def cheapest_supplier_per_part_sql(sf_dir: str, max_size: int = 5, region: str = "ASIA") -> str:
+    return f"""
+WITH cost AS (
+  SELECT l_partkey AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+win AS (
+  SELECT pk, sk, c, row_number() OVER (PARTITION BY pk ORDER BY c, sk) AS rn
+  FROM cost JOIN part ON p_partkey = pk AND p_size <= {max_size}
+)
+SELECT w.pk AS p_partkey, w.sk AS s_suppkey, s.s_name, w.c / 100.0 AS cost
+FROM win w
+JOIN supplier s ON s.s_suppkey = w.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{region}'
+WHERE w.rn = 1
+ORDER BY p_partkey"""

@@ -1822,9 +1822,9 @@ ORDER BY t.token"""
 # ------------------------------------------------- near-dup cluster assembly
 
 
-def doc_dup_clusters(
+def dup_cluster_labels(
     sf_dir: str, threshold: float = 0.82, max_passes: int = 24
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Connected components over the near-dup pair graph: every document is
     assigned cluster_id = min doc_id of its similarity component (singletons
     map to themselves). This is the pairs->clusters step real dedup needs:
@@ -1962,12 +1962,20 @@ def doc_dup_clusters(
         lambda b: pa.table({"node": b["doc_id"], "parent": b["doc_id"]}),
         batch_format="pyarrow",
     )
-    final = grouped_aggregate(
+    return grouped_aggregate(
         edges.union(doc_tagged),
         "node",
         {"cluster_id": ("parent", "min")},
         num_partitions=n_parts,
     )
+
+
+def doc_dup_clusters(
+    sf_dir: str, threshold: float = 0.82, max_passes: int = 24
+) -> pd.DataFrame:
+    """Driver-facing view of dup_cluster_labels (see there for the
+    algorithm): the full (doc_id, cluster_id) assignment, sorted."""
+    final = dup_cluster_labels(sf_dir, threshold=threshold, max_passes=max_passes)
     out = final.to_pandas().rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "cluster_id"]]
 
@@ -2298,3 +2306,154 @@ SELECT tok.doc_id,
        CAST(SUM(cnt.c) AS BIGINT) / (count(*) * 1.0) AS avg_freq
 FROM tok JOIN cnt USING (token)
 GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+
+
+def doc_cluster_rep(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
+    """Cluster-level dedup summary: one row per similarity CLUSTER (the
+    connected component from doc_dup_clusters) with its representative
+    (= min doc_id), member count, and total/kept character counts — the
+    numbers a curation run reports after transitive near-dup removal
+    ("kept 165 of 500 docs, dropped 68% of near-dup bytes").
+
+    Composition: CC labels (distributed star passes) -> one tagged-union
+    exchange with the doc stats -> per-cluster grouped aggregate. The label
+    table never lands on the driver: labels join the doc stats through one
+    tagged-union exchange on doc_id, and only the per-cluster aggregate
+    comes back."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    labels = dup_cluster_labels(sf_dir, threshold=threshold)  # (node, cluster_id) Dataset
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    lab_tagged = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["node"],
+                "cluster_id": b["cluster_id"],
+                "n_chars": pa.array(np.full(len(b), -1, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    doc_tagged = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "cluster_id": pa.array(np.full(len(b), -1, np.int64)),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_rows(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["n_chars"] < 0].set_index("doc_id")["cluster_id"]
+        d = g[g["n_chars"] >= 0]
+        cid = d["doc_id"].map(lab).to_numpy(np.int64)
+        nch = d["n_chars"].to_numpy(np.int64)
+        is_rep = d["doc_id"].to_numpy(np.int64) == cid
+        return pd.DataFrame(
+            {
+                "cluster_id": cid,
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_chars": nch,
+                "rep_chars": np.where(is_rep, nch, 0),
+            }
+        )
+
+    joined = partition_map_groups(
+        lab_tagged.union(doc_tagged), join_rows, key="doc_id", num_buckets=32
+    )
+    agg = grouped_aggregate(
+        joined,
+        "cluster_id",
+        {
+            "rep_doc_id": ("doc_id", "min"),
+            "n_members": ("doc_id", "size"),
+            "total_chars": ("n_chars", "sum"),
+            "kept_chars": ("rep_chars", "sum"),
+        },
+    ).to_pandas()
+    agg = agg.astype({c: "int64" for c in agg.columns})
+    return agg.sort_values("cluster_id", ignore_index=True)[
+        ["cluster_id", "rep_doc_id", "n_members", "total_chars", "kept_chars"]
+    ]
+
+
+def doc_cluster_rep_sql(sf_dir: str, threshold: float = 0.82) -> str:
+    cc = doc_dup_clusters_sql(sf_dir, threshold)
+    # reuse the recursive-CTE labels as a subquery; aggregate per cluster
+    return f"""
+WITH lab AS ({cc})
+SELECT lab.cluster_id,
+       min(lab.doc_id) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       min(CASE WHEN lab.doc_id = lab.cluster_id THEN d.n_chars END) AS kept_chars
+FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+GROUP BY lab.cluster_id ORDER BY lab.cluster_id"""
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): keep the k docs with the largest key u^(1/w), where w =
+    n_chars (longer docs proportionally likelier) and u is a reproducible
+    per-doc uniform derived from md5(doc_id) — the same bit-stable hash
+    trick as doc_stratified_sample, so the "random" sample is exactly
+    checkable against the SQL oracle.
+
+    Scale pattern: priorities are compared as ln(u)/w (monotone transform);
+    each batch emits only its local top-k (nlargest partial), the driver
+    merges k-row partials — the distributed-top-k shape, no shuffle."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        u32 = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in doc_ids),
+            dtype=np.uint64,
+            count=len(doc_ids),
+        )
+        u = (u32.astype(np.float64) + 1.0) / 4294967296.0  # (0, 1]
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "n_chars": batch["n_chars"].to_numpy(),
+                # rank on the ROUNDED priority: numpy log and SQL ln can
+                # differ in the last ulp, which flips near-ties; 6 dp +
+                # doc_id tie-break makes the order engine-independent
+                "priority": np.round(np.log(u) / w, 6),
+            }
+        )
+        return df.sort_values(["priority", "doc_id"], ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    top = (
+        parts.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "doc_id", "lang", "n_chars", "priority"]]
+
+
+def doc_weighted_sample_sql(sf_dir: str, k: int = 50) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY round(priority, 6) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, lang, n_chars, round(priority, 6) AS priority
+FROM s
+ORDER BY round(priority, 6) DESC, doc_id
+LIMIT {k}"""
