@@ -430,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_covariance"] = td.emb_covariance
     q["emb_pca_project"] = td.emb_pca_project
     q["emb_kmeans"] = td.emb_kmeans
+    q["emb_range_search"] = td.emb_range_search
+    q["emb_knn_graph"] = td.emb_knn_graph
+    q["emb_semdedup"] = td.emb_semdedup
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm
@@ -501,6 +504,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
+        "emb_range_search": td.emb_range_search_sql(_SQL_SF_DIR),
+        # emb_knn_graph / emb_semdedup: IVF-approximate / kmeans-seeded →
+        # rows-only (pytest recall & exact straight-line parity gates)
         # emb_ann_ivf: approximate by design → rows-only (pytest recall gate)
         "emb_covariance": td.emb_covariance_sql(_SQL_SF_DIR),
         # emb_pca_project / emb_kmeans: eigensolver / float-mean iteration not

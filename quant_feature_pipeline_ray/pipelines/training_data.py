@@ -2457,3 +2457,241 @@ SELECT CAST(row_number() OVER (ORDER BY round(priority, 6) DESC, doc_id) AS BIGI
 FROM s
 ORDER BY round(priority, 6) DESC, doc_id
 LIMIT {k}"""
+
+
+# ------------------------------------------------- similarity: range / graph
+
+
+def emb_range_search(
+    sf_dir: str, threshold: float = 0.32, n_queries: int = 20
+) -> pd.DataFrame:
+    """Cosine RADIUS search: every corpus vector within similarity >=
+    threshold of any query vector — the "find everything near these seeds"
+    primitive (contamination scans, targeted filtering), complementing the
+    top-k shape of emb_ann_topk.
+
+    Scale pattern: queries load via parquet predicate pushdown and are
+    broadcast ONCE (ray.put); each batch does one matmul block against the
+    query matrix and emits only the rows over threshold — output is
+    result-sized, never O(N x n_q). No shuffle."""
+    import pyarrow.compute as pc
+
+    qtbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < n_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    qids = qtbl["vec_id"].to_numpy()
+    qmat = np.stack(qtbl["embedding"].to_numpy()).astype(np.float64)
+    qunit = qmat / np.maximum(np.sqrt(np.einsum("ij,ij->i", qmat, qmat))[:, None], 1e-12)
+    qref = ray.put((qids, qunit))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        qids_, qunit_ = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        vids = batch["vec_id"].to_numpy()
+        sims = np.round(u @ qunit_.T, 6)  # (n_vec, n_q)
+        vi, qi = np.nonzero((sims >= threshold) & (vids[:, None] != qids_[None, :]))
+        return pd.DataFrame(
+            {
+                "query_id": qids_[qi].astype(np.int64),
+                "vec_id": vids[vi].astype(np.int64),
+                "sim": sims[vi, qi],
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["query_id", "vec_id"], ignore_index=True)
+
+
+def emb_range_search_sql(sf_dir: str, threshold: float = 0.32, n_queries: int = 20) -> str:
+    return f"""
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+WHERE q.vec_id < {n_queries}
+  AND round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) >= {threshold}
+ORDER BY query_id, vec_id"""
+
+
+def emb_knn_graph(
+    sf_dir: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    vec_assign: int = 4,
+) -> pd.DataFrame:
+    """Approximate k-NN GRAPH over the whole embedding column — every vector's
+    k nearest neighbours (the substrate for SemDeDup-style curation, graph
+    clustering, and hub/outlier analysis). Brute force is O(N^2) in one block;
+    this is the IVF-bucketed scale path:
+
+      centroids (bounded-sample k-means) broadcast -> each vector joins its
+      `vec_assign` nearest clusters (multiple assignment = the recall lever)
+      -> ONE shuffle by cluster -> per-cluster pairwise matmul emits each
+      member's top-k WITHIN the cluster -> one vec_id-keyed exchange merges
+      the per-cluster partials (dedup neighbours, keep global top-k).
+
+    Driver sees only the final N x k edge rows. Approximate by design ->
+    rows-only; tests gate recall >= 0.9 vs the exact numpy graph."""
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    cent = _kmeans_centroids(sf_dir, n_clusters, kmeans_iters, sample_max)
+    cent_ref = ray.put(cent)
+    n_parts = max(8, cluster_cpus())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Assign:
+        def __init__(self, ref):
+            self.cent = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            sims = u @ self.cent.T
+            a = min(vec_assign, sims.shape[1])
+            top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+            embs = batch["embedding"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
+                    "cluster": top.reshape(-1).astype(np.int32),
+                    "embedding": [embs[i] for i in np.repeat(np.arange(len(embs)), a)],
+                }
+            )
+
+    assigned = ds.map_batches(
+        Assign, fn_constructor_args=(cent_ref,), batch_format="pyarrow", concurrency=2
+    )
+
+    def _empty_edges() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "nbr_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+
+    def topk_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_edges()
+        vids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vids)
+        vids = vids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        sims = np.round(u @ u.T, 6)
+        np.fill_diagonal(sims, -2.0)  # exclude self
+        kk = min(k, len(vids) - 1)
+        nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(vids)), kk)
+        cols = nbr.reshape(-1)
+        return pd.DataFrame(
+            {"vec_id": vids[rows], "nbr_id": vids[cols], "sim": sims[rows, cols]}
+        )
+
+    partials = assigned.groupby("cluster").map_groups(topk_in_cluster, batch_format="pandas")
+
+    def merge_vec(g: pd.DataFrame) -> pd.DataFrame:
+        # multiple assignment duplicates (vec, nbr) edges across shared
+        # clusters: dedup, then keep the global top-k per vector with a
+        # deterministic (sim desc, nbr asc) order
+        g = g.drop_duplicates(["vec_id", "nbr_id"])
+        g = g.sort_values(["vec_id", "sim", "nbr_id"], ascending=[True, False, True])
+        out = g.groupby("vec_id", as_index=False).head(k).copy()
+        out["rank"] = out.groupby("vec_id").cumcount().to_numpy() + 1
+        return out[["vec_id", "rank", "nbr_id", "sim"]]
+
+    out = partition_map_groups(
+        partials, merge_vec, key="vec_id", num_buckets=n_parts
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64"),
+             "nbr_id": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+        )
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["vec_id", "rank"], ignore_index=True)
+
+
+def emb_semdedup(
+    sf_dir: str,
+    threshold: float = 0.42,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding space, then WITHIN each cluster
+    drop every vector whose cosine similarity to a lower-vec_id member
+    reaches the threshold — one representative per semantic near-dup set,
+    at per-cluster (not corpus) pairwise cost.
+
+      centroids (bounded-sample k-means) broadcast -> stateless nearest-
+      centroid assignment -> ONE shuffle by cluster -> per-cluster triangular
+      matmul marks keep/drop -> N rows out.
+
+    Deterministic given the seeded centroids (keep rule is pure vec_id
+    order), so the pytest pins EXACT parity vs a straight-line numpy
+    implementation; rows-only in the driver contract (kmeans is iterative
+    float math, not SQL)."""
+    cent = _kmeans_centroids(sf_dir, n_clusters, kmeans_iters, sample_max)
+    cent_ref = ray.put(cent)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Assign1:
+        def __init__(self, ref):
+            self.cent = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "cluster": np.argmax(u @ self.cent.T, axis=1).astype(np.int32),
+                    "embedding": batch["embedding"].to_numpy(zero_copy_only=False),
+                }
+            )
+
+    assigned = ds.map_batches(
+        Assign1, fn_constructor_args=(cent_ref,), batch_format="pyarrow", concurrency=2
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        vids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vids)
+        vids = vids[order]
+        c = int(g["cluster"].iloc[0])
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        sims = np.round(u @ u.T, 6)
+        # mask to strictly-lower-index members (tril would leak 0.0 from the
+        # zeroed upper triangle when every true sim is negative)
+        idx = np.arange(len(vids))
+        masked = np.where(idx[None, :] < idx[:, None], sims, -2.0)
+        max_lower = masked.max(axis=1, initial=-2.0)
+        return pd.DataFrame(
+            {
+                "vec_id": vids,
+                "cluster": np.full(len(vids), c, dtype=np.int64),
+                "max_sim_lower": np.where(max_lower <= -2.0, np.nan, max_lower),
+                "keep": max_lower < threshold,
+            }
+        )
+
+    out = assigned.groupby("cluster").map_groups(mark, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)

@@ -334,3 +334,65 @@ def test_bloom_filter_properties():
     # OR-merge of partials == single-shot build
     merged = bloom_partial(members[:5000]) | bloom_partial(members[5000:])
     assert np.array_equal(merged, bits)
+
+
+def test_knn_graph_recall_vs_exact(ray_session):
+    """IVF-bucketed k-NN graph must recover >= 0.9 of the exact neighbour
+    edges at sf0.01, and every emitted sim must equal the exact cosine for
+    that pair (the per-cluster kernel uses the same formula)."""
+    from quant_feature_pipeline_ray.pipelines.training_data import emb_knn_graph
+
+    sf = "/root/testdata/sf0.01"
+    k = 5
+    got = emb_knn_graph(sf, k=k)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    vids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    u = mat / np.maximum(np.sqrt((mat * mat).sum(1))[:, None], 1e-12)
+    sims = np.round(u @ u.T, 6)
+    np.fill_diagonal(sims, -2.0)
+    truth = set()
+    for i in range(len(vids)):
+        # deterministic exact top-k: sim desc, vec_id asc
+        order = np.lexsort((vids, -sims[i]))[:k]
+        truth |= {(vids[i], vids[j]) for j in order}
+    got_edges = set(zip(got["vec_id"], got["nbr_id"]))
+    assert len(got) == len(vids) * k
+    recall = len(got_edges & truth) / len(truth)
+    assert recall >= 0.9, f"knn-graph recall too low: {recall:.3f}"
+    # sims exact for emitted pairs
+    pos = {int(v): i for i, v in enumerate(vids)}
+    for v, n, s in zip(got["vec_id"], got["nbr_id"], got["sim"]):
+        assert s == sims[pos[int(v)], pos[int(n)]]
+
+
+def test_semdedup_matches_straightline(ray_session):
+    """Distributed SemDeDup == straight-line numpy given the same seeded
+    centroids: identical cluster assignment and keep/drop decisions."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        _kmeans_centroids,
+        emb_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    tau = 0.42
+    got = emb_semdedup(sf, threshold=tau).sort_values("vec_id", ignore_index=True)
+
+    cent = _kmeans_centroids(sf, 16, 5, 65536)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    vids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    u = mat / np.maximum(np.sqrt((mat * mat).sum(1))[:, None], 1e-12)
+    assign = np.argmax(u @ cent.T, axis=1)
+    keep = np.ones(len(vids), bool)
+    for c in np.unique(assign):
+        idx = np.flatnonzero(assign == c)  # vids sorted => idx in vec_id order
+        s = np.round(u[idx] @ u[idx].T, 6)
+        for r in range(1, len(idx)):
+            if s[r, :r].max() >= tau:
+                keep[idx[r]] = False
+    assert (got["vec_id"].to_numpy() == vids).all()
+    assert (got["cluster"].to_numpy() == assign).all()
+    assert (got["keep"].to_numpy() == keep).all()
+    # the op must actually drop something on this corpus
+    assert (~keep).sum() > 0
