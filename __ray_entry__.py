@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_distinct_users"] = lambda sf: ev.events_distinct_users(f"{sf}/events.parquet")
     q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
     q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
+    q["e_retention"] = lambda sf: ev.events_retention(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -396,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["small_qty_revenue"] = tpch.small_qty_revenue
     q["urgent_lineitem_revenue"] = tpch.urgent_lineitem_revenue
     q["cheapest_supplier_per_part"] = tpch.cheapest_supplier_per_part
+    q["sole_supplier_orders"] = tpch.sole_supplier_orders
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -415,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_chunk"] = td.doc_chunk
     q["doc_stratified_sample"] = td.doc_stratified_sample
     q["doc_weighted_sample"] = td.doc_weighted_sample
+    q["doc_zipf"] = td.doc_zipf
+    q["doc_redact"] = td.doc_redact
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -465,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "e_distinct_users": ev.events_distinct_users_sql(),
         "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
         "e_funnel": ev.events_funnel_sql(),
+        "e_retention": ev.events_retention_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -479,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": tpch.small_qty_revenue_sql(_SQL_SF_DIR),
         "urgent_lineitem_revenue": tpch.urgent_lineitem_revenue_sql(_SQL_SF_DIR),
         "cheapest_supplier_per_part": tpch.cheapest_supplier_per_part_sql(_SQL_SF_DIR),
+        "sole_supplier_orders": tpch.sole_supplier_orders_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
@@ -492,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),
         "doc_stratified_sample": td.doc_stratified_sample_sql(_SQL_SF_DIR),
         "doc_weighted_sample": td.doc_weighted_sample_sql(_SQL_SF_DIR),
+        "doc_zipf": td.doc_zipf_sql(_SQL_SF_DIR),
+        "doc_redact": td.doc_redact_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

@@ -654,3 +654,66 @@ LEFT JOIN v ON v.user_id = u.user_id
 LEFT JOIN c ON c.user_id = u.user_id
 LEFT JOIN p ON p.user_id = u.user_id
 ORDER BY u.user_id"""
+
+
+def events_retention(path: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Cohort retention: users grouped by their FIRST active day (the
+    cohort), with day-1 and within-7-day return rates — the standard
+    product-analytics rollup, and a two-level aggregation shape (per-user
+    resolution, then per-cohort rollup).
+
+    ONE hash exchange on user_id resolves each user to a single
+    (cohort_day, returned_d1, returned_d7) row via vectorized grouped mins
+    inside the partition; the per-cohort rollup then moves only one row per
+    user. Days are integer epoch-µs midnights, so the oracle is exact."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    DAY = np.int64(86_400_000_000)
+    ds = _read_events(path, ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day}).drop_duplicates()
+        first = d.groupby("user_id")["day"].min()
+        d["cohort"] = d["user_id"].map(first)
+        gap = d["day"] - d["cohort"]
+        r = d.assign(
+            r1=(gap == 1).astype(np.int64),
+            r7=((gap >= 1) & (gap <= 7)).astype(np.int64),
+        ).groupby("user_id", as_index=False).agg(
+            cohort=("cohort", "first"), r1=("r1", "max"), r7=("r7", "max")
+        )
+        return r
+
+    users = partition_map_groups(ds, per_user, key="user_id", num_buckets=num_buckets)
+    out = grouped_aggregate(
+        users,
+        "cohort",
+        {"n_users": ("user_id", "size"), "retained_d1": ("r1", "sum"),
+         "retained_d7": ("r7", "sum")},
+    ).to_pandas()
+    out["cohort_day_us"] = out["cohort"].to_numpy(np.int64) * DAY
+    out = out.astype({"n_users": "int64", "retained_d1": "int64", "retained_d7": "int64"})
+    return out.sort_values("cohort_day_us", ignore_index=True)[
+        ["cohort_day_us", "n_users", "retained_d1", "retained_d7"]
+    ]
+
+
+def events_retention_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+r AS (
+  SELECT f.user_id, f.cohort,
+         max(CASE WHEN d.day - f.cohort = 1 THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN d.day - f.cohort BETWEEN 1 AND 7 THEN 1 ELSE 0 END) AS r7
+  FROM f JOIN d USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort * 86400000000 AS cohort_day_us,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(r1) AS BIGINT) AS retained_d1,
+       CAST(SUM(r7) AS BIGINT) AS retained_d7
+FROM r GROUP BY 1 ORDER BY 1"""

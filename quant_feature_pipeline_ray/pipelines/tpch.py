@@ -1415,3 +1415,63 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{region}'
 WHERE w.rn = 1
 ORDER BY p_partkey"""
+
+
+def sole_supplier_orders(sf_dir: str, min_lines: int = 2) -> pd.DataFrame:
+    """TPC-H Q21 shape: group-local EXISTS/NOT-EXISTS — per multi-line
+    order, does a second supplier exist? Suppliers are credited one
+    "sole-supplied order" for every order of >= min_lines lineitems where
+    every line is theirs (the reference pattern: q21's "supplier was the
+    only one who failed" is the same per-group existence predicate over
+    sibling rows).
+
+    shuffle 1 (l_orderkey): per-order n_lines + distinct-supplier count +
+      the supplier, as ONE pandas groupby per hash partition (count
+      distinct inside the group is the EXISTS resolution);
+    shuffle 2 (suppkey): per-supplier order counts; the supplier name
+      dimension is broadcast (dictionary-sized)."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = ray.put(dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    per_order = grouped_aggregate(
+        li,
+        "l_orderkey",
+        {
+            "n_lines": ("l_suppkey", "size"),
+            "n_supp": ("l_suppkey", "nunique"),
+            "suppkey": ("l_suppkey", "min"),
+        },
+    ).filter(expr=f"n_lines >= {min_lines} and n_supp == 1")
+
+    counts = grouped_aggregate(
+        per_order, "suppkey", {"n_sole_orders": ("l_orderkey", "size")}
+    ).to_pandas()
+
+    nm = ray.get(names) if isinstance(names, ray.ObjectRef) else names
+    counts["s_suppkey"] = counts["suppkey"].astype(np.int64)
+    counts["s_name"] = counts["s_suppkey"].map(nm)
+    counts["n_sole_orders"] = counts["n_sole_orders"].astype(np.int64)
+    return counts.sort_values("s_suppkey", ignore_index=True)[
+        ["s_suppkey", "s_name", "n_sole_orders"]
+    ]
+
+
+def sole_supplier_orders_sql(sf_dir: str, min_lines: int = 2) -> str:
+    return f"""
+WITH o AS (
+  SELECT l_orderkey,
+         count(*) AS n_lines,
+         count(DISTINCT l_suppkey) AS n_supp,
+         CAST(min(l_suppkey) AS BIGINT) AS suppkey
+  FROM lineitem GROUP BY 1
+)
+SELECT o.suppkey AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_sole_orders
+FROM o JOIN supplier s ON s.s_suppkey = o.suppkey
+WHERE o.n_lines >= {min_lines} AND o.n_supp = 1
+GROUP BY 1, 2 ORDER BY 1"""

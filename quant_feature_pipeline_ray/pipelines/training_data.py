@@ -2695,3 +2695,100 @@ def emb_semdedup(
 
     out = assigned.groupby("cluster").map_groups(mark, batch_format="pandas").to_pandas()
     return out.sort_values("vec_id", ignore_index=True)
+
+
+# ------------------------------------------------------- corpus-law analysis
+
+
+def doc_zipf(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Zipf rank-frequency profile of the corpus: the top_n tokens by term
+    frequency with their rank, plus the fitted log-log slope (OLS of ln(tf)
+    on ln(rank) — a Zipfian corpus sits near -1). The standard "is this
+    corpus natural / degenerate / bot-spammed" diagnostic.
+
+    Dataflow: the doc_vocab wordcount (per-batch combiner -> one token-key
+    exchange) -> per-partition partial top-n (each hash partition emits its
+    own n best) -> driver merges P x n rows. Ordering is (tf desc, token
+    asc) in both engines, so ranks are deterministic; the slope is a
+    round-6 double (same OLS formula as DuckDB's regr_slope over 100
+    points — ulp-safe at that scale)."""
+    vocab = doc_vocab(sf_dir, min_count=1)
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["tf", "token"], ascending=[False, True])
+        return df.head(top_n)[["token", "tf"]]
+
+    parts = vocab.map_batches(partial_top, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(["tf", "token"], ascending=[False, True])
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    x = np.log(top["rank"].to_numpy(np.float64))
+    y = np.log(top["tf"].to_numpy(np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    top["zipf_slope"] = np.round(slope, 6)
+    top["tf"] = top["tf"].astype(np.int64)
+    return top[["rank", "token", "tf", "zipf_slope"]]
+
+
+def doc_zipf_sql(sf_dir: str, top_n: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, tf,
+         CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+  FROM cnt ORDER BY tf DESC, token LIMIT {top_n}
+),
+s AS (SELECT round(regr_slope(ln(tf), ln(rank)), 6) AS zipf_slope FROM top)
+SELECT top.rank, top.token, top.tf, s.zipf_slope
+FROM top, s ORDER BY top.rank"""
+
+
+def doc_redact(
+    sf_dir: str, pattern: str = r"\b(customer|order|vector)\b", repl: str = "[REDACTED]"
+) -> ray.data.Dataset:
+    """Regex scrubbing / PII-redaction shape: replace every match of a
+    compiled pattern in the text column and count the hits per document —
+    the content-transform operator every compliance pipeline needs (emails,
+    phone numbers, IDs; here demonstrated on corpus tokens since the
+    synthetic text has no PII).
+
+    Stateless arrow-native map: ONE C-level RE2 pass per batch for the
+    replacement (pc.replace_substring_regex) and one for the count — no
+    Python row loop, no shuffle. pyarrow and DuckDB both compile RE2, so
+    the oracle matches byte-for-byte."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(batch["text"], pattern), pa.int64()
+                ),
+                "text_redacted": pc.replace_substring_regex(batch["text"], pattern, repl),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_redact_sql(
+    sf_dir: str, pattern: str = r"\b(customer|order|vector)\b", repl: str = "[REDACTED]"
+) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_hits,
+       regexp_replace(text, '{pattern}', '{repl}', 'g') AS text_redacted
+FROM documents ORDER BY doc_id"""
