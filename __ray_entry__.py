@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["urgent_lineitem_revenue"] = tpch.urgent_lineitem_revenue
     q["cheapest_supplier_per_part"] = tpch.cheapest_supplier_per_part
     q["sole_supplier_orders"] = tpch.sole_supplier_orders
+    q["top_suppliers_by_revenue"] = tpch.top_suppliers_by_revenue
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -419,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_weighted_sample"] = td.doc_weighted_sample
     q["doc_zipf"] = td.doc_zipf
     q["doc_redact"] = td.doc_redact
+    q["doc_contamination"] = td.doc_contamination
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -485,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "urgent_lineitem_revenue": tpch.urgent_lineitem_revenue_sql(_SQL_SF_DIR),
         "cheapest_supplier_per_part": tpch.cheapest_supplier_per_part_sql(_SQL_SF_DIR),
         "sole_supplier_orders": tpch.sole_supplier_orders_sql(_SQL_SF_DIR),
+        "top_suppliers_by_revenue": tpch.top_suppliers_by_revenue_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
@@ -500,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": td.doc_weighted_sample_sql(_SQL_SF_DIR),
         "doc_zipf": td.doc_zipf_sql(_SQL_SF_DIR),
         "doc_redact": td.doc_redact_sql(_SQL_SF_DIR),
+        "doc_contamination": td.doc_contamination_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

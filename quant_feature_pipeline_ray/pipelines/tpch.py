@@ -1475,3 +1475,61 @@ SELECT o.suppkey AS s_suppkey, s.s_name,
 FROM o JOIN supplier s ON s.s_suppkey = o.suppkey
 WHERE o.n_lines >= {min_lines} AND o.n_supp = 1
 GROUP BY 1, 2 ORDER BY 1"""
+
+
+def top_suppliers_by_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the GLOBAL MAX revenue —
+    aggregate-then-compare-to-max-of-aggregate (the correlated HAVING
+    pattern), with ties kept exactly as Q15 requires.
+
+    One suppkey exchange builds the per-supplier revenue table (per-batch
+    combiner first, so the shuffle moves supplier-sized partials); the
+    revenue table is dimension-sized, so the global max + tie filter run on
+    the driver legitimately. Integer cents x basis-points arithmetic makes
+    max and ties exact."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "suppkey": batch["l_suppkey"].to_numpy().astype(np.int64),
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        return df.groupby("suppkey", as_index=False).agg(rev_e4=("rev_e4", "sum"))
+
+    rev = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "suppkey",
+        {"rev_e4": ("rev_e4", "sum")},
+    ).to_pandas()
+    best = rev[rev["rev_e4"] == rev["rev_e4"].max()].copy()
+    best["s_suppkey"] = best["suppkey"].astype(np.int64)
+    best["s_name"] = best["s_suppkey"].map(names)
+    best["total_revenue"] = best["rev_e4"] / 10000.0
+    return best.sort_values("s_suppkey", ignore_index=True)[
+        ["s_suppkey", "s_name", "total_revenue"]
+    ]
+
+
+def top_suppliers_by_revenue_sql(sf_dir: str) -> str:
+    return """
+WITH rev AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.rev_e4 / 10000.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
+ORDER BY r.s_suppkey"""

@@ -2792,3 +2792,103 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_hits,
        regexp_replace(text, '{pattern}', '{repl}', 'g') AS text_redacted
 FROM documents ORDER BY doc_id"""
+
+
+def doc_contamination(sf_dir: str, eval_mod: int = 43) -> pd.DataFrame:
+    """Benchmark-contamination scan: word-TRIGRAM overlap between every
+    training document and a held-out "benchmark" set (here: doc_id %
+    eval_mod == 0, a deterministic stand-in for an eval suite) — the
+    decontamination operator every LLM data pipeline runs before training
+    (n-gram collision against eval sets, cf. the public GPT-3/PaLM appendix
+    methodology).
+
+    Two-pass shape like doc_lm_stats: pass 1 extracts the benchmark's
+    distinct trigrams DISTRIBUTED (per-batch combiner emits eval-doc
+    trigrams only; the driver only ever holds the benchmark-sized set,
+    which is small by nature) and broadcasts them once; pass 2 is a
+    stateless scan scoring every non-eval doc's distinct-trigram overlap.
+    The contaminated flag is the integer predicate 10*overlap >= 3*total
+    (exact, no float threshold)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _trigrams(batch: pa.Table) -> pd.DataFrame:
+        """(doc_id, trigram) distinct pairs for the batch, empty tokens
+        dropped — vectorized: one split over the batch, shifted-array
+        concatenation forms every trigram without a per-doc loop."""
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        f = flat.filter(keep).to_pandas().to_numpy()
+        p = parent.filter(keep).to_pandas().to_numpy()
+        if len(f) < 3:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "trigram": pd.Series(dtype="object")})
+        valid = (p[:-2] == p[1:-1]) & (p[:-2] == p[2:])
+        tri = pd.Series(f[:-2][valid]) + " " + pd.Series(f[1:-1][valid]) + " " + pd.Series(f[2:][valid])
+        doc_ids = batch["doc_id"].to_numpy()
+        out = pd.DataFrame({"doc_id": doc_ids[p[:-2][valid]], "trigram": tri.to_numpy()})
+        return out.drop_duplicates(ignore_index=True)
+
+    # pass 1: benchmark trigram set (distributed extract, driver holds only
+    # the benchmark-sized distinct set)
+    def eval_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy()
+        sel = (d % eval_mod) == 0
+        sub = batch.filter(pa.array(sel))
+        return _trigrams(sub)[["trigram"]].drop_duplicates(ignore_index=True)
+
+    eval_tris = ds.map_batches(eval_partial, batch_format="pyarrow").to_pandas()
+    eval_set = frozenset(eval_tris["trigram"].unique())
+    eref = ray.put(eval_set)
+
+    # pass 2: score every non-eval doc
+    def score(batch: pa.Table) -> pd.DataFrame:
+        es = ray.get(eref) if isinstance(eref, ray.ObjectRef) else eref
+        d = batch["doc_id"].to_numpy()
+        sub = batch.filter(pa.array((d % eval_mod) != 0))
+        tri = _trigrams(sub)
+        if tri.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_trigrams": pd.Series(dtype="int64"),
+                                 "n_overlap": pd.Series(dtype="int64"),
+                                 "overlap_frac": pd.Series(dtype="float64"),
+                                 "contaminated": pd.Series(dtype="bool")})
+        tri["hit"] = tri["trigram"].isin(es).astype(np.int64)
+        agg = tri.groupby("doc_id", as_index=False).agg(
+            n_trigrams=("trigram", "size"), n_overlap=("hit", "sum")
+        )
+        agg["n_trigrams"] = agg["n_trigrams"].astype(np.int64)
+        agg["n_overlap"] = agg["n_overlap"].astype(np.int64)
+        agg["overlap_frac"] = np.round(agg["n_overlap"] / agg["n_trigrams"], 6)
+        agg["contaminated"] = 10 * agg["n_overlap"] >= 3 * agg["n_trigrams"]
+        return agg
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_contamination_sql(sf_dir: str, eval_mod: int = 43) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3
+),
+dtri AS (SELECT DISTINCT doc_id, g FROM tri),
+eval_set AS (SELECT DISTINCT g FROM dtri WHERE doc_id % {eval_mod} = 0)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       round(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) / (count(*) * 1.0), 6) AS overlap_frac,
+       10 * SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) >= 3 * count(*) AS contaminated
+FROM dtri d LEFT JOIN eval_set e USING (g)
+WHERE d.doc_id % {eval_mod} <> 0
+GROUP BY 1 ORDER BY 1"""
