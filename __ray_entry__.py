@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cheapest_supplier_per_part"] = tpch.cheapest_supplier_per_part
     q["sole_supplier_orders"] = tpch.sole_supplier_orders
     q["top_suppliers_by_revenue"] = tpch.top_suppliers_by_revenue
+    q["disjunctive_revenue"] = tpch.disjunctive_revenue
+    q["supplier_count_by_part_attrs"] = tpch.supplier_count_by_part_attrs
+    q["part_value_concentration"] = tpch.part_value_concentration
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -488,6 +491,9 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_part": tpch.cheapest_supplier_per_part_sql(_SQL_SF_DIR),
         "sole_supplier_orders": tpch.sole_supplier_orders_sql(_SQL_SF_DIR),
         "top_suppliers_by_revenue": tpch.top_suppliers_by_revenue_sql(_SQL_SF_DIR),
+        "disjunctive_revenue": tpch.disjunctive_revenue_sql(_SQL_SF_DIR),
+        "supplier_count_by_part_attrs": tpch.supplier_count_by_part_attrs_sql(_SQL_SF_DIR),
+        "part_value_concentration": tpch.part_value_concentration_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),

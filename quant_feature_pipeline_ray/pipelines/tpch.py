@@ -1533,3 +1533,171 @@ SELECT r.s_suppkey, s.s_name, r.rev_e4 / 10000.0 AS total_revenue
 FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
 WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
 ORDER BY r.s_suppkey"""
+
+
+def disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    brand/size/quantity clauses — the multi-clause OR predicate that forces
+    engines to evaluate per-row boolean algebra rather than a single range
+    pushdown.
+
+    The part dimension is broadcast as three numpy-indexable attribute maps
+    (brand code, size); each lineitem batch evaluates the whole OR
+    vectorized and emits partial sums — one pass, no shuffle, two scalar
+    rows out (matched revenue + matched line count)."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(np.int64)
+    size_map = np.full(pk.max() + 1, -1, np.int64)
+    size_map[pk] = part["p_size"].to_numpy(np.int64)
+    brand_codes = {"Brand#1": 1, "Brand#2": 2, "Brand#3": 3}
+    bmap = np.zeros(pk.max() + 1, np.int64)
+    for b, c in brand_codes.items():
+        bmap[pk[(part["p_brand"] == b).to_numpy()]] = c
+    ref = ray.put((bmap, size_map))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        bm, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        p = batch["l_partkey"].to_numpy().astype(np.int64)
+        qty = batch["l_quantity"].to_numpy()
+        b = bm[p]
+        s = sm[p]
+        m = (
+            ((b == 1) & (s <= 10) & (qty <= 15))
+            | ((b == 2) & (s <= 25) & (qty >= 10) & (qty <= 30))
+            | ((b == 3) & (s >= 20) & (qty >= 25))
+        )
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        return pd.DataFrame({"rev_e4": [int((price_c * (100 - disc_c)).sum())],
+                             "n_lines": [int(m.sum())]})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame(
+        {"revenue": [agg["rev_e4"] / 10000.0], "n_lines": [np.int64(agg["n_lines"])]}
+    )
+
+
+def disjunctive_revenue_sql(sf_dir: str) -> str:
+    return """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity <= 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size >= 20 AND l.l_quantity >= 25)"""
+
+
+def supplier_count_by_part_attrs(sf_dir: str, max_size: int = 15) -> pd.DataFrame:
+    """TPC-H Q16 shape: DISTINCT-supplier counts per part attribute group —
+    a count-distinct rolled up to a coarser key than the distinct key
+    itself (brand × size from (partkey, suppkey) pairs).
+
+    shuffle 1 (l_partkey): distinct (partkey, suppkey) pairs resolve inside
+      one pandas drop_duplicates per hash partition (the part dimension's
+      brand/size ride broadcast, dictionary-sized);
+    shuffle 2 (brand): nunique per (brand, size) — correct because shuffle
+      1 already left each (part, supp) pair exactly once globally."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    part = part[part["p_size"] <= max_size]
+    pref = ray.put(
+        (
+            dict(zip(part["p_partkey"].astype(np.int64), part["p_brand"])),
+            dict(zip(part["p_partkey"].astype(np.int64), part["p_size"].astype(np.int64))),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        brands, sizes = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        b = g["l_partkey"].map(brands)
+        keep = b.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "p_brand": b.to_numpy(object)[keep],
+                "p_size": g["l_partkey"].map(sizes).to_numpy()[keep].astype(np.int64),
+                "suppkey": g["l_suppkey"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    pairs = partition_map_groups(li, distinct_pairs, key="l_partkey", num_buckets=32)
+    out = grouped_aggregate(
+        pairs, ["p_brand", "p_size"], {"supplier_cnt": ("suppkey", "nunique")}
+    ).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(["p_brand", "p_size"], ignore_index=True)
+
+
+def supplier_count_by_part_attrs_sql(sf_dir: str, max_size: int = 15) -> str:
+    return f"""
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= {max_size}
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def part_value_concentration(sf_dir: str, frac_ppm: int = 700) -> pd.DataFrame:
+    """TPC-H Q11 shape: keep the groups whose aggregate exceeds a FRACTION
+    of the global total (value-concentration filter) — the
+    correlated-with-global-scalar HAVING pattern.
+
+    One partkey exchange builds per-part revenue (per-batch combiner
+    first); the global total is the sum of the SAME integer partials (no
+    second pass over the fact table); the filter is the exact integer
+    predicate rev * 1e6 > total * frac_ppm. Only qualifying rows return."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].to_numpy().astype(np.int64),
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        return df.groupby("p_partkey", as_index=False).agg(rev_e4=("rev_e4", "sum"))
+
+    rev = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "p_partkey",
+        {"rev_e4": ("rev_e4", "sum")},
+    ).to_pandas()
+    total = int(rev["rev_e4"].sum())
+    # arbitrary-precision compare (dimension-sized array): rev*1e4 can pass
+    # int64 at full fact-table scale, and DuckDB's HUGEINT side never wraps
+    mask = rev["rev_e4"].to_numpy().astype(object) * 1000000 > total * frac_ppm
+    keep = rev[mask.astype(bool)].copy()
+    keep["revenue"] = keep["rev_e4"] / 10000.0
+    keep["p_partkey"] = keep["p_partkey"].astype(np.int64)
+    return keep.sort_values("p_partkey", ignore_index=True)[["p_partkey", "revenue"]]
+
+
+def part_value_concentration_sql(sf_dir: str, frac_ppm: int = 700) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, rev_e4 / 10000.0 AS revenue
+FROM rev
+WHERE rev_e4 * 1000000 > (SELECT SUM(rev_e4) FROM rev) * {frac_ppm}
+ORDER BY p_partkey"""
