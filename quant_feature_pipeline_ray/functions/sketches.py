@@ -93,3 +93,65 @@ def bloom_contains(
     pos = _bloom_positions(keys, m_bits, k)
     probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return probe.all(axis=1)
+
+
+# ------------------------------------------------------------ quantile digest
+#
+# Mergeable quantile sketch for UNBOUNDED floats — the companion to the
+# exact value-counts histogram in stages/normalize.py (which is the right
+# tool for bounded-cardinality integer columns, but unusable when every
+# value is distinct). Shape follows the t-digest idea (Dunning & Ertl,
+# public arXiv:1902.04023): a bounded list of (mean, weight) centroids,
+# size-capped by merge-compression; uniform capping (not the tail-biased
+# scale function) keeps the code dependency-free and the error bound easy
+# to state: each centroid holds <= ceil(n/max_centroids) points, so any
+# quantile's rank error is <= 1/max_centroids of the mass.
+
+
+def qdigest_partial(x: "np.ndarray", max_centroids: int = 512) -> "np.ndarray":
+    """Compress one batch into <= max_centroids (mean, weight) rows,
+    returned as a (k, 2) float64 array sorted by mean."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if len(x) == 0:
+        return np.empty((0, 2))
+    x = np.sort(x)
+    k = min(max_centroids, len(x))
+    # equal-mass bins over the sorted batch
+    edges = (np.arange(k + 1) * len(x)) // k
+    w = np.diff(edges).astype(np.float64)
+    sums = np.add.reduceat(x, edges[:-1])
+    return np.column_stack([sums / w, w])
+
+
+def qdigest_merge(parts: "list[np.ndarray]", max_centroids: int = 512) -> "np.ndarray":
+    """Merge any number of partial digests into one, associatively: pool
+    centroids, sort by mean, re-bin to equal WEIGHT. Order-insensitive up
+    to the stated rank-error bound."""
+    pool = np.vstack([p for p in parts if len(p)]) if parts else np.empty((0, 2))
+    if len(pool) == 0:
+        return pool
+    pool = pool[np.argsort(pool[:, 0], kind="stable")]
+    if len(pool) <= max_centroids:
+        return pool
+    cw = np.cumsum(pool[:, 1])
+    total = cw[-1]
+    # equal-weight bin id per centroid (a centroid is never split — that's
+    # what keeps the merge associative and the error bounded by bin mass)
+    bins = np.minimum((cw - pool[:, 1] / 2.0) / total * max_centroids, max_centroids - 1e-9).astype(np.int64)
+    w = np.bincount(bins, weights=pool[:, 1], minlength=max_centroids)
+    s = np.bincount(bins, weights=pool[:, 0] * pool[:, 1], minlength=max_centroids)
+    nz = w > 0
+    return np.column_stack([s[nz] / w[nz], w[nz]])
+
+
+def qdigest_quantile(digest: "np.ndarray", q: float) -> float:
+    """Estimate the q-quantile: linear interpolation between centroid means
+    at the target cumulative weight (each centroid treated as centered
+    mass, the standard t-digest readout)."""
+    if len(digest) == 0:
+        return float("nan")
+    means, w = digest[:, 0], digest[:, 1]
+    cw = np.cumsum(w) - w / 2.0
+    target = q * w.sum()
+    return float(np.interp(target, cw, means))

@@ -146,3 +146,40 @@ def calibrated_normalize(
         return batch.append_column(f"{col}_winsor_unit", pa.array((clipped - lo) / span))
 
     return ds.map_batches(fn, batch_format="pyarrow"), qs
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...],
+    max_centroids: int = 512,
+) -> dict[float, float]:
+    """Distributed approximate quantiles for UNBOUNDED float columns — the
+    100 TB path when the exact value-counts histogram (global_quantiles)
+    can't bound its keyspace (every value distinct => the histogram IS the
+    column).
+
+    Per-batch qdigest partials (<= max_centroids rows each) -> ONE driver
+    merge over block-count * max_centroids rows (a few MB at any data
+    scale; tree-reduce via Ray tasks if block count ever makes even that
+    large). Rank error <= 1/max_centroids of the mass per query — pytest
+    gates it on skewed data (tests/test_training_data.py)."""
+    import pandas as pd
+
+    from quant_feature_pipeline_ray.functions.sketches import (
+        qdigest_merge,
+        qdigest_partial,
+        qdigest_quantile,
+    )
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        d = qdigest_partial(
+            batch[col].to_numpy(zero_copy_only=False), max_centroids=max_centroids
+        )
+        return pd.DataFrame({"mean": d[:, 0], "weight": d[:, 1]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    digest = qdigest_merge(
+        [parts[["mean", "weight"]].to_numpy()], max_centroids=max_centroids
+    )
+    return {q: qdigest_quantile(digest, q) for q in qs}

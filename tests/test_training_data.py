@@ -396,3 +396,45 @@ def test_semdedup_matches_straightline(ray_session):
     assert (got["keep"].to_numpy() == keep).all()
     # the op must actually drop something on this corpus
     assert (~keep).sum() > 0
+
+
+def test_qdigest_error_bound_and_merge_associativity():
+    """Quantile digest: rank error <= 2/max_centroids on heavy-tailed data,
+    and merging in different groupings gives (near-)identical digests."""
+    from quant_feature_pipeline_ray.functions.sketches import (
+        qdigest_merge,
+        qdigest_partial,
+        qdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.lognormal(mean=0.0, sigma=2.5, size=50_000)
+    chunks = np.array_split(x, 37)
+    K = 256
+    parts = [qdigest_partial(c, K) for c in chunks]
+    d_flat = qdigest_merge(parts, K)
+    # two-level merge (different grouping) must agree within the bound too
+    mid = [qdigest_merge(parts[i::5], K) for i in range(5)]
+    d_tree = qdigest_merge(mid, K)
+    xs = np.sort(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        for d in (d_flat, d_tree):
+            est = qdigest_quantile(d, q)
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert abs(rank - q) <= 2.0 / K, (q, rank)
+
+
+def test_approx_quantiles_on_dataset(ray_session):
+    """Distributed approx_quantiles over the events value column lands
+    within the digest's rank-error bound of the exact quantiles."""
+    import ray.data
+
+    from quant_feature_pipeline_ray.stages.normalize import approx_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"])
+    got = approx_quantiles(ds, "value", (0.1, 0.5, 0.9, 0.99), max_centroids=256)
+    vals = np.sort(pd.read_parquet(f"{sf}/events.parquet")["value"].to_numpy())
+    for q, est in got.items():
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - q) <= 2.0 / 256, (q, rank)
