@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["disjunctive_revenue"] = tpch.disjunctive_revenue
     q["supplier_count_by_part_attrs"] = tpch.supplier_count_by_part_attrs
     q["part_value_concentration"] = tpch.part_value_concentration
+    q["sales_rollup"] = tpch.sales_rollup
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -424,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_zipf"] = td.doc_zipf
     q["doc_redact"] = td.doc_redact
     q["doc_contamination"] = td.doc_contamination
+    q["doc_export_shards"] = td.doc_export_shards
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -494,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": tpch.disjunctive_revenue_sql(_SQL_SF_DIR),
         "supplier_count_by_part_attrs": tpch.supplier_count_by_part_attrs_sql(_SQL_SF_DIR),
         "part_value_concentration": tpch.part_value_concentration_sql(_SQL_SF_DIR),
+        "sales_rollup": tpch.sales_rollup_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
@@ -510,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_zipf": td.doc_zipf_sql(_SQL_SF_DIR),
         "doc_redact": td.doc_redact_sql(_SQL_SF_DIR),
         "doc_contamination": td.doc_contamination_sql(_SQL_SF_DIR),
+        "doc_export_shards": td.doc_export_shards_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

@@ -1701,3 +1701,84 @@ SELECT p_partkey, rev_e4 / 10000.0 AS revenue
 FROM rev
 WHERE rev_e4 * 1000000 > (SELECT SUM(rev_e4) FROM rev) * {frac_ppm}
 ORDER BY p_partkey"""
+
+
+def sales_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping-sets shape: revenue + line counts at THREE
+    aggregation levels — (brand, size), (brand), grand total — from ONE
+    pass over the fact table.
+
+    The classic multi-level trick: aggregate the FINEST level through the
+    one hash exchange (per-batch combiner first), then derive every coarser
+    level by re-aggregating the finest-level integer partials (dimension-
+    sized, driver-side) — the fact table is never re-read. Sentinels
+    ('ALL', -1) stand in for ROLLUP's NULLs so the value-hash compare is
+    engine-independent."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pref = ray.put(
+        (
+            dict(zip(part["p_partkey"].astype(np.int64), part["p_brand"])),
+            dict(zip(part["p_partkey"].astype(np.int64), part["p_size"].astype(np.int64))),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        brands, sizes = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        pk = pd.Series(batch["l_partkey"].to_numpy().astype(np.int64))
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "brand": pk.map(brands),
+                "size": pk.map(sizes).astype(np.int64),
+                "rev_e4": price_c * (100 - disc_c),
+                "n_lines": np.ones(len(pk), np.int64),
+            }
+        )
+        return df.groupby(["brand", "size"], as_index=False).agg(
+            rev_e4=("rev_e4", "sum"), n_lines=("n_lines", "sum")
+        )
+
+    fine = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["brand", "size"],
+        {"rev_e4": ("rev_e4", "sum"), "n_lines": ("n_lines", "sum")},
+    ).to_pandas()
+
+    by_brand = fine.groupby("brand", as_index=False).agg(
+        rev_e4=("rev_e4", "sum"), n_lines=("n_lines", "sum")
+    )
+    by_brand["size"] = np.int64(-1)
+    total = pd.DataFrame(
+        {
+            "brand": ["ALL"],
+            "size": np.array([-1], np.int64),
+            "rev_e4": [fine["rev_e4"].sum()],
+            "n_lines": [fine["n_lines"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_brand, total], ignore_index=True)
+    out["revenue"] = out["rev_e4"].astype(np.int64) / 10000.0
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["size"] = out["size"].astype(np.int64)
+    return out.sort_values(["brand", "size"], ignore_index=True)[
+        ["brand", "size", "revenue", "n_lines"]
+    ]
+
+
+def sales_rollup_sql(sf_dir: str) -> str:
+    return """
+SELECT COALESCE(p.p_brand, 'ALL') AS brand,
+       CAST(COALESCE(p.p_size, -1) AS BIGINT) AS size,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY ROLLUP(p.p_brand, p.p_size)
+ORDER BY brand, size"""

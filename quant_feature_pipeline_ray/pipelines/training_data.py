@@ -2892,3 +2892,58 @@ SELECT d.doc_id,
 FROM dtri d LEFT JOIN eval_set e USING (g)
 WHERE d.doc_id % {eval_mod} <> 0
 GROUP BY 1 ORDER BY 1"""
+
+
+# -------------------------------------------------------- partitioned export
+
+
+def doc_export_shards(sf_dir: str, root: str = "/tmp/graft_doc_shards") -> pd.DataFrame:
+    """Partitioned training-shard export + read-back verification: write the
+    documents table as hive-partitioned parquet (one directory per lang —
+    the resumable-output layout: a failed run re-lists the partition dirs
+    and skips finished ones), then read it BACK per partition and report
+    per-lang row/char counts from the WRITTEN bytes.
+
+    The returned numbers come from the round-tripped files, not the input,
+    so the oracle (same aggregate over the source table) proves the sink
+    lost/duplicated nothing. Output path is per-sf and wiped first, so
+    reruns are deterministic."""
+    import os
+    import shutil
+
+    out_dir = os.path.join(root, os.path.basename(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+    )
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(batch), np.int64),
+                "total_chars": batch["n_chars"].to_numpy().astype(np.int64),
+            }
+        )
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+
+    parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out.sort_values("lang", ignore_index=True)
+
+
+def doc_export_shards_sql(sf_dir: str) -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang"""
