@@ -211,7 +211,22 @@ def lsh_verified_pairs(
     (1 - 0.82^2)^32 ~ 3e-16 per pair, and tests/test_training_data.py pins
     recall == 1.0 against the all-pairs result on the sf0.01 corpus.
     Shingle_k=1 so MinHash estimates the SAME token-set similarity the
-    exact verify (and the DuckDB oracle) computes."""
+    exact verify (and the DuckDB oracle) computes.
+
+    The verified-pair table is CHECKPOINTED to parquet per process (same
+    discipline as dup_cluster_labels): doc_jaccard_pairs, the CC labels
+    and the minhash query share one LSH+verify run."""
+    import os as _os
+    import shutil as _shutil
+
+    ck = _os.path.join(
+        "/tmp/graft_lsh_pairs",
+        f"pid{_os.getpid()}_{_os.path.basename(sf_dir)}_t{threshold}"
+        f"_p{num_perm}_b{num_bands}_k{shingle_k}",
+    )
+    if _os.path.exists(ck + "._SUCCESS"):
+        return ray.data.read_parquet(ck)
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class Signer:
@@ -289,11 +304,18 @@ def lsh_verified_pairs(
         out["jaccard"] = out["n_inter"] / out["n_union"]
         return out
 
-    return (
+    pairs = (
         verified.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(dedup_partition, batch_format="pandas")
     )
+    _shutil.rmtree(ck, ignore_errors=True)
+    pairs.write_parquet(ck)
+    wrote = _os.path.isdir(ck) and any(n.endswith(".parquet") for n in _os.listdir(ck))
+    if not wrote:  # zero verified pairs: nothing to checkpoint
+        return pairs
+    open(ck + "._SUCCESS", "w").close()
+    return ray.data.read_parquet(ck)
 
 
 def doc_jaccard_pairs(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
@@ -1848,9 +1870,28 @@ def dup_cluster_labels(
     endpoint sums + a mixed hash) computed as per-block partial sums — the
     driver only ever sees that 4-tuple per pass plus the final
     (doc_id, cluster_id) table the caller asked for. Edge tables are
-    materialized per pass and stay linear in the number of verified pairs."""
+    materialized per pass and stay linear in the number of verified pairs.
+
+    The final label table is CHECKPOINTED to parquet (distributed write —
+    nothing lands on the driver) and reused by later calls in the same
+    process: doc_dup_clusters and doc_cluster_rep share one CC run instead
+    of re-deriving the pair graph twice. At scale this is the standard
+    iterative-result checkpoint; delete the path (or pass a different
+    threshold) to force recompute."""
+    import os
+    import shutil
+
     from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
     from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    # per-process checkpoint path: shared by every caller in this driver
+    # process, auto-invalidated across processes/rounds (code may change)
+    ck = os.path.join(
+        "/tmp/graft_cc_labels",
+        f"pid{os.getpid()}_{os.path.basename(sf_dir)}_t{threshold}_p{max_passes}",
+    )
+    if os.path.exists(ck + "._SUCCESS"):
+        return ray.data.read_parquet(ck)
 
     n_parts = max(8, cluster_cpus())
 
@@ -1962,12 +2003,16 @@ def dup_cluster_labels(
         lambda b: pa.table({"node": b["doc_id"], "parent": b["doc_id"]}),
         batch_format="pyarrow",
     )
-    return grouped_aggregate(
+    labels = grouped_aggregate(
         edges.union(doc_tagged),
         "node",
         {"cluster_id": ("parent", "min")},
         num_partitions=n_parts,
     )
+    shutil.rmtree(ck, ignore_errors=True)
+    labels.write_parquet(ck)
+    open(ck + "._SUCCESS", "w").close()
+    return ray.data.read_parquet(ck)
 
 
 def doc_dup_clusters(
