@@ -2992,3 +2992,75 @@ def doc_export_shards_sql(sf_dir: str) -> str:
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def doc_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixing / source reweighting: sample the corpus down to a
+    TARGET source mix (here 3:1 even:odd source ids — the "upweight
+    curated domains" move every LLM data recipe makes) with deterministic,
+    engine-independent selection.
+
+    Two-pass, all integer:
+      pass 1: per-source counts (tiny groupby through one exchange);
+      driver: unit U = min_s floor(n_s / w_s); per-source keep threshold
+              t_s = (w_s * U) << 32 // n_s — so each source keeps ~w_s * U
+              docs and the kept corpus hits the target ratio;
+      pass 2: stateless filter keep iff md5(doc_id)[:8] as u32 < t_s —
+              the same bit-stable uniform as doc_stratified_sample, so the
+              exact kept SET is SQL-checkable (at scale swap md5 for a
+              vectorized 64-bit mixer; the structure is unchanged)."""
+    import hashlib
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    cnt = grouped_aggregate(
+        ds, "source", {"n": ("doc_id", "size")}, num_partitions=8
+    ).to_pandas()
+
+    def weight(src: str) -> int:
+        return 3 if int(src[3:]) % 2 == 0 else 1
+
+    cnt["w"] = cnt["source"].map(weight).astype(np.int64)
+    unit = int((cnt["n"].astype(np.int64) // cnt["w"]).min())
+    thr = {
+        s: (int(w) * unit * 4294967296) // int(n)
+        for s, n, w in zip(cnt["source"], cnt["n"], cnt["w"])
+    }
+    tref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pd.DataFrame:
+        t = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        ids = batch["doc_id"].to_numpy()
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        u32 = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        tv = np.fromiter((t[s] for s in src), dtype=np.int64, count=len(src))
+        m = u32 < tv
+        return pd.DataFrame({"doc_id": ids[m], "source": src[m]})
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_source_mix_sql(sf_dir: str) -> str:
+    return """
+WITH cnt AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3 ELSE 1 END AS w
+  FROM documents GROUP BY 1
+),
+u AS (SELECT min(n // w) AS unit FROM cnt),
+thr AS (
+  SELECT source, (w::HUGEINT * (SELECT unit FROM u) * 4294967296) // n AS t
+  FROM cnt
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON thr.source = d.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT < thr.t
+ORDER BY d.doc_id"""
