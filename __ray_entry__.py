@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
     q["e_asof_window"] = lambda sf: ev.events_asof_window(f"{sf}/events.parquet")
+    q["e_asof_forward"] = lambda sf: ev.events_asof_forward(f"{sf}/events.parquet")
     q["e_interval_join"] = lambda sf: ev.events_interval_join(f"{sf}/events.parquet")
     q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
     q["e_pivot"] = lambda sf: ev.events_pivot(f"{sf}/events.parquet")
@@ -468,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "e_window_agg": oracle.sql_events_window_agg(),
         "e_sessionize": oracle.sql_events_sessionize(),
         "e_asof_window": oracle.sql_events_asof_window(),
+        "e_asof_forward": ev.events_asof_forward_sql(),
         "e_interval_join": ev.events_interval_join_sql(),
         "e_running_total": ev.events_running_total_sql(),
         "e_pivot": ev.events_pivot_sql(),

@@ -717,3 +717,59 @@ SELECT cohort * 86400000000 AS cohort_day_us,
        CAST(SUM(r1) AS BIGINT) AS retained_d1,
        CAST(SUM(r7) AS BIGINT) AS retained_d7
 FROM r GROUP BY 1 ORDER BY 1"""
+
+
+def events_asof_forward(path: str, window_s: int = 3600, num_buckets: int = 32) -> ray.data.Dataset:
+    """FORWARD as-of: each event joined to the EARLIEST per-user window
+    aggregate ending at-or-after it — the "next scheduled boundary" lookup
+    (completes the J1 family's direction axis; same single-shuffle plan,
+    direction='forward' in the co-partition merge)."""
+    ds = _read_events(path, ["event_id", "ts", "user_id"])
+
+    def to_us(batch):
+        import pyarrow as pa
+
+        ts_us = batch["ts"].cast(pa.int64())
+        return batch.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    left = ds.map_batches(to_us, batch_format="pyarrow")
+    right = events_window_agg(path, window_s, num_buckets).drop_columns(
+        ["first_value", "last_value", "min_value", "max_value"]
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts_us",
+        right_on="w_end_us",
+        by="user_id",
+        num_buckets=num_buckets,
+        prefix="w_",
+        fill_zero=True,
+        direction="forward",
+    )
+
+
+def events_asof_forward_sql(window_s: int = 3600) -> str:
+    # DuckDB ASOF JOIN is backward-only (>=): negating both time keys turns
+    # "earliest w_end_us >= ts" into a backward lookup on the negated axis.
+    p = window_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS neg_ts
+  FROM events
+), w AS (
+  SELECT user_id,
+         (ts_us // {p} + 1) * {p} AS w_end_us,
+         -((ts_us // {p} + 1) * {p}) AS neg_w_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(value_c) AS BIGINT) / 100.0 AS sum_value
+  FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+  GROUP BY 1, 2, 3
+)
+SELECT e.event_id, e.user_id, e.ts_us,
+       COALESCE(w.n_events, 0) AS w_n_events,
+       COALESCE(w.sum_value, 0.0) AS w_sum_value,
+       COALESCE(w.w_end_us, 0) AS w_w_end_us
+FROM e ASOF LEFT JOIN w ON e.user_id = w.user_id AND e.neg_ts >= w.neg_w_end
+ORDER BY e.event_id"""

@@ -46,11 +46,15 @@ def merge_asof_frames(
     right_on: str,
     by: str = "conv_id",
     prefix: str = "",
+    direction: str = "backward",
 ) -> pd.DataFrame:
-    """Backward as-of merge of two frames of ONE co-partition.
+    """As-of merge of two frames of ONE co-partition.
 
-    Column prefixing mirrors the reference's add_timeframe_prefix
-    (step4_merge_features.py:340-344)."""
+    direction: 'backward' (latest right row at-or-before, the default and
+    the reference's semantics), 'forward' (earliest at-or-after), or
+    'nearest' (closest in either direction; on exact-distance ties pandas
+    keeps the backward row). Column prefixing mirrors the reference's
+    add_timeframe_prefix (step4_merge_features.py:340-344)."""
     lo = left.sort_values(on, kind="mergesort")
     value_cols = [c for c in right.columns if c not in (right_on, by)]
     ro = right.sort_values(right_on, kind="mergesort")[[by, right_on] + value_cols]
@@ -61,7 +65,7 @@ def merge_asof_frames(
         left_on=on,
         right_on=f"{prefix}{right_on}",
         by=by,
-        direction="backward",
+        direction=direction,
         allow_exact_matches=True,
     )
 
@@ -75,9 +79,11 @@ def asof_join(
     num_buckets: int = 64,
     prefix: str = "r_",
     fill_zero: bool = True,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Distributed backward as-of join of two Datasets on a time key within
-    a `by` entity. Single shuffle (padded+tagged union → bucket groupby)."""
+    """Distributed as-of join of two Datasets on a time key within a `by`
+    entity, in any pandas direction (backward / forward / nearest).
+    Single shuffle (padded+tagged union → bucket groupby)."""
     right_on = right_on or on
 
     def _pa_type(t):
@@ -142,7 +148,10 @@ def asof_join(
             for c in [right_on] + [x for x in right_cols if x not in (right_on, by)]:
                 out[f"{prefix}{c}"] = np.nan
         else:
-            out = merge_asof_frames(lf, rf, on=on, right_on=right_on, by=by, prefix=prefix)
+            out = merge_asof_frames(
+                lf, rf, on=on, right_on=right_on, by=by, prefix=prefix,
+                direction=direction,
+            )
         if fill_zero:
             for c in right_only:
                 name = f"{prefix}{c}" if c != right_on else f"{prefix}{right_on}"

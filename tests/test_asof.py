@@ -71,3 +71,62 @@ def test_asof_never_reads_future(frames):
     out = merge_asof_frames(left, right, on="ts_us", right_on="w_end_us", prefix="r_")
     m = out["r_w_end_us"].notna()
     assert (out.loc[m, "r_w_end_us"] <= out.loc[m, "ts_us"]).all()
+
+
+def test_asof_directions_match_pandas(ray_session):
+    """forward/nearest distributed as-of == a single-frame pd.merge_asof on
+    a fuzzed co-partitioned fixture (distinct timestamps, so 'nearest' has
+    no distance ties and every direction is uniquely defined)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from quant_feature_pipeline_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 4000, 900
+    left = pd.DataFrame(
+        {
+            "conv_id": rng.integers(0, 37, n_l),
+            "ts_us": rng.choice(np.arange(1, 10_000_000, 2), size=n_l, replace=False).astype(np.int64),
+            "x": rng.integers(0, 100, n_l).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "conv_id": rng.integers(0, 37, n_r),
+            "w_ts": rng.choice(np.arange(0, 10_000_000, 2), size=n_r, replace=False).astype(np.int64),
+            "v": rng.integers(0, 1000, n_r).astype(np.int64),
+        }
+    )
+    for direction in ("forward", "nearest"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="ts_us",
+                right_on="w_ts",
+                by="conv_id",
+                num_buckets=8,
+                prefix="r_",
+                fill_zero=False,
+                direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "ts_us"], ignore_index=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts_us", kind="mergesort"),
+            right.sort_values("w_ts", kind="mergesort").rename(
+                columns={"w_ts": "r_w_ts", "v": "r_v"}
+            ),
+            left_on="ts_us",
+            right_on="r_w_ts",
+            by="conv_id",
+            direction=direction,
+        ).sort_values(["conv_id", "ts_us"], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "ts_us", "x", "r_w_ts", "r_v"]],
+            exp[["conv_id", "ts_us", "x", "r_w_ts", "r_v"]],
+            check_dtype=False,
+        )
