@@ -155,3 +155,41 @@ def qdigest_quantile(digest: "np.ndarray", q: float) -> float:
     cw = np.cumsum(w) - w / 2.0
     target = q * w.sum()
     return float(np.interp(target, cw, means))
+
+
+# -------------------------------------------------------------- count-min
+#
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public): mergeable
+# frequency estimator — estimates only ever OVERCOUNT, by at most eps*N
+# with probability 1-delta for width >= e/eps, depth >= ln(1/delta).
+# Completes the repo's mergeable-sketch family (Bloom membership, HLL
+# cardinality, Misra-Gries heavy hitters, q-digest quantiles): per-batch
+# partials are plain int64 grids summed by any reduce.
+
+CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def cms_partial(hashes: np.ndarray, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Count one batch of pre-hashed uint64 keys into a (depth, width)
+    int64 grid. Merging partials = elementwise sum (associative)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = ((h * CMS_SEEDS[d]) >> np.uint64(33)) % np.uint64(width)
+        np.add.at(grid[d], idx.astype(np.int64), 1)
+    return grid
+
+
+def cms_query(grid: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for pre-hashed keys: min over rows (the CM
+    estimate — an upper bound on the true count, never an undercount)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    depth, width = grid.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = ((h * CMS_SEEDS[d]) >> np.uint64(33)) % np.uint64(width)
+        est = np.minimum(est, grid[d, idx.astype(np.int64)])
+    return est

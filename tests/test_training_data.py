@@ -438,3 +438,29 @@ def test_approx_quantiles_on_dataset(ray_session):
     for q, est in got.items():
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - q) <= 2.0 / 256, (q, rank)
+
+
+def test_count_min_bounds_and_merge():
+    """CMS: never undercounts; overcount bounded by (e/width)*N on a
+    Zipf-ish stream; partial merge == whole-stream sketch bitwise."""
+    from quant_feature_pipeline_ray.functions.sketches import (
+        cms_partial,
+        cms_query,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.4, size=80_000) % 10_000
+    h = (keys.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)) ^ np.uint64(0x1234)
+    W, D = 2048, 4
+    whole = cms_partial(h, W, D)
+    merged = sum(cms_partial(c, W, D) for c in np.array_split(h, 13))
+    assert (whole == merged).all()
+    uniq, true = np.unique(keys, return_counts=True)
+    hu = (uniq.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)) ^ np.uint64(0x1234)
+    est = cms_query(whole, hu)
+    assert (est >= true).all()  # CM never undercounts
+    bound = np.e / W * len(keys)
+    # standard guarantee holds with prob 1-e^-D per key; assert the 99.9th
+    # percentile of overshoot is within the bound (deterministic seed)
+    over = est - true
+    assert np.quantile(over, 0.999) <= bound, (np.quantile(over, 0.999), bound)
