@@ -773,3 +773,40 @@ SELECT e.event_id, e.user_id, e.ts_us,
        COALESCE(w.w_end_us, 0) AS w_w_end_us
 FROM e ASOF LEFT JOIN w ON e.user_id = w.user_id AND e.neg_ts >= w.neg_w_end
 ORDER BY e.event_id"""
+
+
+def events_unpivot(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Unpivot / melt (wide→long): the pivoted per-user count/sum columns
+    back to (user_id, event_type, n, sum_value) rows — the inverse reshape
+    (feeding per-metric pipelines from a wide table). Stateless flat map
+    over the pivot's blocks: each wide row fans out to one row per
+    declared event type, no extra shuffle beyond the pivot's own."""
+    wide = events_pivot(path, num_buckets)
+
+    def melt(batch: pa.Table) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy()
+        n = len(uid)
+        k = len(EVENT_TYPES)
+        out = pd.DataFrame(
+            {
+                "user_id": np.repeat(uid, k),
+                "event_type": np.tile(np.asarray(EVENT_TYPES, dtype=object), n),
+                "n": np.column_stack(
+                    [batch[f"n_{t}"].to_numpy() for t in EVENT_TYPES]
+                ).reshape(-1),
+                "sum_value": np.column_stack(
+                    [batch[f"sum_{t}"].to_numpy() for t in EVENT_TYPES]
+                ).reshape(-1),
+            }
+        )
+        return out[out["n"] > 0].reset_index(drop=True)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def events_unpivot_sql() -> str:
+    return """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
