@@ -3064,3 +3064,121 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN thr ON thr.source = d.source
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT < thr.t
 ORDER BY d.doc_id"""
+
+
+# --------------------------------------------------------- incremental dedup
+
+
+def doc_dedup_incremental(
+    ds: "ray.data.Dataset",
+    state_root: str,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Incremental exact dedup against a PERSISTED hash state — the
+    streaming-corpus shape: batches of new documents arrive over time, and
+    a doc is kept iff its content was never seen in ANY earlier batch (nor
+    earlier in this one, by doc_id order). The state is the document
+    analogue of the transcript engine's per-conversation ConvState
+    (manifest.run_incremental_append): hash-partitioned parquet files, one
+    per partition, updated atomically batch after batch.
+
+    Dataflow: content-hash per batch (text never moves) -> ONE hash
+    exchange on the partition key -> each partition loads only ITS state
+    file (bounded: 1/num_partitions of the seen-hash set), filters
+    new-batch dups in doc_id order, rewrites its state file via
+    tmp+rename. Crash between partitions re-runs idempotently: a hash
+    already committed filters the same rows again.
+
+    Returns the kept (doc_id, h) rows. tests pin two-batch append ==
+    one-shot doc_exact_dedup representatives, bitwise."""
+    import os
+    import tempfile
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    os.makedirs(state_root, exist_ok=True)
+
+    def hash_stage(batch: pa.Table) -> pd.DataFrame:
+        h = content_hash(batch["text"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "h": h})
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(
+            (g["h"].to_numpy(np.int64).view(np.uint64)[0] * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)
+        ) % num_partitions if len(g) else 0
+        # all rows in one call share the partition by construction; recompute
+        # the canonical id from the bucket column is avoided — derive from h
+        path = os.path.join(state_root, f"part{part:05d}.parquet")
+        seen = (
+            pd.read_parquet(path)["h"].to_numpy(np.int64)
+            if os.path.exists(path)
+            else np.empty(0, np.int64)
+        )
+        g = g.sort_values("doc_id", kind="mergesort")
+        first_in_batch = ~g["h"].duplicated(keep="first").to_numpy()
+        fresh = ~g["h"].isin(seen).to_numpy() & first_in_batch
+        kept = g[fresh][["doc_id", "h"]].reset_index(drop=True)
+        new_state = np.concatenate([seen, kept["h"].to_numpy(np.int64)])
+        fd, tmp = tempfile.mkstemp(dir=state_root)
+        os.close(fd)
+        pd.DataFrame({"h": new_state}).to_parquet(tmp)
+        os.replace(tmp, path)
+        return kept
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy().view(np.uint64)
+        pk = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_partitions)
+        return b.append_column("pk", pa.array(pk.astype(np.int32)))
+
+    out = (
+        hashed.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda df: dedup_partition(df.drop(columns=["pk"])), batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "h": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_dedup_incremental_run(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing demonstration of doc_dedup_incremental: the corpus
+    arrives as two batches (split at the median doc_id), each deduped
+    against the persisted state in turn. The union of kept ids must equal
+    the ONE-SHOT exact-dedup representatives — which is exactly what the
+    SQL oracle computes, so the incremental path is oracle-gated, not just
+    pytest-gated."""
+    import os
+    import shutil
+
+    state = f"/tmp/graft_dedup_state/pid{os.getpid()}_{os.path.basename(sf_dir)}"
+    shutil.rmtree(state, ignore_errors=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    cut = int(ids.median())
+
+    import pyarrow.compute as pc
+
+    b1 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") <= cut,
+    )
+    b2 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") > cut,
+    )
+    k1 = doc_dedup_incremental(b1, state)
+    k2 = doc_dedup_incremental(b2, state)
+    out = pd.concat([k1, k2], ignore_index=True)[["doc_id"]]
+    out = out.rename(columns={"doc_id": "rep_doc_id"})
+    return out.sort_values("rep_doc_id", ignore_index=True)
+
+
+def doc_dedup_incremental_run_sql(sf_dir: str) -> str:
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM documents GROUP BY text ORDER BY rep_doc_id"""

@@ -464,3 +464,42 @@ def test_count_min_bounds_and_merge():
     # percentile of overshoot is within the bound (deterministic seed)
     over = est - true
     assert np.quantile(over, 0.999) <= bound, (np.quantile(over, 0.999), bound)
+
+
+def test_doc_dedup_incremental_equals_one_shot(ray_session, tmp_path):
+    """Two incremental batches against persisted state == one-shot exact
+    dedup representatives, bitwise; replaying batch 2 adds nothing
+    (idempotent state)."""
+    import ray.data
+
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        doc_dedup_incremental,
+        doc_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]].sort_values(
+        "doc_id", ignore_index=True
+    )
+    cut = docs["doc_id"].median()
+    b1, b2 = docs[docs["doc_id"] <= cut], docs[docs["doc_id"] > cut]
+    state = str(tmp_path / "dedup_state")
+
+    # inject CROSS-BATCH duplicates: 40 batch-1 texts reappear in batch 2
+    # under new doc_ids (the sf0.01 corpus has no exact dups of its own)
+    dup = b1.head(40).copy()
+    dup["doc_id"] = dup["doc_id"].to_numpy() + 1_000_000
+    b2 = pd.concat([b2, dup], ignore_index=True)
+
+    k1 = doc_dedup_incremental(ray.data.from_pandas(b1.reset_index(drop=True)), state)
+    k2 = doc_dedup_incremental(ray.data.from_pandas(b2.reset_index(drop=True)), state)
+    got = np.sort(np.concatenate([k1["doc_id"].to_numpy(), k2["doc_id"].to_numpy()]))
+
+    # the injected copies must be filtered by the PERSISTED state
+    assert not np.isin(dup["doc_id"].to_numpy(), got).any()
+    expected = np.sort(doc_exact_dedup(sf).to_pandas()["rep_doc_id"].to_numpy())
+    assert (got == expected).all()
+
+    # replay batch 2: every hash already committed -> zero rows kept
+    k2b = doc_dedup_incremental(ray.data.from_pandas(b2.reset_index(drop=True)), state)
+    assert len(k2b) == 0
