@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_export_shards"] = td.doc_export_shards
     q["doc_source_mix"] = td.doc_source_mix
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
+    q["doc_curriculum_rank"] = td.doc_curriculum_rank
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -522,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_export_shards": td.doc_export_shards_sql(_SQL_SF_DIR),
         "doc_source_mix": td.doc_source_mix_sql(_SQL_SF_DIR),
         "doc_dedup_incremental": td.doc_dedup_incremental_run_sql(_SQL_SF_DIR),
+        "doc_curriculum_rank": td.doc_curriculum_rank_sql(_SQL_SF_DIR),
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

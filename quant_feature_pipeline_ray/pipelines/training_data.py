@@ -3182,3 +3182,95 @@ def doc_dedup_incremental_run_sql(sf_dir: str) -> str:
     return """
 SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id
 FROM documents GROUP BY text ORDER BY rep_doc_id"""
+
+
+# ----------------------------------------------------- global sort / ranking
+
+
+def doc_curriculum_rank(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """GLOBAL sort/rank of the corpus by a difficulty score (here n_chars,
+    tie-break doc_id) — the curriculum-ordering operator ("train on short
+    docs first"), and the repo's demonstration of the scalable global-sort
+    pattern Ray's own ds.sort uses under the hood, built explicitly:
+
+      sample:    bounded score sample -> driver picks P-1 split points
+                 (ties NEVER split: partition id = searchsorted(splits,
+                 score), so equal scores share a partition by construction)
+      exchange:  ONE range shuffle by partition id; only (doc_id, score)
+                 rides — never text
+      rank:      per-partition sort + local rank (vectorized argsort)
+      offsets:   per-partition counts -> driver prefix-sums P integers ->
+                 broadcast -> stateless map adds offset[pid]
+
+    global_rank is exactly row_number() OVER (ORDER BY score, doc_id) —
+    the oracle checks every rank, which pins both the range partitioner
+    (no row in the wrong partition) and the offset arithmetic."""
+    from quant_feature_pipeline_ray.stages.partition import BUCKET_COL
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    # bounded sample: fine-grained quantile split points from up to 64k rows
+    sample = ds.limit(65536).to_pandas()["n_chars"].to_numpy()
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    splits = np.unique(np.quantile(sample, qs, method="lower"))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        s = batch["n_chars"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "score": s,
+                "pid": np.searchsorted(splits, s, side="right").astype(np.int32),
+            }
+        )
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["score"].to_numpy()))
+        out = g.iloc[order].reset_index(drop=True)
+        out["local_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    ranked = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(local_rank, batch_format="pandas")
+        .materialize()  # small columns only (doc_id, score, pid, local_rank)
+    )
+
+    def count_partial(b: pa.Table) -> pd.DataFrame:
+        pid, n = np.unique(b["pid"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"pid": pid, "n": n.astype(np.int64)})
+
+    counts = (
+        ranked.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("pid")["n"]
+        .sum()
+        .sort_index()
+    )
+    offs = counts.cumsum().shift(fill_value=0).to_dict()
+    oref = ray.put(offs)
+
+    def add_offset(batch: pa.Table) -> pd.DataFrame:
+        o = ray.get(oref) if isinstance(oref, ray.ObjectRef) else oref
+        pid = batch["pid"].to_numpy()
+        base = np.fromiter((o[int(p)] for p in pid), dtype=np.int64, count=len(pid))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "score": batch["score"].to_numpy(),
+                "global_rank": base + batch["local_rank"].to_numpy(),
+            }
+        )
+
+    out = ranked.map_batches(add_offset, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_curriculum_rank_sql(sf_dir: str) -> str:
+    return """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
+FROM documents ORDER BY doc_id"""
