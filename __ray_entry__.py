@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_source_mix"] = td.doc_source_mix
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
+    q["doc_graph_pagerank"] = td.doc_graph_pagerank
+    q["emb_outliers"] = td.emb_outliers
     q["doc_vocab"] = td.doc_vocab
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
@@ -524,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_mix": td.doc_source_mix_sql(_SQL_SF_DIR),
         "doc_dedup_incremental": td.doc_dedup_incremental_run_sql(_SQL_SF_DIR),
         "doc_curriculum_rank": td.doc_curriculum_rank_sql(_SQL_SF_DIR),
+        # doc_graph_pagerank / emb_outliers: iterative float power method /
+        # kmeans-seeded threshold → rows-only (straight-line parity pytests)
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),

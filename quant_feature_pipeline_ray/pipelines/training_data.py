@@ -3274,3 +3274,233 @@ def doc_curriculum_rank_sql(sf_dir: str) -> str:
 SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
        CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
 FROM documents ORDER BY doc_id"""
+
+
+def emb_outliers(
+    sf_dir: str,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    tail_ppm: int = 50_000,
+) -> pd.DataFrame:
+    """Prototypicality outlier flagging (the complement of SemDeDup's
+    keep-the-prototype move): score every vector by cosine distance to its
+    nearest seeded centroid, and flag the global tail (top tail_ppm
+    parts-per-million most-distant) as outliers — the "drop the weird 5%"
+    curation pass.
+
+    Distributed shape: centroids broadcast -> stateless per-batch
+    assignment + distance -> the global threshold comes from the EXACT
+    value-counts histogram over round-6 distances (stages/normalize
+    discipline: a bounded keyspace, nothing row-scaled on the driver) ->
+    stateless flag pass. Deterministic given the seeded k-means; pytest
+    pins exact parity vs straight-line numpy."""
+    cent = _kmeans_centroids(sf_dir, n_clusters, kmeans_iters, sample_max)
+    cent_ref = ray.put(cent)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        sims = u @ c.T
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "cluster": np.argmax(sims, axis=1).astype(np.int64),
+                "dist": np.round(1.0 - sims.max(axis=1), 6),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    # exact distributed histogram over the round-6 distance grid -> the
+    # global (1 - tail) quantile threshold, computed from value counts
+    def vc(batch: pa.Table) -> pd.DataFrame:
+        v, n = np.unique(batch["dist"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"v": v, "n": n.astype(np.int64)})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    hist = (
+        grouped_aggregate(
+            scored.map_batches(vc, batch_format="pyarrow"), "v", {"n": ("n", "sum")}
+        )
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    total = int(hist["n"].sum())
+    keep_n = total - (total * tail_ppm) // 1_000_000  # rows NOT flagged
+    cum = hist["n"].cumsum()
+    thr = float(hist["v"].iloc[int(np.searchsorted(cum.to_numpy(), keep_n))]) if keep_n < total else np.inf
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        d = batch["dist"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "cluster": batch["cluster"].to_numpy(),
+                "dist": d,
+                "is_outlier": d > thr,
+            }
+        )
+
+    out = scored.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id", ignore_index=True)
+
+
+def doc_graph_pagerank(
+    sf_dir: str,
+    threshold: float = 0.82,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> pd.DataFrame:
+    """PageRank over the (undirected) near-dup similarity graph — graph
+    centrality as a REPRESENTATIVE-QUALITY signal: inside a dup cluster the
+    highest-rank member is the most-connected (most "canonical") copy,
+    a better keep-choice than min-doc_id when copies differ in quality.
+
+    Bulk-synchronous distributed power iteration, TWO hash exchanges per
+    round (the minimum: contributions must re-key from src to dst, and the
+    per-node update joins the static degree table):
+
+      exchange 1 (key=node/src): static edge list + current (node, deg, r)
+        rows ride one tagged union; per partition each edge picks up its
+        source's r/deg -> (dst, contrib) rows out
+      exchange 2 (key=dst/node): contributions + the static (node, deg)
+        table; per partition r' = (1-d)/N + d*(sum_contrib + dangling/N)
+
+    The dangling mass (deg-0 nodes' rank) is a per-round driver SCALAR from
+    per-batch partial sums. Ranks are materialized each round (iterative
+    lineage would otherwise recompute from scratch). Float sums are
+    order-dependent -> rows-only; pytest pins allclose parity vs a
+    straight-line numpy power iteration and sum(r) == 1."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    pairs = lsh_verified_pairs(sf_dir, threshold=threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        c = b["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, c])),
+                "dst": pa.array(np.concatenate([c, a])),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # static degree table over ALL docs (deg 0 = dangling)
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    deg = grouped_aggregate(
+        edges, "src", {"deg": ("dst", "size")}, num_partitions=16
+    ).to_pandas()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+    deg_map = dict(zip(deg["src"].astype(np.int64), deg["deg"].astype(np.int64)))
+    dref = ray.put(deg_map)
+
+    def init_ranks(b: pa.Table) -> pd.DataFrame:
+        dm = ray.get(dref) if isinstance(dref, ray.ObjectRef) else dref
+        ids = b["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node": ids,
+                "deg": np.fromiter((dm.get(int(i), 0) for i in ids), np.int64, len(ids)),
+                "r": np.full(len(ids), 1.0 / n_docs),
+            }
+        )
+
+    ranks = docs.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    base = (1.0 - damping) / n_docs
+    for _ in range(n_iters):
+        # driver scalar: dangling mass
+        dang = sum(
+            float(b["r"][np.asarray(b["deg"]) == 0].sum())
+            for b in ranks.iter_batches(batch_format="numpy")
+        )
+
+        rank_tagged = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["node"],
+                    "dst": pa.array(np.full(len(b), -1, np.int64)),
+                    "r": b["r"],
+                    "deg": b["deg"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_tagged = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["src"],
+                    "dst": b["dst"],
+                    "r": pa.array(np.zeros(len(b))),
+                    "deg": pa.array(np.full(len(b), -1, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            nodes = g[g["deg"] >= 0]
+            share = pd.Series(
+                (nodes["r"] / nodes["deg"].clip(lower=1)).to_numpy(), index=nodes["key"]
+            )
+            e = g[g["deg"] < 0]
+            return pd.DataFrame(
+                {"dst": e["dst"].to_numpy(np.int64), "c": e["key"].map(share).to_numpy()}
+            )
+
+        contrib = partition_map_groups(
+            rank_tagged.union(edge_tagged), contribs, key="key", num_buckets=16
+        )
+
+        node_tagged = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["node"],
+                    "c": pa.array(np.zeros(len(b))),
+                    "deg": b["deg"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib_tagged = contrib.map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b["dst"],
+                    "c": b["c"],
+                    "deg": pa.array(np.full(len(b), -1, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def update(g: pd.DataFrame, _dang=dang) -> pd.DataFrame:
+            s = g.groupby("dst")["c"].sum()
+            nodes = g[g["deg"] >= 0]
+            new_r = base + damping * (
+                nodes["dst"].map(s).to_numpy() + _dang / n_docs
+            )
+            return pd.DataFrame(
+                {
+                    "node": nodes["dst"].to_numpy(np.int64),
+                    "deg": nodes["deg"].to_numpy(np.int64),
+                    "r": new_r,
+                }
+            )
+
+        ranks = partition_map_groups(
+            node_tagged.union(contrib_tagged), update, key="dst", num_buckets=16
+        ).materialize()
+
+    out = ranks.to_pandas()[["node", "r"]].rename(columns={"node": "doc_id", "r": "pagerank"})
+    out["pagerank"] = np.round(out["pagerank"], 9)
+    return out.sort_values("doc_id", ignore_index=True)

@@ -503,3 +503,67 @@ def test_doc_dedup_incremental_equals_one_shot(ray_session, tmp_path):
     # replay batch 2: every hash already committed -> zero rows kept
     k2b = doc_dedup_incremental(ray.data.from_pandas(b2.reset_index(drop=True)), state)
     assert len(k2b) == 0
+
+
+def test_emb_outliers_matches_straightline(ray_session):
+    """Distributed outlier flagging == straight-line numpy from the same
+    seeded centroids (same threshold rule on the round-6 distance grid)."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        _kmeans_centroids,
+        emb_outliers,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    tail_ppm = 50_000
+    got = emb_outliers(sf, tail_ppm=tail_ppm).sort_values("vec_id", ignore_index=True)
+
+    cent = _kmeans_centroids(sf, 16, 5, 65536)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    u = mat / np.maximum(np.sqrt((mat * mat).sum(1))[:, None], 1e-12)
+    sims = u @ cent.T
+    dist = np.round(1.0 - sims.max(1), 6)
+    total = len(dist)
+    keep_n = total - (total * tail_ppm) // 1_000_000
+    vs = np.sort(np.unique(dist))
+    counts = np.array([(dist == v).sum() for v in vs])
+    thr = vs[np.searchsorted(np.cumsum(counts), keep_n)]
+    assert (got["dist"].to_numpy() == dist).all()
+    assert (got["is_outlier"].to_numpy() == (dist > thr)).all()
+    frac = got["is_outlier"].mean()
+    assert 0 < frac <= 0.08  # ~5% tail actually flagged
+
+
+def test_pagerank_matches_straightline(ray_session):
+    """Distributed PageRank == straight-line numpy power iteration over the
+    same verified-pair graph (same damping/dangling handling), and the rank
+    vector sums to 1."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        doc_graph_pagerank,
+        doc_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n_iters, d = 3, 0.85
+    got = doc_graph_pagerank(sf, n_iters=n_iters, damping=d)
+
+    pairs = doc_jaccard_pairs(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")["doc_id"].to_numpy()
+    n = len(docs)
+    pos = {int(v): i for i, v in enumerate(np.sort(docs))}
+    src = np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+    dst = np.concatenate([pairs["doc_b"].to_numpy(), pairs["doc_a"].to_numpy()])
+    si = np.array([pos[int(v)] for v in src])
+    di = np.array([pos[int(v)] for v in dst])
+    deg = np.bincount(si, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        dang = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / np.maximum(deg[si], 1))
+        r = (1 - d) / n + d * (contrib + dang / n)
+    got_sorted = got.sort_values("doc_id")["pagerank"].to_numpy()
+    assert abs(got_sorted.sum() - 1.0) < 1e-6  # round-9 output, 500 values
+    assert np.allclose(got_sorted, np.round(r, 9), atol=2e-9)
+    # the graph is non-trivial: ranks must not be uniform
+    assert got_sorted.std() > 0
