@@ -367,6 +367,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_conv_rollup"] = t_conv_rollup
 
+    def t_conv_fingerprint(sf):
+        import hashlib
+
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)  # canonical dedup + (conv, turn) order
+            agg = t.groupby("conv_id", as_index=False).agg(
+                n_turns=("turn_idx", "size"), blob=("text", lambda s: "\x1f".join(s))
+            )
+            agg["fingerprint"] = [
+                hashlib.md5(b.encode()).hexdigest() for b in agg.pop("blob")
+            ]
+            agg["n_turns"] = agg["n_turns"].astype("int64")
+            return agg[["conv_id", "n_turns", "fingerprint"]]
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_conv_fingerprint"] = t_conv_fingerprint
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -566,6 +586,10 @@ ORDER BY conv_id, turn_idx""",
         "t_role_counts": oracle.sql_role_counts(p),
         "t_session_stats": oracle.sql_session_stats(p),
         "t_conv_rollup": oracle.sql_conv_rollup(p),
+        "t_conv_fingerprint": oracle.base_cte(p) + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fingerprint
+FROM t GROUP BY conv_id ORDER BY conv_id""",
         "t_regex_tokens": oracle.base_cte(p)
         + r"""
 SELECT conv_id, turn_idx,
