@@ -161,6 +161,8 @@ def run_bench() -> dict:
     timed("doc_vocab", lambda: td.doc_vocab(sf_dir).count())
     timed("emb_ann_topk", lambda: td.emb_ann_topk(sf_dir))
     timed("emb_hyperplane_lsh", lambda: td.emb_hyperplane_lsh(sf_dir))
+    timed("emb_knn_graph", lambda: len(td.emb_knn_graph(sf_dir)))
+    timed("doc_curriculum_rank", lambda: len(td.doc_curriculum_rank(sf_dir)))
 
     ray.shutdown()
     return {
