@@ -567,3 +567,27 @@ def test_pagerank_matches_straightline(ray_session):
     assert np.allclose(got_sorted, np.round(r, 9), atol=2e-9)
     # the graph is non-trivial: ranks must not be uniform
     assert got_sorted.std() > 0
+
+
+def test_curate_corpus_writes_funnel_survivors(ray_session, tmp_path):
+    """The curation job's written shards contain EXACTLY the funnel's
+    surviving doc_ids (text re-joined through the doc_id exchange, never
+    through the funnel), partitioned by lang; a re-run resumes (no-op)."""
+    from quant_feature_pipeline_ray.pipelines.curation import curate_corpus
+    from quant_feature_pipeline_ray.pipelines.training_data import doc_curation_funnel
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    s1 = curate_corpus(sf, out)
+    import ray.data
+
+    back = ray.data.read_parquet(out).to_pandas()
+    want = doc_curation_funnel(sf).to_pandas()
+    assert sorted(back["doc_id"]) == sorted(want["doc_id"])
+    assert s1["n_final"] == len(want) and s1["n_input"] == 500
+    assert back["text"].str.len().gt(0).all()  # real text rode the join
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    s2 = curate_corpus(sf, out)  # resume: marker present -> no rewrite
+    assert s2 == s1
