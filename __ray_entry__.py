@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
     q["e_retention"] = lambda sf: ev.events_retention(f"{sf}/events.parquet")
     q["e_unpivot"] = lambda sf: ev.events_unpivot(f"{sf}/events.parquet")
+    q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -506,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "e_funnel": ev.events_funnel_sql(),
         "e_retention": ev.events_retention_sql(),
         "e_unpivot": ev.events_unpivot_sql(),
+        # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),

@@ -810,3 +810,56 @@ SELECT user_id, event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def events_distinct_users_hll(path: str, num_buckets: int = 32) -> pd.DataFrame:
+    """PER-GROUP HLL distinct count — the sketch variant of
+    events_distinct_users for when the per-group entity sets outgrow an
+    exact pair exchange (distinct URLs per domain at 100 TB).
+
+    Grouped-sketch merge pattern: each batch emits (group, register_idx,
+    rho) rows for its non-zero HLL registers; grouped_aggregate MAX over
+    (group, idx) IS the HLL merge (register max is associative /
+    idempotent), and the driver folds 2^p rows per group into one
+    estimate. The exchange is bounded by groups x 2^p regardless of row
+    count."""
+    from quant_feature_pipeline_ray.functions.sketches import hll_estimate
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    P = 12
+    ds = _read_events(path, ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from quant_feature_pipeline_ray.functions.sketches import hll_registers
+
+        df = pd.DataFrame(
+            {
+                "t": batch["event_type"].to_numpy(zero_copy_only=False),
+                "u": batch["user_id"].to_numpy(),
+            }
+        )
+        rows = []
+        for t, g in df.groupby("t"):
+            h = pd.util.hash_array(g["u"].to_numpy(), categorize=False).astype(np.uint64)
+            reg = hll_registers(h, p=P)
+            nz = np.flatnonzero(reg)
+            rows.append(pd.DataFrame({"event_type": t, "idx": nz.astype(np.int64),
+                                      "rho": reg[nz].astype(np.int64)}))
+        return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            {"event_type": pd.Series(dtype=object), "idx": pd.Series(dtype="int64"),
+             "rho": pd.Series(dtype="int64")}
+        )
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "idx"],
+        {"rho": ("rho", "max")},
+        num_partitions=num_buckets,
+    ).to_pandas()
+
+    out_rows = []
+    for t, g in merged.groupby("event_type"):
+        reg = np.zeros(1 << P, dtype=np.uint8)
+        reg[g["idx"].to_numpy()] = g["rho"].to_numpy().astype(np.uint8)
+        out_rows.append({"event_type": t, "n_users_est": int(round(hll_estimate(reg)))})
+    return pd.DataFrame(out_rows).sort_values("event_type", ignore_index=True)

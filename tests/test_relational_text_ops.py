@@ -281,3 +281,21 @@ def test_hll_merge_is_order_invariant():
     parts = np.maximum.reduce([hll_registers(c) for c in np.array_split(h, 7)])
     assert (whole == parts).all()
     assert abs(hll_estimate(whole) - 100_000) / 100_000 < 0.05
+
+
+def test_grouped_hll_within_error(ray_session):
+    """Per-group HLL estimates land within 5% of the exact per-group
+    distinct counts (4096 registers -> ~1.6% std error)."""
+    import pandas as pd
+
+    from quant_feature_pipeline_ray.pipelines.events import (
+        events_distinct_users,
+        events_distinct_users_hll,
+    )
+
+    p = "/root/testdata/sf0.01/events.parquet"
+    exact = events_distinct_users(p).set_index("event_type")["n_users"]
+    est = events_distinct_users_hll(p).set_index("event_type")["n_users_est"]
+    assert set(est.index) == set(exact.index)
+    for t in exact.index:
+        assert abs(est[t] - exact[t]) / exact[t] <= 0.05, (t, est[t], exact[t])
