@@ -3419,10 +3419,17 @@ def doc_graph_pagerank(
 
     base = (1.0 - damping) / n_docs
     for _ in range(n_iters):
-        # driver scalar: dangling mass
-        dang = sum(
-            float(b["r"][np.asarray(b["deg"]) == 0].sum())
-            for b in ranks.iter_batches(batch_format="numpy")
+        # driver scalar: dangling mass via per-block partial sums (the
+        # driver sees one float per block, never the rank rows)
+        dang = float(
+            ranks.map_batches(
+                lambda b: pd.DataFrame(
+                    {"s": [float(b["r"].to_numpy()[b["deg"].to_numpy() == 0].sum())]}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["s"]
+            .sum()
         )
 
         rank_tagged = ranks.map_batches(
