@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_range_search"] = td.emb_range_search
     q["emb_knn_graph"] = td.emb_knn_graph
     q["emb_semdedup"] = td.emb_semdedup
+    q["emb_ann_pq"] = td.emb_ann_pq
 
     # --- multimodal binary-column plumbing (stubbed codecs, real dataflow)
     from quant_feature_pipeline_ray.pipelines import multimodal as mm

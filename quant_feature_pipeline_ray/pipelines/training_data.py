@@ -3511,3 +3511,150 @@ def doc_graph_pagerank(
     out = ranks.to_pandas()[["node", "r"]].rename(columns={"node": "doc_id", "r": "pagerank"})
     out["pagerank"] = np.round(out["pagerank"], 9)
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def emb_ann_pq(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    kmeans_iters: int = 8,
+    sample_max: int = 65536,
+) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public) — the
+    memory-side scale lever completing the repo's similarity family
+    (brute force = exact baseline, IVF = compute pruning, PQ = 8 bytes
+    per vector instead of 256):
+
+      train:   per-subspace k-means codebooks over a BOUNDED sample
+               (driver holds m × k × d/m floats — constant-size)
+      encode:  stateless map_batches: argmin per subspace -> uint8 codes;
+               at 100 TB the code table is what persists, not the floats
+      search:  asymmetric distance (ADC): per-query lookup tables
+               (n_q × m × k, tiny) broadcast once; each batch scores every
+               vector with m table lookups + a sum, emits a candidate
+               partial top-N; the driver exact-reranks candidate ids only
+               (candidate vectors are re-read via predicate pushdown).
+
+    Approximate -> rows-only; pytest gates recall >= 0.8 vs emb_ann_topk
+    after the exact rerank."""
+    import pyarrow.compute as pc
+
+    # --- train codebooks on a bounded sample
+    sample = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample_max)
+        .to_pandas()
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    d = smat.shape[1]
+    assert d % n_subspaces == 0
+    sub_d = d // n_subspaces
+    rng = np.random.default_rng(13)
+    codebooks = np.empty((n_subspaces, n_codes, sub_d))
+    for m in range(n_subspaces):
+        x = smat[:, m * sub_d : (m + 1) * sub_d]
+        cent = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)].copy()
+        for _ in range(kmeans_iters):
+            d2 = (
+                np.einsum("ij,ij->i", x, x)[:, None]
+                - 2.0 * x @ cent.T
+                + np.einsum("ij,ij->i", cent, cent)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(len(cent)):
+                msk = a == c
+                if msk.any():
+                    cent[c] = x[msk].mean(0)
+        codebooks[m] = cent
+
+    # --- queries + ADC lookup tables (n_q x m x k, broadcast once)
+    qtbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < n_queries,
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    qids = qtbl["vec_id"].to_numpy()
+    qmat = np.stack(qtbl["embedding"].to_numpy()).astype(np.float64)
+    luts = np.empty((len(qids), n_subspaces, n_codes))
+    for m in range(n_subspaces):
+        qs = qmat[:, m * sub_d : (m + 1) * sub_d]
+        cb = codebooks[m]
+        luts[:, m, :] = (
+            np.einsum("ij,ij->i", qs, qs)[:, None]
+            - 2.0 * qs @ cb.T
+            + np.einsum("ij,ij->i", cb, cb)[None, :]
+        )
+    bref = ray.put((codebooks, qids, luts))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class EncodeScore:
+        def __init__(self, ref):
+            self.cb, self.qids, self.luts = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            vids = batch["vec_id"].to_numpy()
+            n, nq = len(vids), len(self.qids)
+            dist = np.zeros((nq, n))
+            for m in range(n_subspaces):
+                x = mat[:, m * sub_d : (m + 1) * sub_d]
+                cb = self.cb[m]
+                d2 = (
+                    np.einsum("ij,ij->i", x, x)[:, None]
+                    - 2.0 * x @ cb.T
+                    + np.einsum("ij,ij->i", cb, cb)[None, :]
+                )
+                codes = d2.argmin(1)  # encode
+                dist += self.luts[:, m, codes]  # ADC accumulate
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(self.qids, n),
+                    "vec_id": np.tile(vids, nq),
+                    "adc": np.round(dist.reshape(-1), 6),
+                }
+            )
+            out = out[out["query_id"] != out["vec_id"]]
+            out = out.sort_values(["query_id", "adc", "vec_id"])
+            return out.groupby("query_id", as_index=False).head(n_candidates)
+
+    partials = ds.map_batches(
+        EncodeScore, fn_constructor_args=(bref,), batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    cand = (
+        partials.sort_values(["query_id", "adc", "vec_id"])
+        .groupby("query_id", as_index=False)
+        .head(n_candidates)
+    )
+
+    # --- exact rerank of candidate ids only (predicate-pushdown re-read)
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    cvecs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(pa.array(cand_ids)),
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    qunit = qmat / np.maximum(np.sqrt(np.einsum("ij,ij->i", qmat, qmat))[:, None], 1e-12)
+    rows = []
+    for qi, qrow in enumerate(qids):
+        ids = cand.loc[cand["query_id"] == qrow, "vec_id"].to_numpy()
+        m = np.stack(cvecs.loc[ids, "embedding"].to_numpy()).astype(np.float64)
+        u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+        sims = np.round(u @ qunit[qi], 6)
+        order = np.lexsort((ids, -sims))[:k]
+        for r, j in enumerate(order, start=1):
+            rows.append((int(qrow), int(ids[j]), float(sims[j]), r))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim", "rank"])

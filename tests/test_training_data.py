@@ -591,3 +591,24 @@ def test_curate_corpus_writes_funnel_survivors(ray_session, tmp_path):
     assert any(d.startswith("lang=") for d in os.listdir(out))
     s2 = curate_corpus(sf, out)  # resume: marker present -> no rewrite
     assert s2 == s1
+
+
+def test_pq_ann_recall_vs_exact(ray_session):
+    """PQ-candidate + exact-rerank ANN recovers >= 0.8 of the exact top-k,
+    and every reported sim equals the exact cosine (rerank is exact)."""
+    from quant_feature_pipeline_ray.pipelines.training_data import (
+        emb_ann_pq,
+        emb_ann_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = emb_ann_topk(sf)
+    pq = emb_ann_pq(sf)
+    et = {(q, v) for q, v in zip(exact["query_id"], exact["vec_id"])}
+    pt = {(q, v) for q, v in zip(pq["query_id"], pq["vec_id"])}
+    recall = len(et & pt) / len(et)
+    assert recall >= 0.8, f"PQ recall too low: {recall:.3f}"
+    ex = exact.set_index(["query_id", "vec_id"])["sim"]
+    for q, v, s in zip(pq["query_id"], pq["vec_id"], pq["sim"]):
+        if (q, v) in et:
+            assert s == ex[(q, v)]
