@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_retention"] = lambda sf: ev.events_retention(f"{sf}/events.parquet")
     q["e_unpivot"] = lambda sf: ev.events_unpivot(f"{sf}/events.parquet")
     q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
+    q["e_streaming_windows"] = lambda sf: ev.events_streaming_windows(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -509,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "e_retention": ev.events_retention_sql(),
         "e_unpivot": ev.events_unpivot_sql(),
         # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
+        "e_streaming_windows": ev.events_streaming_windows_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),

@@ -863,3 +863,46 @@ def events_distinct_users_hll(path: str, num_buckets: int = 32) -> pd.DataFrame:
         reg[g["idx"].to_numpy()] = g["rho"].to_numpy().astype(np.uint8)
         out_rows.append({"event_type": t, "n_users_est": int(round(hll_estimate(reg)))})
     return pd.DataFrame(out_rows).sort_values("event_type", ignore_index=True)
+
+
+def events_streaming_windows(path: str, window_s: int = 60, num_buckets: int = 32) -> ray.data.Dataset:
+    """The event-time streaming kernel (state/event_windows.py) driven as a
+    Dataset stage: ONE user_id hash exchange, one kernel instance per
+    partition, rows fed in arrival (ts) order in micro-chunks — emissions +
+    final flush must equal the batch tumbling aggregate, which is exactly
+    what the SQL oracle checks (streaming == batch through the driver
+    contract, the events-table sibling of the transcript engine's
+    streaming parity)."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.state.event_windows import StreamingEventWindows
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ds = _read_events(path, ["user_id", "ts", "value"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "ts_us": g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "value_c": np.round(g["value"].to_numpy() * 100).astype(np.int64),
+            }
+        ).sort_values("ts_us", kind="mergesort", ignore_index=True)
+        k = StreamingEventWindows(window_s, allowed_lateness_s=0)
+        outs = [k.process(c)[0] for c in np.array_split(df, 8)]
+        outs.append(k.flush())
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_value"] = out.pop("sum_value_c") / 100.0
+        return out
+
+    return partition_map_groups(ds, per_partition, key="user_id", num_buckets=num_buckets)
+
+
+def events_streaming_windows_sql(window_s: int = 60) -> str:
+    p = window_s * 1_000_000
+    return f"""
+SELECT user_id,
+       (epoch_us(ts) // {p} + 1) * {p} AS w_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
