@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_contamination"] = td.doc_contamination
     q["doc_export_shards"] = td.doc_export_shards
     q["doc_source_mix"] = td.doc_source_mix
+    q["doc_source_kl"] = td.doc_source_kl
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
     q["doc_graph_pagerank"] = td.doc_graph_pagerank
@@ -549,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": td.doc_contamination_sql(_SQL_SF_DIR),
         "doc_export_shards": td.doc_export_shards_sql(_SQL_SF_DIR),
         "doc_source_mix": td.doc_source_mix_sql(_SQL_SF_DIR),
+        "doc_source_kl": td.doc_source_kl_sql(_SQL_SF_DIR),
         "doc_dedup_incremental": td.doc_dedup_incremental_run_sql(_SQL_SF_DIR),
         "doc_curriculum_rank": td.doc_curriculum_rank_sql(_SQL_SF_DIR),
         # doc_graph_pagerank / emb_outliers: iterative float power method /

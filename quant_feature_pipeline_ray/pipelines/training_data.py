@@ -3658,3 +3658,76 @@ def emb_ann_pq(
         for r, j in enumerate(order, start=1):
             rows.append((int(qrow), int(ids[j]), float(sims[j]), r))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim", "rank"])
+
+
+def doc_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shift diagnostic: KL(source ‖ corpus) over token
+    unigram distributions, per source — the "which domain is drifting /
+    which scrape is contaminated" check run before mixing sources into a
+    training corpus.
+
+    One token-key exchange builds integer (source, token) counts (the
+    vocab dataflow with source riding the combiner); per-source and corpus
+    totals are integer sums of the SAME partials; KL is then a stateless
+    per-row expression + a small per-source sum. Tokens absent from a
+    source contribute zero (standard plug-in estimator); every count is
+    integer-exact, so the oracle matches on the round-6 divergence."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": src[parent.filter(keep).to_numpy()],
+                "token": flat.filter(keep).to_pandas().to_numpy(),
+            }
+        )
+        out = df.groupby(["source", "token"], as_index=False).size()
+        out["c"] = out.pop("size").astype(np.int64)
+        return out
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["token", "source"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+
+    # vocabulary-bounded tables from here on (driver-side is fine: the
+    # token×source grid is dictionary-sized, never row-scaled)
+    tok_tot = counts.groupby("token")["c"].sum()
+    src_tot = counts.groupby("source")["c"].sum()
+    N = int(counts["c"].sum())
+    p_s = counts["c"].to_numpy(np.float64) / counts["source"].map(src_tot).to_numpy(np.float64)
+    p = counts["token"].map(tok_tot).to_numpy(np.float64) / float(N)
+    counts["term"] = p_s * np.log(p_s / p)
+    out = counts.groupby("source", as_index=False).agg(kl=("term", "sum"))
+    out["n_tokens"] = out["source"].map(src_tot).to_numpy(np.int64)
+    out["kl"] = np.round(out["kl"], 6)
+    return out.sort_values("source", ignore_index=True)[["source", "n_tokens", "kl"]]
+
+
+def doc_source_kl_sql(sf_dir: str) -> str:
+    return """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM toks
+  WHERE token <> '' GROUP BY 1, 2
+),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM c GROUP BY 1),
+tt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+SELECT c.source,
+       CAST(any_value(st.s) AS BIGINT) AS n_tokens,
+       round(SUM((c.c * 1.0 / st.s) * ln((c.c * 1.0 / st.s) / (tt.t * 1.0 / n.n))), 6) AS kl
+FROM c JOIN st USING (source) JOIN tt USING (token), n
+GROUP BY c.source ORDER BY c.source"""
