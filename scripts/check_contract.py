@@ -74,9 +74,16 @@ def main() -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failed = []
+    import gc
     import time
 
     for name, fn in qs.items():
+        # Abandoned streaming executors / actor pools from the previous
+        # query release their CPUs only on garbage collection; without
+        # this a straggler actor can squat a slot and deadlock a later
+        # actor-pool stage (same fix as tests/conftest.py's autouse gc —
+        # observed live: doc_graph_pagerank frozen behind an idle pool).
+        gc.collect()
         t0 = time.time()
         try:
             got = to_pandas(fn(sf_dir))
