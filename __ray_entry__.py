@@ -215,6 +215,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_momentum"] = t_momentum
 
+    def t_oscillator(sf):
+        # bounded ratio-of-moves oscillator — the reference's 4-column RSI
+        # contract (rsi14/rsi_event/rsi_overbought/rsi_oversold) transposed
+        # to inter-turn latency moves (stages/oscillator.py)
+        from quant_feature_pipeline_ray.stages.oscillator import oscillator_frame
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: oscillator_frame(compute_turn_features(g)),
+            num_buckets=64,
+        )
+
+    q["t_oscillator"] = t_oscillator
+
+    q["t_composites"] = lambda sf: _turns_ds(sf).select_columns(
+        ["conv_id", "turn_idx", "ts_us", f"band_width_{DEFAULT_CONFIG.bw_window}"]
+    )
+
     def t_rolling_cov(sf, w: int = 20):
         import numpy as np
         import pandas as pd
@@ -484,7 +502,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_frame_sample"] = mm.media_frame_sample
     q["media_resize"] = mm.media_resize
     q["customers_without_orders"] = tpch.customers_without_orders
-    return q
+
+    # --- driver-verification ordering: the driver's correctness run covers
+    # the FIRST 50 queries in insertion order. Round 2 verified the whole
+    # transcript/event/TPC-H core (CORRECTNESS_r02.json: 48 exact + 2
+    # rows-only, 0 failures); round 3 rotates every not-yet-driver-verified
+    # exact-oracle query (the doc_/emb_/media_/late-TPC-H families + the two
+    # new composites) into the window, keeping one representative per
+    # already-green §2 shape. Near-duplicate selections of already-verified
+    # kernels sit after position 50 (they remain in the builder contract
+    # run, scripts/check_contract.py, which executes ALL queries).
+    first = [
+        # new this round (exact oracles)
+        "t_oscillator", "t_composites",
+        # §2-core representatives (driver-green in r02, kept in-window)
+        "t_turn_base", "t_rolling", "t_window_agg_300", "t_asof_features",
+        "t_time_windows", "e_asof_window", "e_streaming_windows", "tpch_q1",
+        # doc_* exact-oracle family (not driver-verified in r02)
+        "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
+        "doc_jaccard_pairs", "doc_dup_clusters", "doc_cluster_rep",
+        "doc_ngram_dup_frac", "doc_heavy_hitters", "doc_chunk",
+        "doc_stratified_sample", "doc_weighted_sample", "doc_zipf",
+        "doc_redact", "doc_contamination", "doc_export_shards",
+        "doc_source_mix", "doc_source_kl", "doc_dedup_incremental",
+        "doc_curriculum_rank", "doc_vocab", "doc_quality_filter",
+        "doc_curation_funnel", "doc_topk_per_lang", "doc_tfidf_topk",
+        "doc_lm_stats",
+        # emb_* exact-oracle family
+        "emb_norms", "emb_label_centroids", "emb_ann_topk",
+        "emb_cosine_dups", "emb_range_search", "emb_covariance",
+        # multimodal exact-oracle family
+        "media_decode", "media_frame_sample", "media_resize",
+        # TPC-H shapes added after the r02 driver window
+        "top_suppliers_by_revenue", "disjunctive_revenue",
+        "supplier_count_by_part_attrs", "part_value_concentration",
+        "sales_rollup", "customers_without_orders",
+    ]
+    assert len(first) == 50 and all(k in q for k in first)
+    ordered = {k: q[k] for k in first}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -578,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         "t_winsor_quantile": _sql_winsor(),
         "t_group_normalized": _sql_group_normalized(),
         "t_momentum": _sql_momentum(),
+        "t_oscillator": _sql_oscillator(),
+        "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
         + """
@@ -652,6 +711,12 @@ def _sql_momentum() -> str:
     return sql_momentum(
         oracle.base_cte(_SQL_TRANSCRIPTS), period_s=300, lookback=2, anchor_offset_s=60
     )
+
+
+def _sql_oscillator() -> str:
+    from quant_feature_pipeline_ray.stages.oscillator import sql_oscillator
+
+    return sql_oscillator(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_rolling_cov(w: int = 20) -> str:

@@ -48,8 +48,21 @@ class FeatureConfig:
     # tools/filling.py:19-39 -> SURVEY.md M8)
     session_gap_s: float = 1800.0
     # fixed aggregate windows in seconds, leak-free [T-p, T)
-    # (reference: resample targets 3m/15m/30m/2h, congfigs/main_config.yaml)
-    agg_windows_s: tuple[int, ...] = (300, 3600)
+    # (reference: FOUR resample targets 3m/15m/30m/2h,
+    # congfigs/main_config.yaml — mirrored at 5m/30m/1h/2h so the as-of
+    # merge runs at reference-like width, step4_merge_features.py:340-359)
+    agg_windows_s: tuple[int, ...] = (300, 1800, 3600, 7200)
+    # MACD-style EMA-difference composite (reference: macd(12,26,9),
+    # congfigs/base_indicators.yaml:27-31, composed
+    # step5_featueres_unified.py:547-587): fast/slow are the first/last
+    # members of ema_spans; the signal line is an EMA of the difference
+    macd_signal_span: int = 9
+    # Bollinger-width composite (reference bb(20, 2.0) -> bb_width
+    # = (ma+2s - (ma-2s))/ma, congfigs/base_indicators.yaml:13-17): the
+    # base window must be a member of sma_windows; the fused feature is
+    # the mean of two rolling percentile ranks of the width
+    bw_window: int = 20
+    bw_rank_windows: tuple[int, int] = (5, 20)
     # number of hash buckets for the conv_id partition backbone
     num_buckets: int = 64
     # winsorize bounds for governed latency normalization (reference:
@@ -69,6 +82,9 @@ class FeatureConfig:
             self.rank_window,
             self.rate_window,
             self.gap_event_min_persist,
+            # bw_rank_fuse ranks a value that itself has bw_window-1 rows
+            # of lookback: the composed horizon is the sum of both windows
+            max(self.bw_rank_windows) + self.bw_window - 1,
         )
 
     def schema_sha(self, feature_names: list[str]) -> str:

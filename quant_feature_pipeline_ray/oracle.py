@@ -105,6 +105,34 @@ ORDER BY conv_id, turn_idx"""
     )
 
 
+def sql_composites(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Band-width composite (reference bb_width,
+    step5_featueres_unified.py:547-587): the SQL-expressible member of the
+    composite family — 4·std/sma over the SAME integer-window expressions
+    the t_rolling oracle pins, then one CASE + one IEEE division (exact).
+    The macd EMA chain and the rank fuse are pytest-parity-gated instead
+    (tests/test_composites.py)."""
+    w = cfg.bw_window
+    win = (
+        f"(PARTITION BY conv_id ORDER BY turn_idx "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+    )
+    sma = f"(SUM(dt_us) OVER {win} / (COUNT(*) OVER {win} * 1000000.0))"
+    std = f"""(CASE WHEN COUNT(*) OVER {win} < 2 THEN 0.0 ELSE
+        sqrt(greatest((CAST(SUM((dt_us // 10000) * (dt_us // 10000)) OVER {win} AS DOUBLE)
+          - CAST(SUM(dt_us // 10000) OVER {win} AS DOUBLE) * CAST(SUM(dt_us // 10000) OVER {win} AS DOUBLE)
+            / CAST(COUNT(*) OVER {win} AS DOUBLE))
+          / (CAST(COUNT(*) OVER {win} AS DOUBLE) - 1), 0.0)) / 100.0 END)"""
+    return base_cte(path, cfg) + f"""
+, s AS (
+  SELECT conv_id, turn_idx, ts_us, {sma} AS sma, {std} AS std
+  FROM t
+)
+SELECT conv_id, turn_idx, ts_us,
+       CASE WHEN sma > 0 THEN 4.0 * std / sma ELSE 0.0 END AS band_width_{w}
+FROM s ORDER BY conv_id, turn_idx"""
+
+
 def sql_window_agg(path: str, window_s: int, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
     """W1 analogue: leak-free [W-p, W) per-(conv, window) aggregates."""
     p = window_s * 1_000_000

@@ -58,6 +58,26 @@ def _chunk_kernels(dt_secs: np.ndarray, dt_us: np.ndarray, rn: np.ndarray, cfg: 
     # overlap prefix already guarantees because chunks beyond the first have
     # rn >= overlap >= rank_window
     out[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])
+
+    # band-width composite + its dual-window rank fuse: composed horizon is
+    # bw_window-1 (std/sma lookback) + rank window - 1, which
+    # cfg.max_lookback_turns() covers — so the overlap prefix again makes
+    # every kept row's value exact. (The macd/signal EMA chain is NOT
+    # chunk-recomputable without float drift; it stays in the single full
+    # pass — one float64 recurrence per row, never the straggler.)
+    w_bw = cfg.bw_window
+    if w_bw in cfg.sma_windows:
+        sma, std = out[f"lat_sma_{w_bw}"], out[f"lat_std_{w_bw}"]
+    else:
+        sma, std = rolling_mean_std_int(dt_us, rn, w_bw)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bw = np.where(sma > 0, 4.0 * std / sma, 0.0)
+    out[f"band_width_{w_bw}"] = bw
+    rks = []
+    for rw in cfg.bw_rank_windows:
+        r = pd.Series(bw).rolling(rw, min_periods=1).rank(method="average", pct=True).to_numpy()
+        rks.append(np.clip(r, cfg.rank_clip[0], cfg.rank_clip[1]))
+    out["bw_rank_fuse"] = 0.5 * (rks[0] + rks[1])
     return out
 
 
@@ -114,7 +134,7 @@ def featurize_conversation_salted(
     cols = (
         [f"lat_sma_{w}" for w in cfg.sma_windows]
         + [f"lat_std_{w}" for w in cfg.sma_windows]
-        + [f"lat_rank_{cfg.rank_window}"]
+        + [f"lat_rank_{cfg.rank_window}", f"band_width_{cfg.bw_window}", "bw_rank_fuse"]
     )
     for c in cols:
         patched[c] = np.empty(n, dtype=np.float64)

@@ -361,6 +361,10 @@ def compute_turn_features(
     )
     out[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])
 
+    # --- composite indicators (MACD diff / band-width fuse)
+    for name, v in composite_features(conv, out, cfg).items():
+        out[name] = v
+
     # --- time encodings (M9 / step5_featueres_unified.py:1095-1122)
     hour = (ts_us // 3_600_000_000) % 24
     # ISO dow: epoch 1970-01-01 was a Thursday (isodow=4)
@@ -373,6 +377,56 @@ def compute_turn_features(
         out["hour_cos"] = np.cos(2 * np.pi * hour / 24.0)
         out["dow_sin"] = np.sin(2 * np.pi * (isodow - 1) / 7.0)
         out["dow_cos"] = np.cos(2 * np.pi * (isodow - 1) / 7.0)
+    return out
+
+
+def composite_features(
+    conv: np.ndarray, cols: dict | pd.DataFrame, cfg: FeatureConfig = DEFAULT_CONFIG
+) -> dict[str, np.ndarray]:
+    """MACD-style EMA-difference + Bollinger-width composites (W12
+    composition; reference step5_featueres_unified.py:547-587, macd/bb
+    params congfigs/base_indicators.yaml:1-52) over already-computed base
+    columns. THE shared kernel for every execution path (pandas, arrow,
+    salted full pass) so the compositions can never drift apart.
+
+    `cols` must contain lat_ema_{fast}, lat_ema_{slow},
+    lat_sma_{bw_window}, lat_std_{bw_window}; `conv` is the (sorted,
+    conv-major) conversation key/codes array.
+
+      macd        = ema_fast − ema_slow
+      macd_signal = EMA(macd, macd_signal_span)   (recursive adjust=False)
+      macd_hist   = macd − macd_signal
+      band_width  = 4·std/sma  (== ((ma+2σ)−(ma−2σ))/ma), 0 when sma == 0
+      bw_rank_fuse= mean of two rolling percentile ranks of band_width
+                    (rank is invariant under the reference's log1p — a
+                    strictly monotone map — so the log is omitted)
+
+    band_width is one CASE + one IEEE division over already-SQL-pinned
+    inputs → exact DuckDB oracle (t_composites); the EMA chain and the
+    rank fuse are pytest-parity-gated (tests/test_composites.py)."""
+    fast, slow = cfg.ema_spans[0], cfg.ema_spans[-1]
+    macd = np.asarray(cols[f"lat_ema_{fast}"]) - np.asarray(cols[f"lat_ema_{slow}"])
+    g = pd.DataFrame({"conv": conv, "m": macd}).groupby("conv", sort=False)
+    alpha = 2.0 / (cfg.macd_signal_span + 1.0)
+    signal = g["m"].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+    out: dict[str, np.ndarray] = {
+        "macd": macd,
+        "macd_signal": signal,
+        "macd_hist": macd - signal,
+    }
+
+    w = cfg.bw_window
+    sma = np.asarray(cols[f"lat_sma_{w}"])
+    std = np.asarray(cols[f"lat_std_{w}"])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bw = np.where(sma > 0, 4.0 * std / sma, 0.0)
+    out[f"band_width_{w}"] = bw
+    bg = pd.DataFrame({"conv": conv, "b": bw}).groupby("conv", sort=False)
+    ranks = []
+    for rw in cfg.bw_rank_windows:
+        rk = bg["b"].rolling(rw, min_periods=1).rank(method="average", pct=True).to_numpy()
+        ranks.append(np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1]))
+    out["bw_rank_fuse"] = 0.5 * (ranks[0] + ranks[1])
     return out
 
 

@@ -187,6 +187,12 @@ def featurize_bucket_arrow(tbl: pa.Table, cfg: FeatureConfig = DEFAULT_CONFIG) -
     rk = g["dt"].rolling(cfg.rank_window, min_periods=1).rank(method="average", pct=True).to_numpy()
     cols[f"lat_rank_{cfg.rank_window}"] = np.clip(rk, cfg.rank_clip[0], cfg.rank_clip[1])
 
+    # composite indicators (MACD diff / band-width fuse) — shared kernel
+    from quant_feature_pipeline_ray.stages.turn_features import composite_features
+
+    for name, v in composite_features(conv, cols, cfg).items():
+        cols[name] = v
+
     # time encodings
     hour = (ts_us // 3_600_000_000) % 24
     days = ts_us // 86_400_000_000

@@ -67,6 +67,7 @@ class ConvState:
     tail_role_change: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
     tail_text_len: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
     ema: dict[int, float] = field(default_factory=dict)      # span -> register
+    macd_signal: float | None = None      # EMA register of the macd line
     run_len: int = 0                      # current consecutive-over-threshold run
     session_id: int = 0
     session_rows: int = 0                 # rows in the current session so far
@@ -213,6 +214,39 @@ class StreamingTurnKernel:
                 ema = pd.Series(dt_secs).ewm(alpha=alpha, adjust=False).mean().to_numpy()
             out[f"lat_ema_{span}"] = ema
             st.ema[span] = float(ema[-1])
+
+        # --- composite indicators (MACD diff / band-width fuse): the macd
+        # signal line continues from its register exactly like the base
+        # EMAs; band_width + its rank fuse recompute over the carried tail
+        # (the tail is sized for the composed horizon, cfg.max_lookback)
+        fast, slow = cfg.ema_spans[0], cfg.ema_spans[-1]
+        macd = out[f"lat_ema_{fast}"].to_numpy() - out[f"lat_ema_{slow}"].to_numpy()
+        out["macd"] = macd
+        a_sig = 2.0 / (cfg.macd_signal_span + 1.0)
+        if st.macd_signal is not None:
+            seq = np.concatenate([[st.macd_signal], macd])
+            sig = pd.Series(seq).ewm(alpha=a_sig, adjust=False).mean().to_numpy()[1:]
+        else:
+            sig = pd.Series(macd).ewm(alpha=a_sig, adjust=False).mean().to_numpy()
+        out["macd_signal"] = sig
+        out["macd_hist"] = macd - sig
+        st.macd_signal = float(sig[-1])
+
+        w_bw = cfg.bw_window
+        sma_e, std_e = rolling_mean_std_int(ext_dt_us, ext_rn, w_bw)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bw_e = np.where(sma_e > 0, 4.0 * std_e / sma_e, 0.0)
+        out[f"band_width_{w_bw}"] = bw_e[t:]
+        rks = []
+        for rw_b in cfg.bw_rank_windows:
+            rk_b = (
+                pd.Series(bw_e)
+                .rolling(rw_b, min_periods=1)
+                .rank(method="average", pct=True)
+                .to_numpy()
+            )
+            rks.append(np.clip(rk_b, cfg.rank_clip[0], cfg.rank_clip[1]))
+        out["bw_rank_fuse"] = (0.5 * (rks[0] + rks[1]))[t:]
 
         # --- trailing TIME-window aggregates over a time-bounded tail
         max_p_us = np.int64(max(cfg.agg_windows_s)) * 1_000_000
@@ -427,6 +461,7 @@ def bootstrap_states_from_batch(out, cfg: FeatureConfig = DEFAULT_CONFIG) -> Str
         st.tail_text_len = text_len[lo:b].copy()
         for span in cfg.ema_spans:
             st.ema[span] = float(out[f"lat_ema_{span}"].iloc[b - 1])
+        st.macd_signal = float(out["macd_signal"].iloc[b - 1])
         st.run_len = int(trail_run[b - 1])
         st.session_id = int(out["session_id"].iloc[b - 1])
         st.session_rows = int(out["session_turn"].iloc[b - 1])
@@ -475,6 +510,7 @@ def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
     }
     for span in cfg.ema_spans:
         rows[f"ema_{span}"] = []
+    rows["macd_signal"] = []
     wfields = (
         "w_end", "turns", "tool_turns", "text_chars", "dt_sum_us",
         "last_w_end", "last_turns", "last_tool_turns", "last_text_chars",
@@ -499,6 +535,7 @@ def snapshot_states(kernel: StreamingTurnKernel) -> "pa.Table":
         rows["tail_tw_text_len"].append(st.tail_tw_text_len.tolist())
         for span in cfg.ema_spans:
             rows[f"ema_{span}"].append(st.ema.get(span))
+        rows["macd_signal"].append(st.macd_signal)
         for p in cfg.agg_windows_s:
             ws = st.windows.get(p, WindowState())
             for f in wfields:
@@ -532,6 +569,7 @@ def restore_states(kernel: StreamingTurnKernel, table: "pa.Table") -> None:
             v = d[f"ema_{span}"][i]
             if v is not None:
                 st.ema[span] = v
+        st.macd_signal = d.get("macd_signal", [None] * len(d["conv_id"]))[i]
         for p in cfg.agg_windows_s:
             ws = WindowState()
             for f in wfields:
