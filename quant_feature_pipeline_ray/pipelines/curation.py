@@ -110,7 +110,6 @@ def curate_corpus(
 
     tmp_out = out_dir + ".tmp"
     shutil.rmtree(tmp_out, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     surviving.write_parquet(tmp_out, partition_cols=["lang"])
 
     back = ray.data.read_parquet(tmp_out)
@@ -123,6 +122,11 @@ def curate_corpus(
         .to_pandas()["s"]
         .sum()
     )
+    # the previous good artifact survives until the replacement is fully
+    # written AND verified (the read-back above) — only then swap
+    # (round-2 ADVICE: an early rmtree destroyed the old output on any
+    # failure during the funnel/write)
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp_out, out_dir)
 
     summary = {

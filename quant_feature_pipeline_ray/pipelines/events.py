@@ -355,13 +355,26 @@ def events_json_extract(path: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         props = batch["props"].to_pandas()
-        k = props.str.extract(pat, expand=False).astype("int64")
+        # NULL-tolerant extraction (round-2 ADVICE): a row whose payload
+        # lacks "k" (or has a null props) yields <NA> and is aggregated
+        # AROUND — n counts every row (SQL count(*)), sum/min/max skip
+        # missing (SQL NULL semantics) — instead of killing the query
+        k = pd.to_numeric(props.str.extract(pat, expand=False), errors="coerce").astype(
+            "Int64"
+        )
         p = pd.DataFrame(
             {"event_type": batch["event_type"].to_numpy(zero_copy_only=False), "k": k}
         )
-        return p.groupby("event_type", as_index=False).agg(
+        agg = p.groupby("event_type", as_index=False).agg(
             n=("k", "size"), k_sum=("k", "sum"), k_min=("k", "min"), k_max=("k", "max")
         )
+        # a group that is ALL-missing has pandas NA partials; keep int64
+        # blocks (schema-stable across batches) with identity fill values
+        # for the downstream Sum/Min/Max merge
+        agg["k_sum"] = agg["k_sum"].fillna(0).astype("int64")
+        agg["k_min"] = agg["k_min"].fillna(np.iinfo(np.int64).max).astype("int64")
+        agg["k_max"] = agg["k_max"].fillna(np.iinfo(np.int64).min).astype("int64")
+        return agg
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -889,7 +902,12 @@ def events_streaming_windows(path: str, window_s: int = 60, num_buckets: int = 3
             }
         ).sort_values("ts_us", kind="mergesort", ignore_index=True)
         k = StreamingEventWindows(window_s, allowed_lateness_s=0)
-        outs = [k.process(c)[0] for c in np.array_split(df, 8)]
+        # split by integer index, not np.array_split(DataFrame) — the
+        # latter rides DataFrame.swapaxes, removed in pandas 3.0
+        outs = [
+            k.process(df.iloc[idx])[0]
+            for idx in np.array_split(np.arange(len(df)), 8)
+        ]
         outs.append(k.flush())
         out = pd.concat(outs, ignore_index=True)
         out["sum_value"] = out.pop("sum_value_c") / 100.0

@@ -38,8 +38,8 @@ def _batch_expected(df: pd.DataFrame) -> pd.DataFrame:
 
 def _run(kernel, df, chunks):
     emitted, late = [], []
-    for c in np.array_split(df, chunks):
-        e, l = kernel.process(c)
+    for idx in np.array_split(np.arange(len(df)), chunks):
+        e, l = kernel.process(df.iloc[idx])
         emitted.append(e)
         late.append(l)
     emitted.append(kernel.flush())

@@ -505,6 +505,36 @@ def test_doc_dedup_incremental_equals_one_shot(ray_session, tmp_path):
     assert len(k2b) == 0
 
 
+def test_doc_dedup_incremental_crash_retry(ray_session, tmp_path):
+    """A retry of the SAME batch (same batch_id) after its partitions
+    committed returns the originally kept rows — NOT zero (round-2 ADVICE:
+    the inverted crash-recovery bug, where a post-commit crash + re-run
+    silently lost the batch's representatives)."""
+    import ray.data
+
+    from quant_feature_pipeline_ray.pipelines.training_data import doc_dedup_incremental
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text"]
+    ].sort_values("doc_id", ignore_index=True)
+    b1 = docs.head(500).reset_index(drop=True)
+    state = str(tmp_path / "dedup_state")
+
+    k1 = doc_dedup_incremental(ray.data.from_pandas(b1), state, batch_id="ingest-001")
+    assert len(k1) == 500  # sf corpus has no exact dups of its own
+
+    # crash-retry: same batch_id -> the committed keep-set, bitwise
+    k1r = doc_dedup_incremental(ray.data.from_pandas(b1), state, batch_id="ingest-001")
+    pd.testing.assert_frame_equal(k1r, k1)
+
+    # a genuinely NEW batch with the same (all-seen) content keeps nothing
+    k1n = doc_dedup_incremental(ray.data.from_pandas(b1), state, batch_id="ingest-002")
+    assert len(k1n) == 0
+    # and the default (auto batch id) path behaves the same
+    k1a = doc_dedup_incremental(ray.data.from_pandas(b1), state)
+    assert len(k1a) == 0
+
+
 def test_emb_outliers_matches_straightline(ray_session):
     """Distributed outlier flagging == straight-line numpy from the same
     seeded centroids (same threshold rule on the round-6 distance grid)."""
