@@ -170,41 +170,13 @@ def _empty_pairs_frame() -> pd.DataFrame:
     )
 
 
-def _verify_group_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Exact token-set Jaccard for ALL pairs inside one LSH band bucket,
-    vectorized: per-group vocabulary -> doc x vocab incidence matrix -> one
-    float32 matmul gives every pairwise intersection size (exact: counts
-    << 2^24). Emits only pairs at/over threshold, doc_a < doc_b.
-
-    Operates on the DISTINCT TOKEN-HASH SETS riding the band exchange
-    (`toks`, int64): set Jaccard is invariant under the
-    injective-in-practice 64-bit token hash, so n_inter/n_union are the
-    SAME integers the raw-text verify (and the DuckDB list_intersect
-    oracle) computes — pinned by the recall==1.0 pytest — while the
-    exchange never carries text."""
-    ids = g["doc_id"].to_numpy()
-    if len(ids) < 2:
-        return _empty_pairs_frame()
-    order = np.argsort(ids)
-    ids = ids[order]
-    tok_arrays = list(g["toks"].to_numpy()[order])
-    counts = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=len(ids))
-    vocab, inv = np.unique(np.concatenate(tok_arrays), return_inverse=True)
-    m = len(ids)
-    M = np.zeros((m, len(vocab)), dtype=np.float32)
-    M[np.repeat(np.arange(m), counts), inv] = 1.0
-    inter = (M @ M.T).astype(np.int64)
-    union = counts[:, None] + counts[None, :] - inter
-    with np.errstate(invalid="ignore"):
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-    ai, bi = np.nonzero(np.triu(jac >= threshold, k=1))
-    return pd.DataFrame(
-        {
-            "doc_a": ids[ai].astype(np.int64),
-            "doc_b": ids[bi].astype(np.int64),
-            "n_inter": inter[ai, bi],
-            "n_union": union[ai, bi],
-        }
+def _pairwise_set_intersections(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
+    """Exact |a ∩ b| per pair of SORTED-UNIQUE int64 hash-set arrays
+    (np.unique output — intersect1d's assume_unique fast path)."""
+    return np.fromiter(
+        (np.intersect1d(a, b, assume_unique=True).size for a, b in zip(ta, tb)),
+        dtype=np.int64,
+        count=len(ta),
     )
 
 
@@ -215,23 +187,32 @@ def lsh_verified_pairs(
     num_bands: int = 32,
     shingle_k: int = 1,
 ) -> ray.data.Dataset:
-    """Scale-safe near-dup pairs: MinHash band blocking + in-band exact
-    verify + distributed pair dedup. Nothing corpus-sized ever reaches the
-    driver.
+    """Scale-safe near-dup pairs: MinHash band blocking with a PAYLOAD-FREE
+    band exchange, candidate-pair dedup, then an exact hash-set-Jaccard
+    verify that fetches each candidate doc's token set by doc_id. Nothing
+    corpus-sized ever reaches the driver, and no per-doc payload is ever
+    multiplied by num_bands (the round-2 flaw: first raw text, then the
+    token-hash sets rode the band explode x32).
 
-    Plan (one band-key shuffle + one pair-key shuffle, both hash exchanges):
+    Plan (4 hash exchanges; only the last two carry tok-set payload, each
+    at most ~1x the corpus's distinct-token-hash mass):
 
         read -> Signer actor pool: per doc, token-level MinHash signature
-             -> explode to (band, key, doc_id, toks): the DISTINCT
-                TOKEN-HASH SET rides the exchange instead of raw text
-                (int64 per distinct token — typically 5-10x smaller than
-                the text and already deduplicated), so at 100 TB the
-                x num_bands ride-along carries hashes, never the corpus
-        groupby(band, key) -> vectorized exact hash-set-Jaccard verify
-                inside each bucket (matmul over the bucket's incidence
-                matrix — identical integers to raw-text token-set Jaccard
-                under the injective-in-practice 64-bit hash)
-        groupby(doc_a, doc_b) -> dedup pairs found in multiple bands
+             -> explode to (band, key, doc_id): 20 bytes/row, x num_bands
+        groupby(band, key)    -> CANDIDATE pairs per bucket (doc_a < doc_b,
+                                 no payload; 16 bytes/pair-occurrence)
+        groupby(doc_a, doc_b) -> dedup candidates found in multiple bands,
+                                 so each unique pair verifies exactly once
+        groupby(hash(doc_a))  -> join pass 1: ship every doc's DISTINCT
+                                 TOKEN-HASH SET once (int64 per distinct
+                                 token, np.unique'd), attach toks_a
+        groupby(hash(doc_b))  -> join pass 2: attach toks_b, per-pair exact
+                                 set intersection -> n_inter/n_union — the
+                                 SAME integers raw-text token-set Jaccard
+                                 (and the DuckDB list_intersect oracle)
+                                 computes, because set Jaccard is invariant
+                                 under the injective-in-practice 64-bit
+                                 token hash — filter >= threshold
 
     Recall: a qualifying pair is missed only if it collides in NO band;
     at threshold 0.82 with 32 bands x 2 rows that probability is
@@ -239,6 +220,13 @@ def lsh_verified_pairs(
     recall == 1.0 against the all-pairs result on the sf0.01 corpus.
     Shingle_k=1 so MinHash estimates the SAME token-set similarity the
     exact verify (and the DuckDB oracle) computes.
+
+    Partitioning assumption: candidate volume per bucket is O(bucket^2);
+    EXACT duplicates are removed upstream (doc_curation_funnel runs exact
+    dedup first), which is what keeps identical-payload mega-buckets out of
+    the band space. Exchange accounting at sf0.1 (BASELINE.md): the round-2
+    layout shipped 34.6x the corpus text bytes; this layout ships 0.64 KB/doc
+    of band keys + 16 B/candidate + ~2x the distinct-token-hash mass.
 
     The verified-pair table is CHECKPOINTED to parquet per process (same
     discipline as dup_cluster_labels): doc_jaccard_pairs, the CC labels
@@ -261,26 +249,18 @@ def lsh_verified_pairs(
             self.mh = MinHasher(num_perm=num_perm)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from quant_feature_pipeline_ray.functions.dedupfns import _token_hashes
-
             ids = batch["doc_id"].to_numpy()
             texts = batch["text"].to_pylist()
             sigs = self.mh.signatures_batch(texts, k=shingle_k)
             keys = self.mh.band_keys_batch(sigs, num_bands=num_bands)
-            # distinct token-hash sets replace the raw-text ride-along —
-            # the in-band verify computes the identical set Jaccard
-            tok_sets = [np.unique(_token_hashes(t.split(" "))).view(np.int64) for t in texts]
             n = len(ids)
             b = num_bands
+            # PAYLOAD-FREE explode: 20 bytes/row — no text, no token sets
             return pa.table(
                 {
                     "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
                     "key": pa.array(keys.reshape(-1).view(np.int64)),
                     "doc_id": pa.array(np.repeat(ids, b)),
-                    "toks": pa.array(
-                        [tok_sets[i] for i in range(n) for _ in range(b)],  # doc-major
-                        type=pa.list_(pa.int64()),
-                    ),
                 }
             )
 
@@ -290,7 +270,7 @@ def lsh_verified_pairs(
     exploded = docs.map_batches(Signer, batch_format="pyarrow", concurrency=2)
 
     # hash the (band, key) space into ~#cpu partitions: ONE map_groups call
-    # per partition (thousands of tiny LSH buckets per call, verified in a
+    # per partition (thousands of tiny LSH buckets per call, handled in a
     # vectorized segment loop) instead of one Python call per bucket —
     # map_groups per-group overhead is ~10 ms, which dominates otherwise
     def add_gk(b: pa.Table) -> pa.Table:
@@ -301,49 +281,188 @@ def lsh_verified_pairs(
         )
         return b.append_column("gk", pa.array(gk))
 
-    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["band", "key"], kind="mergesort", ignore_index=True)
+    def _i64() -> pd.Series:
+        return pd.Series(dtype="int64")
+
+    def candidates_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """All doc-id pairs sharing an LSH bucket in this partition
+        (doc_a < doc_b), locally deduped."""
+        df = df.sort_values(["band", "key", "doc_id"], kind="mergesort", ignore_index=True)
         band = df["band"].to_numpy()
         key = df["key"].to_numpy()
+        ids = df["doc_id"].to_numpy()
         n = len(df)
         gb = np.empty(n, dtype=bool)
         gb[0] = True
         gb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
         starts = np.flatnonzero(gb)
         ends = np.append(starts[1:], n)
-        parts = [
-            _verify_group_pairs(df.iloc[a:b], threshold)
-            for a, b in zip(starts, ends)
-            if b - a >= 2
-        ]
-        if not parts:
-            return _empty_pairs_frame()
-        return pd.concat(parts, ignore_index=True)
+        aa: list[np.ndarray] = []
+        bb: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            aa.append(ids[s + ai])
+            bb.append(ids[s + bi])
+        if not aa:
+            return pd.DataFrame({"doc_a": _i64(), "doc_b": _i64()})
+        out = pd.DataFrame({"doc_a": np.concatenate(aa), "doc_b": np.concatenate(bb)})
+        return out.drop_duplicates(ignore_index=True)
 
-    verified = (
+    cand = (
         exploded.map_batches(add_gk, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(verify_partition, batch_format="pandas")
+        .map_groups(candidates_partition, batch_format="pandas")
     )
 
-    # distributed pair dedup (a pair verifies in every shared band): hash
-    # the pair key into partitions, drop_duplicates per partition
+    # global candidate dedup (a pair collides in every shared band) BEFORE
+    # the verify joins, so each unique pair pays the tok-set fetch once
     def add_pk(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy().astype(np.uint64)
         c = b["doc_b"].to_numpy().astype(np.uint64)
         pk = ((a * np.uint64(0x9E3779B97F4A7C15) ^ c) % np.uint64(n_parts)).astype(np.int32)
         return b.append_column("pk", pa.array(pk))
 
-    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates(["doc_a", "doc_b"], ignore_index=True).drop(columns=["pk"])
-        out["jaccard"] = out["n_inter"] / out["n_union"]
-        return out
-
-    pairs = (
-        verified.map_batches(add_pk, batch_format="pyarrow")
+    cand = (
+        cand.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
-        .map_groups(dedup_partition, batch_format="pandas")
+        .map_groups(
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"], ignore_index=True).drop(
+                columns=["pk"]
+            ),
+            batch_format="pandas",
+        )
     )
+
+    # --- exact verify: two doc_id-keyed join passes; each ships the
+    # corpus's distinct-token-hash sets ONCE (never x num_bands)
+    from quant_feature_pipeline_ray.functions.dedupfns import _token_hashes
+
+    _LIST_I64 = pa.list_(pa.int64())
+
+    def toks_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        toks = [
+            np.unique(_token_hashes(t.split(" "))).view(np.int64)
+            for t in batch["text"].to_pylist()
+        ]
+        jk = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        cols = {
+            "jk": pa.array(jk.astype(np.int32)),
+            "role": pa.array(np.zeros(len(ids), np.int8)),
+            "kid": pa.array(ids.astype(np.int64)),
+            "other": pa.nulls(len(ids), pa.int64()),
+            "toks": pa.array(toks, type=_LIST_I64),
+            "toks_a": pa.nulls(len(ids), _LIST_I64),
+        }
+        return pa.table(cols)
+
+    def pair_side(batch: pa.Table, *, kid_col: str, other_col: str, has_toks_a: bool) -> pa.Table:
+        kid = batch[kid_col].to_numpy().astype(np.int64)
+        jk = (kid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        n = len(kid)
+        return pa.table(
+            {
+                "jk": pa.array(jk.astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "kid": pa.array(kid),
+                "other": batch[other_col].cast(pa.int64()),
+                "toks": pa.nulls(n, _LIST_I64),
+                "toks_a": batch["toks_a"].cast(_LIST_I64) if has_toks_a else pa.nulls(n, _LIST_I64),
+            }
+        )
+
+    def _lookup(toks_rows: pd.DataFrame, kids: np.ndarray) -> np.ndarray:
+        tk = toks_rows["kid"].to_numpy()
+        order = np.argsort(tk, kind="stable")
+        tks = tk[order]
+        tv = toks_rows["toks"].to_numpy()[order]
+        idx = np.searchsorted(tks, kids)
+        if idx.size and ((idx >= len(tks)).any() or not (tks[np.minimum(idx, len(tks) - 1)] == kids).all()):
+            raise ValueError("lsh verify join: candidate doc_id missing from toks partition")
+        return tv[idx]
+
+    def attach_a(df: pd.DataFrame) -> pa.Table:
+        # returns ARROW (not pandas) so toks_a stays a plain list<int64>
+        # block — a pandas object column of ndarrays would round-trip into
+        # the tensor-extension struct type, which can't cast back to list
+        p = df[df["role"].to_numpy() == 1]
+        if p.empty:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "toks_a": pa.array([], _LIST_I64),
+                }
+            )
+        ka = p["kid"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(ka),
+                # "other" carries nulls on the toks side, so pandas floats
+                # the whole column — restore exact int64 for the pair rows
+                "doc_b": pa.array(p["other"].to_numpy().astype(np.int64)),
+                "toks_a": pa.array(
+                    list(_lookup(df[df["role"].to_numpy() == 0], ka)), type=_LIST_I64
+                ),
+            }
+        )
+
+    def attach_b_verify(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["role"].to_numpy() == 1]
+        if p.empty:
+            return _empty_pairs_frame()
+        kb = p["kid"].to_numpy()
+        ta = p["toks_a"].to_numpy()
+        tb = _lookup(df[df["role"].to_numpy() == 0], kb)
+        inter = _pairwise_set_intersections(ta, tb)
+        na = np.fromiter((len(a) for a in ta), np.int64, count=len(ta))
+        nb = np.fromiter((len(x) for x in tb), np.int64, count=len(tb))
+        union = na + nb - inter
+        # same float path as the all-pairs verify (and the recall oracle):
+        # jac = inter/union in float64, >= threshold; union==0 (two empty
+        # token sets) counts as identical
+        with np.errstate(invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": p["other"].to_numpy()[keep].astype(np.int64),
+                "doc_b": kb[keep].astype(np.int64),
+                "n_inter": inter[keep],
+                "n_union": union[keep],
+            }
+        )
+
+    pass1 = (
+        docs.map_batches(toks_side, batch_format="pyarrow")
+        .union(
+            cand.map_batches(
+                lambda b: pair_side(b, kid_col="doc_a", other_col="doc_b", has_toks_a=False),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("jk")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+
+    def pass1_to_pairside(b: pa.Table) -> pa.Table:
+        return pair_side(b, kid_col="doc_b", other_col="doc_a", has_toks_a=True)
+
+    verified = (
+        docs.map_batches(toks_side, batch_format="pyarrow")
+        .union(pass1.map_batches(pass1_to_pairside, batch_format="pyarrow"))
+        .groupby("jk")
+        .map_groups(attach_b_verify, batch_format="pandas")
+    )
+
+    def add_jac(df: pd.DataFrame) -> pd.DataFrame:
+        df["jaccard"] = df["n_inter"] / df["n_union"]
+        return df
+
+    pairs = verified.map_batches(add_jac, batch_format="pandas")
     _shutil.rmtree(ck, ignore_errors=True)
     pairs.write_parquet(ck)
     wrote = _os.path.isdir(ck) and any(n.endswith(".parquet") for n in _os.listdir(ck))
@@ -3676,9 +3795,18 @@ def doc_graph_pagerank(
                 }
             )
 
-        ranks = partition_map_groups(
-            node_tagged.union(contrib_tagged), update, key="dst", num_buckets=16
-        ).materialize()
+        # repartition BEFORE materializing: union+sort+map_groups roughly
+        # doubles the block count every round (measured 48 -> 112 -> 240 at
+        # sf0.01), which compounded into superlinear per-round cost
+        # (9.7 s -> 133 s by round 5); pinning the block count keeps every
+        # round O(1) executions over O(1) blocks (~3 s/round)
+        ranks = (
+            partition_map_groups(
+                node_tagged.union(contrib_tagged), update, key="dst", num_buckets=16
+            )
+            .repartition(16)
+            .materialize()
+        )
 
     out = ranks.to_pandas()[["node", "r"]].rename(columns={"node": "doc_id", "r": "pagerank"})
     out["pagerank"] = np.round(out["pagerank"], 9)
