@@ -216,22 +216,34 @@ def media_frame_sample(sf_dir: str, frame_bytes: int = 256, stride: int = 4) -> 
     the layout a video frame-sampler would produce."""
 
     def fn(batch: pa.Table) -> pd.DataFrame:
-        ids, kinds = batch["media_id"].to_numpy(), batch["kind"].to_pylist()
-        rows = {"media_id": [], "frame_idx": [], "frame_off": [], "frame_len": []}
-        for mid, kind, payload in zip(ids, kinds, batch["payload"].to_pylist()):
-            if kind != "audio":
-                continue
-            body = payload[8:]
-            n_frames = (len(body) + frame_bytes - 1) // frame_bytes
-            for fi in range(0, n_frames, stride):
-                off = fi * frame_bytes
-                rows["media_id"].append(int(mid))
-                rows["frame_idx"].append(fi)
-                rows["frame_off"].append(off)
-                rows["frame_len"].append(min(frame_bytes, len(body) - off))
-        return pd.DataFrame(rows)
+        # frame geometry derives from payload LENGTH alone — arrow kernel +
+        # repeat/arange explode, never materializing payload bytes in Python
+        import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(ensure_media(sf_dir))
+        mask = pc.equal(batch["kind"], "audio").to_numpy(zero_copy_only=False)
+        ids = batch["media_id"].to_numpy()[mask]
+        body_len = (pc.binary_length(batch["payload"]).to_numpy()[mask] - 8).astype(
+            np.int64
+        )
+        n_frames = (body_len + frame_bytes - 1) // frame_bytes
+        n_sampled = (n_frames + stride - 1) // stride
+        total = int(n_sampled.sum())
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_sampled) - n_sampled, n_sampled
+        )
+        frame_idx = local * stride
+        frame_off = frame_idx * frame_bytes
+        frame_len = np.minimum(frame_bytes, np.repeat(body_len, n_sampled) - frame_off)
+        return pd.DataFrame(
+            {
+                "media_id": np.repeat(ids, n_sampled).astype(np.int64),
+                "frame_idx": frame_idx,
+                "frame_off": frame_off,
+                "frame_len": frame_len,
+            }
+        )
+
+    ds = ray.data.read_parquet(ensure_media(sf_dir), columns=["media_id", "kind", "payload"])
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 

@@ -221,12 +221,19 @@ def lsh_verified_pairs(
     Shingle_k=1 so MinHash estimates the SAME token-set similarity the
     exact verify (and the DuckDB oracle) computes.
 
-    Partitioning assumption: candidate volume per bucket is O(bucket^2);
-    EXACT duplicates are removed upstream (doc_curation_funnel runs exact
-    dedup first), which is what keeps identical-payload mega-buckets out of
-    the band space. Exchange accounting at sf0.1 (BASELINE.md): the round-2
+    Partitioning assumption: candidate volume per bucket is O(bucket^2),
+    and a candidate pair is re-emitted once per shared band that lands in a
+    distinct partition (<= num_bands), so on CLIQUE-HEAVY corpora the
+    16-byte candidate exchange is the dominant term — but so is the OUTPUT
+    (all qualifying pairs is itself quadratic in clique size; no all-pairs
+    operator beats its own output). EXACT duplicates are removed upstream
+    (doc_curation_funnel runs exact dedup first), which keeps
+    identical-payload mega-buckets out of the band space; `num_bands` is
+    the remaining knob (fewer bands = fewer candidate copies, lower
+    recall). Exchange accounting at sf0.1 (BASELINE.md): the round-2
     layout shipped 34.6x the corpus text bytes; this layout ships 0.64 KB/doc
-    of band keys + 16 B/candidate + ~2x the distinct-token-hash mass.
+    of band keys + 16 B/candidate-occurrence + ~2x the distinct-token-hash
+    mass.
 
     The verified-pair table is CHECKPOINTED to parquet per process (same
     discipline as dup_cluster_labels): doc_jaccard_pairs, the CC labels
