@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_token_stats"] = td.doc_token_stats
     q["doc_lang_id"] = td.doc_lang_id
     q["doc_exact_dedup"] = td.doc_exact_dedup
+    q["doc_normalized_dedup"] = td.doc_normalized_dedup
+    q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
     q["doc_cluster_rep"] = td.doc_cluster_rep
@@ -481,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_distinct_tokens_hll"] = td.doc_distinct_tokens_hll
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
+    q["emb_ann_filtered"] = td.emb_ann_filtered
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
@@ -516,20 +519,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (exact oracles)
         "t_oscillator", "t_composites",
         # §2-core representatives (driver-green in r02, kept in-window)
-        "t_turn_base", "t_rolling", "t_window_agg_300", "t_asof_features",
-        "t_time_windows", "e_asof_window", "e_streaming_windows", "tpch_q1",
+        "t_turn_base", "t_window_agg_300", "t_asof_features",
+        "e_asof_window", "e_streaming_windows", "tpch_q1",
         # doc_* exact-oracle family (not driver-verified in r02)
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
+        "doc_normalized_dedup", "doc_crossdoc_ngrams",
         "doc_jaccard_pairs", "doc_dup_clusters", "doc_cluster_rep",
         "doc_ngram_dup_frac", "doc_heavy_hitters", "doc_chunk",
         "doc_stratified_sample", "doc_weighted_sample", "doc_zipf",
         "doc_redact", "doc_contamination", "doc_export_shards",
         "doc_source_mix", "doc_source_kl", "doc_dedup_incremental",
         "doc_curriculum_rank", "doc_vocab", "doc_quality_filter",
-        "doc_curation_funnel", "doc_topk_per_lang", "doc_tfidf_topk",
-        "doc_lm_stats",
+        "doc_curation_funnel", "doc_tfidf_topk", "doc_lm_stats",
         # emb_* exact-oracle family
-        "emb_norms", "emb_label_centroids", "emb_ann_topk",
+        "emb_norms", "emb_label_centroids", "emb_ann_topk", "emb_ann_filtered",
         "emb_cosine_dups", "emb_range_search", "emb_covariance",
         # multimodal exact-oracle family
         "media_decode", "media_frame_sample", "media_resize",
@@ -592,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
+        "doc_normalized_dedup": td.doc_normalized_dedup_sql(_SQL_SF_DIR),
+        "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
@@ -623,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+        "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         "emb_range_search": td.emb_range_search_sql(_SQL_SF_DIR),
         # emb_knn_graph / emb_semdedup: IVF-approximate / kmeans-seeded →

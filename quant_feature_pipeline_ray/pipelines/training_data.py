@@ -159,6 +159,142 @@ SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_
 FROM documents GROUP BY text ORDER BY rep_doc_id"""
 
 
+_NORM_PUNCT = r"[^a-z0-9 ]"
+
+
+def _normalize_text_series(texts: np.ndarray) -> pd.Series:
+    """CCNet-style normalization (lower → strip punctuation → collapse
+    whitespace → trim), byte-identical to the DuckDB oracle's
+    regexp_replace chain."""
+    s = pd.Series(texts).str.lower()
+    s = s.str.replace(_NORM_PUNCT, "", regex=True)
+    s = s.str.replace(" +", " ", regex=True)
+    return s.str.strip()
+
+
+def doc_normalized_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Normalization-equivalence dedup (the CCNet / C4 preprocedure,
+    public: Wenzek et al. 2019): two docs are duplicates when they match
+    after lowercasing, punctuation stripping and whitespace collapsing.
+    Representative = min doc_id per normalization class.
+
+    Same shuffle shape as doc_exact_dedup: normalize + hash per batch, the
+    text never rides the exchange — only (hash, doc_id)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _normalized_dedup_ds(ds)
+
+
+def _normalized_dedup_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def hash_stage(batch: pa.Table) -> pd.DataFrame:
+        norm = _normalize_text_series(batch["text"].to_numpy(zero_copy_only=False))
+        return pd.DataFrame(
+            {
+                "h": content_hash(norm.to_numpy()).astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        hashed, "h", {"rep_doc_id": ("doc_id", "min"), "n_copies": ("doc_id", "size")}
+    )
+    return agg.drop_columns(["h"])
+
+
+def doc_normalized_dedup_sql(sf_dir: str) -> str:
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+ORDER BY rep_doc_id"""
+
+
+def doc_crossdoc_ngrams(sf_dir: str, k: int = 3, top_n: int = 100) -> pd.DataFrame:
+    """Cross-document repeated n-gram detector (the signal behind
+    substring-level dedup, Lee et al. 2022, public arXiv:2107.06499):
+    k-grams appearing in >= 2 DISTINCT documents, with document frequency
+    and total occurrence count, top-N under the deterministic total order
+    (df desc, tf desc, ngram asc).
+
+    Dataflow: per-batch arrow split -> flat token stream with doc
+    boundaries -> vectorized k-gram join (pandas str.cat over shifted
+    views; a k-gram never crosses a doc boundary) -> per-(ngram, doc) tf
+    partial (docs never span batches, so partials are globally unique) ->
+    ONE grouped_aggregate exchange keyed by ngram -> df>=2 filter +
+    per-batch partial top-N -> driver merges N-row partials.
+
+    At 100 TB: ship a 64-bit ngram hash through the exchange and fetch the
+    winning strings by hash afterward; here the string rides (bounded by
+    ~k x corpus tokens) because the oracle compares the strings."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy()
+        docrep = np.repeat(ids, lens)
+        if len(flat) < k:
+            return pd.DataFrame(
+                {
+                    "ngram": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "tf": pd.Series(dtype="int64"),
+                }
+            )
+        valid = docrep[: len(flat) - k + 1] == docrep[k - 1 :]
+        parts = [pd.Series(flat[i : len(flat) - k + 1 + i][valid]) for i in range(k)]
+        ng = parts[0].str.cat(parts[1:], sep=" ")
+        g = pd.DataFrame({"ngram": ng, "doc_id": docrep[: len(flat) - k + 1][valid]})
+        out = g.groupby(["ngram", "doc_id"], as_index=False).size()
+        return out.rename(columns={"size": "tf"})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "ngram",
+        {"df": ("doc_id", "size"), "tf": ("tf", "sum")},
+    )
+
+    def topn(batch: pa.Table) -> pd.DataFrame:
+        d = batch.to_pandas()
+        d = d[d["df"] >= 2]
+        d = d.sort_values(
+            ["df", "tf", "ngram"], ascending=[False, False, True], kind="mergesort"
+        )
+        return d.head(top_n)
+
+    parts = agg.map_batches(topn, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["df", "tf", "ngram"], ascending=[False, False, True], kind="mergesort"
+    ).head(top_n)
+    parts["df"] = parts["df"].astype(np.int64)
+    parts["tf"] = parts["tf"].astype(np.int64)
+    return parts.reset_index(drop=True)
+
+
+def doc_crossdoc_ngrams_sql(sf_dir: str, k: int = 3, top_n: int = 100) -> str:
+    assert k == 3, "oracle is written for trigrams"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+)
+SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf
+FROM pos
+GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY df DESC, tf DESC, ngram
+LIMIT {top_n}"""
+
+
 def _empty_pairs_frame() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -620,6 +756,87 @@ def emb_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     top["vec_id"] = top["vec_id"].astype(np.int64)
     top["rank"] = top["rank"].astype(np.int64)
     return top
+
+
+def emb_ann_filtered(
+    sf_dir: str, n_queries: int = 10, k: int = 5, label: int = 1
+) -> pd.DataFrame:
+    """FILTERED vector search — top-k cosine restricted to candidates with
+    a metadata predicate (label == `label`), the production vector-store
+    shape ("nearest neighbours among docs tagged X").
+
+    Scale pattern: the predicate is pushed into the parquet read (arrow
+    row-group/row filter), so non-matching vectors never enter the object
+    store; after that it is the broadcast-queries + per-batch matmul +
+    per-batch partial top-k dataflow of emb_ann_topk."""
+    import pyarrow.compute as pc
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb[emb["vec_id"] < n_queries]
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qids = qdf["vec_id"].to_numpy()
+    qref = ray.put((qids, qmat, qnorm))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("label") == label,  # predicate pushdown at the read
+    )
+
+    class Scorer:
+        def __init__(self, qref):
+            self.qids, self.qmat, self.qnorm = (
+                ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            vids = batch["vec_id"].to_numpy()
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            sims = (mat @ self.qmat.T) / (norms[:, None] * self.qnorm[None, :])
+            nq = len(self.qids)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(self.qids, len(vids)),
+                    "vec_id": np.tile(vids, nq),
+                    "sim": np.round(sims.T.reshape(-1), 6),
+                }
+            )
+            out = out[out["query_id"] != out["vec_id"]]
+            out = out.sort_values(
+                ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+            )
+            return out.groupby("query_id", as_index=False).head(k)
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(qref,), batch_format="pyarrow", concurrency=2
+    )
+    allp = partials.to_pandas()
+    allp = allp.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    top = allp.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    for c in ("query_id", "vec_id", "rank"):
+        top[c] = top[c].astype(np.int64)
+    return top
+
+
+def emb_ann_filtered_sql(sf_dir: str, n_queries: int = 10, k: int = 5, label: int = 1) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id <> e.vec_id AND e.label = {label}
+)
+SELECT query_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}
+ORDER BY query_id, rank"""
 
 
 def emb_cosine_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
@@ -2226,6 +2443,10 @@ def dup_cluster_labels(
             edges.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(fn, batch_format="pandas")
+            # pin the block count at the loop boundary — groupby+map_groups
+            # multiplies blocks per pass, which compounds superlinearly over
+            # iterations (the PageRank lesson, BASELINE.md round 3)
+            .repartition(16)
             .materialize()
         )
         hist.append(potential(edges))
