@@ -229,6 +229,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_oscillator"] = t_oscillator
 
+    def t_atr(sf):
+        # ATR(14) + atr_pct analogue over inter-turn latency (stages/trend.py)
+        from quant_feature_pipeline_ray.stages.trend import atr_frame
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: atr_frame(compute_turn_features(g)),
+            num_buckets=64,
+        )
+
+    q["t_atr"] = t_atr
+
+    def t_supertrend(sf):
+        # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
+        # band recursion (rows-only: sequential data-dependent state; pinned
+        # by the straight-line parity pytest)
+        from quant_feature_pipeline_ray.stages.trend import supertrend_frame
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: supertrend_frame(compute_turn_features(g)),
+            num_buckets=64,
+        )
+
+    q["t_supertrend"] = t_supertrend
+
     q["t_composites"] = lambda sf: _turns_ds(sf).select_columns(
         ["conv_id", "turn_idx", "ts_us", f"band_width_{DEFAULT_CONFIG.bw_window}"]
     )
@@ -517,10 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # run, scripts/check_contract.py, which executes ALL queries).
     first = [
         # new this round (exact oracles)
-        "t_oscillator", "t_composites",
-        # §2-core representatives (driver-green in r02, kept in-window)
+        "t_oscillator", "t_composites", "t_atr",
+        # §2-core representatives (driver-green in r02, kept in-window;
+        # tpch_q1 rotated out for t_atr — six other TPC-H shapes below)
         "t_turn_base", "t_window_agg_300", "t_asof_features",
-        "e_asof_window", "e_streaming_windows", "tpch_q1",
+        "e_asof_window", "e_streaming_windows",
         # doc_* exact-oracle family (not driver-verified in r02)
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
@@ -642,6 +669,9 @@ def oracle_sql() -> dict[str, str]:
         "t_group_normalized": _sql_group_normalized(),
         "t_momentum": _sql_momentum(),
         "t_oscillator": _sql_oscillator(),
+        "t_atr": _sql_atr(),
+        # t_supertrend: data-dependent band-ratchet recursion → rows-only
+        # (straight-line parity pytest)
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -723,6 +753,12 @@ def _sql_oscillator() -> str:
     from quant_feature_pipeline_ray.stages.oscillator import sql_oscillator
 
     return sql_oscillator(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _sql_atr() -> str:
+    from quant_feature_pipeline_ray.stages.trend import sql_atr
+
+    return sql_atr(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_rolling_cov(w: int = 20) -> str:
