@@ -243,8 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
-        # band recursion (rows-only: sequential data-dependent state; pinned
-        # by the straight-line parity pytest)
+        # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
+        # scan one turn-level per iteration (plus straight-line pytest)
         from quant_feature_pipeline_ray.stages.trend import supertrend_frame
 
         return partition_map_groups(
@@ -543,11 +543,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # run, scripts/check_contract.py, which executes ALL queries).
     first = [
         # new this round (exact oracles)
-        "t_oscillator", "t_composites", "t_atr",
+        "t_oscillator", "t_composites", "t_atr", "t_supertrend",
         # §2-core representatives (driver-green in r02, kept in-window;
-        # tpch_q1 rotated out for t_atr — six other TPC-H shapes below)
+        # tpch_q1 / e_streaming_windows rotated out for t_atr /
+        # t_supertrend — both shapes stay in the builder contract run)
         "t_turn_base", "t_window_agg_300", "t_asof_features",
-        "e_asof_window", "e_streaming_windows",
+        "e_asof_window",
         # doc_* exact-oracle family (not driver-verified in r02)
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
@@ -670,8 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "t_momentum": _sql_momentum(),
         "t_oscillator": _sql_oscillator(),
         "t_atr": _sql_atr(),
-        # t_supertrend: data-dependent band-ratchet recursion → rows-only
-        # (straight-line parity pytest)
+        "t_supertrend": _sql_supertrend(),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -759,6 +759,13 @@ def _sql_atr() -> str:
     from quant_feature_pipeline_ray.stages.trend import sql_atr
 
     return sql_atr(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _sql_supertrend() -> str:
+    # exact WITH RECURSIVE replay of the band-ratchet scan (trend.py)
+    from quant_feature_pipeline_ray.stages.trend import sql_supertrend
+
+    return sql_supertrend(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_rolling_cov(w: int = 20) -> str:

@@ -36,7 +36,9 @@ SuperTrend analogue (recursive — the battery's only band-ratchet state)
     expression. It runs as a per-bucket scan inside the conversation
     exchange (state never crosses conversations, so buckets parallelize);
     correctness is pinned by a straight-line per-conversation reference in
-    tests (rows-only in the driver contract, like the other recursive ops).
+    tests AND an exact DuckDB `WITH RECURSIVE` oracle (sql_supertrend) that
+    replays the ratchet one turn-level per iteration — the same recursive-
+    CTE discipline as the doc_dup_clusters connected-components oracle.
 """
 
 from __future__ import annotations
@@ -123,6 +125,9 @@ def supertrend_frame(
     bu = mid + mult * atr
     bl = mid - mult * atr
 
+    # float math written to be IEEE-identical to sql_supertrend:
+    # mid/atr are each ONE double division of exact int64 window sums;
+    # bu/bl are mid ± (mult · atr) in that association order.
     direction = np.empty(n, dtype=np.int64)
     dt_f = dt_us.astype(np.float64)
     fub = flb = 0.0
@@ -142,3 +147,48 @@ def supertrend_frame(
         prev_dt = dt_f[i]
     out["supertrend_direction"] = direction
     return out
+
+
+def sql_supertrend(base_cte: str, window: int = 10, mult: float = 3.0) -> str:
+    """Exact DuckDB oracle for the ratchet recursion: a WITH RECURSIVE scan
+    that advances every conversation by one turn per iteration (working
+    table = previous level only), carrying (final_ub, final_lb, dir,
+    prev dt). Band inputs use the identical double expressions as
+    supertrend_frame, so every float comparison takes the same branch."""
+    w = window
+    win = (
+        f"(PARTITION BY conv_id ORDER BY turn_idx "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
+    )
+    rec = base_cte.replace("WITH raw AS", "WITH RECURSIVE raw AS", 1)
+    return rec + f"""
+, d AS (
+  SELECT conv_id, turn_idx, ts_us, dt_us,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         abs(COALESCE(dt_us - lag(dt_us) OVER (PARTITION BY conv_id ORDER BY turn_idx), 0)) AS tr
+  FROM t
+), b AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: DuckDB otherwise inlines the whole
+  -- parquet-read + window chain into the recursive branch and re-evaluates
+  -- it once per recursion level (= max conversation length, ~4e3 here)
+  SELECT conv_id, turn_idx, ts_us, rn,
+         CAST(dt_us AS DOUBLE) AS dt_f,
+         CAST(SUM(dt_us) OVER {win} AS DOUBLE) / CAST(COUNT(*) OVER {win} AS DOUBLE)
+           + {mult!r} * (CAST(SUM(tr) OVER {win} AS DOUBLE) / CAST(COUNT(*) OVER {win} AS DOUBLE)) AS bu,
+         CAST(SUM(dt_us) OVER {win} AS DOUBLE) / CAST(COUNT(*) OVER {win} AS DOUBLE)
+           - {mult!r} * (CAST(SUM(tr) OVER {win} AS DOUBLE) / CAST(COUNT(*) OVER {win} AS DOUBLE)) AS bl
+  FROM d
+), r AS (
+  SELECT conv_id, turn_idx, ts_us, rn, dt_f, bu AS fub, bl AS flb, 1 AS dir
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.ts_us, b.rn, b.dt_f,
+         CASE WHEN b.bu < r.fub OR r.dt_f > r.fub THEN b.bu ELSE r.fub END,
+         CASE WHEN b.bl > r.flb OR r.dt_f < r.flb THEN b.bl ELSE r.flb END,
+         CASE WHEN b.dt_f > (CASE WHEN b.bu < r.fub OR r.dt_f > r.fub THEN b.bu ELSE r.fub END) THEN 1
+              WHEN b.dt_f < (CASE WHEN b.bl > r.flb OR r.dt_f < r.flb THEN b.bl ELSE r.flb END) THEN -1
+              ELSE r.dir END
+  FROM b JOIN r ON b.conv_id = r.conv_id AND b.rn = r.rn + 1
+)
+SELECT conv_id, turn_idx, ts_us, CAST(dir AS BIGINT) AS supertrend_direction
+FROM r ORDER BY conv_id, turn_idx"""
