@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_unpivot"] = lambda sf: ev.events_unpivot(f"{sf}/events.parquet")
     q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
     q["e_streaming_windows"] = lambda sf: ev.events_streaming_windows(f"{sf}/events.parquet")
+    q["e_streaming_sessions"] = lambda sf: ev.events_streaming_sessions(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -471,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["supplier_count_by_part_attrs"] = tpch.supplier_count_by_part_attrs
     q["part_value_concentration"] = tpch.part_value_concentration
     q["sales_rollup"] = tpch.sales_rollup
+    q["nation_trade_volume"] = tpch.nation_trade_volume
+    q["market_share"] = tpch.market_share
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -498,6 +501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_export_shards"] = td.doc_export_shards
     q["doc_source_mix"] = td.doc_source_mix
     q["doc_source_kl"] = td.doc_source_kl
+    q["doc_bm25_topk"] = td.doc_bm25_topk
+    q["doc_perplexity"] = td.doc_perplexity
+    q["doc_repetition"] = td.doc_repetition
+    q["doc_pmi_bigrams"] = td.doc_pmi_bigrams
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
     q["doc_graph_pagerank"] = td.doc_graph_pagerank
@@ -542,13 +549,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # kernels sit after position 50 (they remain in the builder contract
     # run, scripts/check_contract.py, which executes ALL queries).
     first = [
-        # new this round (exact oracles)
+        # new this round (exact oracles): indicator analogues + BM25 /
+        # repetition / PMI text ops + the Q7/Q8 join shapes. The §2-core
+        # t_*/e_* representatives (t_turn_base, t_window_agg_300,
+        # t_asof_features, e_asof_window) rotated out — all driver-green in
+        # CORRECTNESS_r02 and still exercised by the builder contract run
+        # (scripts/check_contract.py, ALL queries).
         "t_oscillator", "t_composites", "t_atr", "t_supertrend",
-        # §2-core representatives (driver-green in r02, kept in-window;
-        # tpch_q1 / e_streaming_windows rotated out for t_atr /
-        # t_supertrend — both shapes stay in the builder contract run)
-        "t_turn_base", "t_window_agg_300", "t_asof_features",
-        "e_asof_window",
+        "doc_bm25_topk", "doc_repetition", "doc_pmi_bigrams",
+        "nation_trade_volume", "market_share",
         # doc_* exact-oracle family (not driver-verified in r02)
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
@@ -562,8 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emb_* exact-oracle family
         "emb_norms", "emb_label_centroids", "emb_ann_topk", "emb_ann_filtered",
         "emb_cosine_dups", "emb_range_search", "emb_covariance",
-        # multimodal exact-oracle family
-        "media_decode", "media_frame_sample", "media_resize",
+        # multimodal exact-oracle family (media_resize rotated out — same
+        # actor-pool plumbing shape as media_decode, stays in the contract run)
+        "media_decode", "media_frame_sample",
         # TPC-H shapes added after the r02 driver window
         "top_suppliers_by_revenue", "disjunctive_revenue",
         "supplier_count_by_part_attrs", "part_value_concentration",
@@ -600,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "e_unpivot": ev.events_unpivot_sql(),
         # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
         "e_streaming_windows": ev.events_streaming_windows_sql(),
+        "e_streaming_sessions": ev.events_streaming_sessions_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -620,6 +631,12 @@ def oracle_sql() -> dict[str, str]:
         "supplier_count_by_part_attrs": tpch.supplier_count_by_part_attrs_sql(_SQL_SF_DIR),
         "part_value_concentration": tpch.part_value_concentration_sql(_SQL_SF_DIR),
         "sales_rollup": tpch.sales_rollup_sql(_SQL_SF_DIR),
+        "nation_trade_volume": tpch.nation_trade_volume_sql(_SQL_SF_DIR),
+        "market_share": tpch.market_share_sql(_SQL_SF_DIR),
+        "doc_bm25_topk": td.doc_bm25_topk_sql(_SQL_SF_DIR),
+        "doc_perplexity": td.doc_perplexity_sql(_SQL_SF_DIR),
+        "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),
+        "doc_pmi_bigrams": td.doc_pmi_bigrams_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),

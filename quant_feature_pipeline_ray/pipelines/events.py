@@ -924,3 +924,73 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def events_streaming_sessions(
+    path: str, gap_s: int = 1800, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Event-time SESSION windows (state/event_windows.StreamingSessionWindows)
+    driven as a Dataset stage: ONE user_id hash exchange, one kernel per
+    partition, rows fed in ts order in micro-chunks so emissions + flush
+    equal the batch gap-sessionization — the SQL oracle. The harder
+    streaming semantics (gap-MERGE on bridging arrivals, late side output,
+    snapshot/restore) are pinned in tests/test_event_windows.py."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+    from quant_feature_pipeline_ray.state.event_windows import StreamingSessionWindows
+
+    ds = _read_events(path, ["user_id", "ts", "value"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "ts_us": g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "value_c": np.round(g["value"].to_numpy() * 100).astype(np.int64),
+            }
+        ).sort_values("ts_us", kind="mergesort", ignore_index=True)
+        k = StreamingSessionWindows(gap_s, allowed_lateness_s=0)
+        outs = [
+            k.process(df.iloc[idx])[0]
+            for idx in np.array_split(np.arange(len(df)), 8)
+        ]
+        outs.append(k.flush())
+        out = pd.concat(outs, ignore_index=True)
+        out["sum_value"] = out.pop("sum_value_c") / 100.0
+        return out
+
+    return partition_map_groups(ds, per_partition, key="user_id", num_buckets=num_buckets)
+
+
+def events_streaming_sessions_sql(gap_s: int = 1800) -> str:
+    g = gap_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+),
+o AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {g}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT *,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_c) AS BIGINT) / 100.0 AS sum_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_id"""

@@ -1782,3 +1782,270 @@ SELECT COALESCE(p.p_brand, 'ALL') AS brand,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY ROLLUP(p.p_brand, p.p_size)
 ORDER BY brand, size"""
+
+
+def _dim_arrays(sf_dir: str):
+    """Broadcast-ready dimension arrays: suppkey→nationkey, custkey→nationkey,
+    nationkey→name, nationkey→regionkey (dense int index maps — O(|dim|)
+    driver memory, shipped ONCE via ray.put)."""
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    s_map = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    s_map[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    c_map = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    c_map[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    n_name = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    n_name[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+    n_region = np.full(int(nat["n_nationkey"].max()) + 1, -1, dtype=np.int64)
+    n_region[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+    return s_map, c_map, n_name, n_region
+
+
+def nation_trade_volume(
+    sf_dir: str, n1: str = "NATION_3", n2: str = "NATION_19"
+) -> pd.DataFrame:
+    """Bilateral trade volume between two nations by ship year (TPC-H Q7
+    shape): revenue of lineitems whose SUPPLIER sits in one nation of the
+    pair and whose ordering CUSTOMER sits in the other.
+
+    Scale shape: supplier/customer nationkeys are broadcast dense-index
+    arrays (dimension tables, ray.put once); the supplier-nation filter runs
+    INSIDE the lineitem combiner so only the pair's fact rows enter the
+    exchange; the orderkey→custkey resolution is the repo's tagged-union
+    SHUFFLE join (orders is fact-sized — never broadcast). One exchange,
+    partial aggregation before it, 2×|years| result rows."""
+    s_map, c_map, n_name, _ = _dim_arrays(sf_dir)
+    nk1 = int(np.nonzero(n_name == n1)[0][0])
+    nk2 = int(np.nonzero(n_name == n2)[0][0])
+    s_ref, c_ref = ray.put(s_map), ray.put(c_map)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        sm = ray.get(s_ref) if isinstance(s_ref, ray.ObjectRef) else s_ref
+        supp_nk = sm[batch["l_suppkey"].to_numpy()]
+        keep = (supp_nk == nk1) | (supp_nk == nk2)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype=np.int64),
+                    "supp_nk": pd.Series(dtype=np.int64),
+                    "l_year": pd.Series(dtype=np.int64),
+                    "rev_e4": pd.Series(dtype=np.int64),
+                    "o_custkey": pd.Series(dtype=np.int64),
+                }
+            )
+        t = batch.filter(pa.array(keep))
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": t["l_orderkey"].to_numpy(),
+                "supp_nk": supp_nk[keep],
+                "l_year": pc.year(t["l_shipdate"]).to_numpy().astype(np.int64),
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        out = p.groupby(["o_orderkey", "supp_nk", "l_year"], as_index=False).sum()
+        out["o_custkey"] = np.int64(-1)
+        return out
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "supp_nk": np.full(len(batch), -1, dtype=np.int64),
+                "l_year": np.zeros(len(batch), dtype=np.int64),
+                "rev_e4": np.zeros(len(batch), dtype=np.int64),
+                "o_custkey": batch["o_custkey"].to_numpy().astype(np.int64),
+            }
+        )
+
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        dim = df[df["o_custkey"] >= 0]
+        fact = df[df["o_custkey"] < 0]
+        if fact.empty:
+            return pd.DataFrame(
+                {
+                    "supp_nk": pd.Series(dtype=np.int64),
+                    "cust_nk": pd.Series(dtype=np.int64),
+                    "l_year": pd.Series(dtype=np.int64),
+                    "rev_e4": pd.Series(dtype=np.int64),
+                }
+            )
+        custkey = fact["o_orderkey"].map(
+            pd.Series(dim["o_custkey"].to_numpy(), index=dim["o_orderkey"].to_numpy())
+        )
+        cust_nk = cm[custkey.to_numpy()]
+        sup_nk = fact["supp_nk"].to_numpy()
+        keep = ((sup_nk == nk1) & (cust_nk == nk2)) | ((sup_nk == nk2) & (cust_nk == nk1))
+        out = pd.DataFrame(
+            {
+                "supp_nk": sup_nk[keep],
+                "cust_nk": cust_nk[keep],
+                "l_year": fact["l_year"].to_numpy()[keep],
+                "rev_e4": fact["rev_e4"].to_numpy()[keep],
+            }
+        )
+        return out.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    parts = partition_map_groups(tagged, join_part, key="o_orderkey", num_buckets=32)
+    out = parts.to_pandas()  # ≤ 32 × 2 × |years| rows
+    out = out.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)["rev_e4"].sum()
+    out["supp_nation"] = n_name[out["supp_nk"].to_numpy()]
+    out["cust_nation"] = n_name[out["cust_nk"].to_numpy()]
+    out["revenue"] = out["rev_e4"].astype(np.int64) / 10000.0
+    out["l_year"] = out["l_year"].astype(np.int64)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"], ignore_index=True)[
+        ["supp_nation", "cust_nation", "l_year", "revenue"]
+    ]
+
+
+def nation_trade_volume_sql(sf_dir: str, n1: str = "NATION_3", n2: str = "NATION_19") -> str:
+    return f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{n1}' AND nc.n_name = '{n2}')
+   OR (ns.n_name = '{n2}' AND nc.n_name = '{n1}')
+GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def market_share(
+    sf_dir: str, region: str = "ASIA", supp_nation: str = "NATION_3"
+) -> pd.DataFrame:
+    """Market share of one supplier nation inside one customer region by
+    order year (TPC-H Q8 shape): a RATIO of two conditional sums over the
+    same joined fact stream.
+
+    Scale shape: identical tagged-union shuffle join on orderkey as
+    nation_trade_volume, but the year comes from ORDERS (o_orderdate) so the
+    dimension rows carry (custkey, o_year); the lineitem combiner keeps both
+    sums in one pass (rev_e4 total + rev_e4 from the target nation) so the
+    ratio needs no second exchange."""
+    s_map, c_map, n_name, n_region = _dim_arrays(sf_dir)
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    target_nk = int(np.nonzero(n_name == supp_nation)[0][0])
+    s_ref, c_ref = ray.put(s_map), ray.put(c_map)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        sm = ray.get(s_ref) if isinstance(s_ref, ray.ObjectRef) else s_ref
+        supp_nk = sm[batch["l_suppkey"].to_numpy()]
+        price_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_e4": rev,
+                "nation_rev_e4": np.where(supp_nk == target_nk, rev, 0),
+            }
+        )
+        out = p.groupby("o_orderkey", as_index=False).sum()
+        out["o_custkey"] = np.int64(-1)
+        out["o_year"] = np.int64(0)
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(),
+                "rev_e4": np.zeros(len(batch), dtype=np.int64),
+                "nation_rev_e4": np.zeros(len(batch), dtype=np.int64),
+                "o_custkey": batch["o_custkey"].to_numpy().astype(np.int64),
+                "o_year": pc.year(batch["o_orderdate"]).to_numpy().astype(np.int64),
+            }
+        )
+
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(orders_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        dim = df[df["o_custkey"] >= 0]
+        fact = df[df["o_custkey"] < 0]
+        if fact.empty:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series(dtype=np.int64),
+                    "rev_e4": pd.Series(dtype=np.int64),
+                    "nation_rev_e4": pd.Series(dtype=np.int64),
+                }
+            )
+        idx = pd.Series(np.arange(len(dim)), index=dim["o_orderkey"].to_numpy())
+        pos = fact["o_orderkey"].map(idx).to_numpy()
+        custkey = dim["o_custkey"].to_numpy()[pos]
+        keep = n_region[cm[custkey]] == rk
+        out = pd.DataFrame(
+            {
+                "o_year": dim["o_year"].to_numpy()[pos][keep],
+                "rev_e4": fact["rev_e4"].to_numpy()[keep],
+                "nation_rev_e4": fact["nation_rev_e4"].to_numpy()[keep],
+            }
+        )
+        return out.groupby("o_year", as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    parts = partition_map_groups(tagged, join_part, key="o_orderkey", num_buckets=32)
+    out = parts.to_pandas().groupby("o_year", as_index=False).sum()  # ≤ 32 × |years| rows
+    out["mkt_share"] = out["nation_rev_e4"].astype(np.int64) / out["rev_e4"].astype(np.int64)
+    out["total_revenue"] = out["rev_e4"].astype(np.int64) / 10000.0
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out.sort_values("o_year", ignore_index=True)[["o_year", "mkt_share", "total_revenue"]]
+
+
+def market_share_sql(sf_dir: str, region: str = "ASIA", supp_nation: str = "NATION_3") -> str:
+    return f"""
+WITH joined AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region    ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{region}'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{supp_nation}' THEN rev_e4 ELSE 0 END) AS BIGINT)
+         / CAST(SUM(rev_e4) AS BIGINT) AS mkt_share,
+       CAST(SUM(rev_e4) AS BIGINT) / 10000.0 AS total_revenue
+FROM joined
+GROUP BY o_year
+ORDER BY o_year"""

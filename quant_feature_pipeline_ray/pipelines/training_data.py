@@ -4259,3 +4259,420 @@ SELECT c.source,
        round(SUM((c.c * 1.0 / st.s) * ln((c.c * 1.0 / st.s) / (tt.t * 1.0 / n.n))), 6) AS kl
 FROM c JOIN st USING (source) JOIN tt USING (token), n
 GROUP BY c.source ORDER BY c.source"""
+
+
+# ------------------------------------------------------------- BM25 ranking
+BM25_QUERY = ("spark", "window", "hash", "stream")
+
+
+def doc_bm25_topk(
+    sf_dir: str, k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> pd.DataFrame:
+    """Top-k documents by BM25 score against a fixed query-term set.
+
+    Distinct from doc_tfidf_topk (per-doc term ranking): BM25 ranks DOCS for
+    a query, with term-frequency saturation (k1) and document-length
+    normalization (b, against the corpus mean length avgdl).
+
+    Scale shape: pass 1 reduces the corpus to O(1) scalars (n_docs, Σdl, df
+    per query term) via one-row-per-batch partials; pass 2 scores each batch
+    locally against those broadcast scalars and emits a per-batch partial
+    top-k — the driver merges blocks x k rows. No shuffle at all.
+    Float discipline: the score expression is written with the identical
+    operation order as the SQL oracle and rounded to 6 decimals before
+    ranking, so rank and value are engine-independent."""
+    import math
+
+    terms = list(BM25_QUERY)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        dl = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        row = {"n_docs": np.int64(len(batch)), "sum_dl": dl.sum()}
+        for t in terms:
+            tf = np.bincount(parent[flat == t], minlength=len(batch))
+            row[f"df_{t}"] = np.int64((tf > 0).sum())
+        return pd.DataFrame([row])
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    avgdl = int(st["sum_dl"].sum()) * 1.0 / n_docs
+    idf = {
+        t: math.log(1.0 + (n_docs - int(st[f"df_{t}"].sum()) + 0.5) / (int(st[f"df_{t}"].sum()) + 0.5))
+        for t in terms
+    }
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        dl = pc.list_value_length(split).to_numpy().astype(np.float64)
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(batch), dtype=np.float64)
+        any_tf = np.zeros(len(batch), dtype=np.int64)
+        for t in terms:  # fixed term order == SQL expression order (FP parity)
+            tf = np.bincount(parent[flat == t], minlength=len(batch)).astype(np.float64)
+            score = score + idf[t] * (tf * (k1 + 1.0)) / (tf + norm)
+            any_tf += tf.astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "score": np.round(score, 6)}
+        )
+        out = out[any_tf > 0]
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    top = (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True], ignore_index=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top.insert(1, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["doc_id", "rank", "score"]]
+
+
+def doc_bm25_topk_sql(sf_dir: str, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = list(BM25_QUERY)
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    score_terms = " + ".join(
+        f"ln(1.0 + (stats.n_docs - df.df_{t} + 0.5) / (df.df_{t} + 0.5))"
+        f" * (tf.tf_{t} * ({k1} + 1.0)) / (tf.tf_{t} + {k1} * (1.0 - {b} + {b} * tf.dl / stats.avgdl))"
+        for t in terms
+    )
+    any_tf = " + ".join(f"tf.tf_{t}" for t in terms)
+    return f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, SUM(len(toks)) * 1.0 / count(*) AS avgdl FROM s),
+tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {tf_cols}
+       FROM s),
+df AS (SELECT {df_cols} FROM tf)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY round({score_terms}, 6) DESC, doc_id) AS BIGINT) AS rank,
+       round({score_terms}, 6) AS score
+FROM tf, stats, df
+WHERE {any_tf} > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}"""
+
+
+# ------------------------------------------- within-doc repetition signals
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style within-document repetition signals: the fraction of
+    token positions covered by the single most frequent token, and of
+    adjacent-bigram positions covered by the most frequent bigram
+    (high values flag boilerplate / degenerate generations; cf. Rae et al.
+    2021 "Scaling Language Models" repetition filters, public paper).
+
+    Stateless vectorized scan — one arrow split per batch, adjacency via a
+    same-parent mask over the flattened token stream (no per-row loop), two
+    C-level pandas groupbys per batch, no shuffle. Ties on the max count
+    break lexicographically (token ASC) in both engines."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        n_tokens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+
+        uc = (
+            pd.DataFrame({"d": parent, "tok": flat})
+            .groupby(["d", "tok"], as_index=False)
+            .size()
+            .sort_values(["d", "size", "tok"], ascending=[True, False, True])
+            .groupby("d", as_index=False, sort=False)
+            .head(1)
+        )
+        top_tok = np.empty(len(batch), dtype=object)
+        top_tok[uc["d"].to_numpy()] = uc["tok"].to_numpy()
+        top_tok_n = np.zeros(len(batch), dtype=np.int64)
+        top_tok_n[uc["d"].to_numpy()] = uc["size"].to_numpy()
+
+        adj = parent[:-1] == parent[1:]
+        top_big = np.full(len(batch), "", dtype=object)
+        top_big_n = np.zeros(len(batch), dtype=np.int64)
+        if adj.any():
+            bg = pd.DataFrame(
+                {"d": parent[:-1][adj], "bigram": flat[:-1][adj] + " " + flat[1:][adj]}
+            )
+            bc = (
+                bg.groupby(["d", "bigram"], as_index=False)
+                .size()
+                .sort_values(["d", "size", "bigram"], ascending=[True, False, True])
+                .groupby("d", as_index=False, sort=False)
+                .head(1)
+            )
+            top_big[bc["d"].to_numpy()] = bc["bigram"].to_numpy()
+            top_big_n[bc["d"].to_numpy()] = bc["size"].to_numpy()
+
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": n_tokens,
+                "top_token": top_tok,
+                "top_token_n": top_tok_n,
+                "top_token_frac": top_tok_n * 1.0 / n_tokens,
+                "top_bigram": top_big,
+                "top_bigram_n": top_big_n,
+                "top_bigram_frac": np.where(
+                    n_tokens >= 2, top_big_n * 1.0 / np.maximum(n_tokens - 1, 1), 0.0
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_repetition_sql(sf_dir: str) -> str:
+    return """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS tok FROM s),
+uc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY doc_id, tok),
+ut AS (SELECT doc_id, tok, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+       FROM uc),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       FROM s),
+bc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, bigram),
+bt AS (SELECT doc_id, bigram, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+       FROM bc),
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM s)
+SELECT n.doc_id, n.n_tokens,
+       ut.tok AS top_token, ut.c AS top_token_n,
+       ut.c * 1.0 / n.n_tokens AS top_token_frac,
+       COALESCE(bt.bigram, '') AS top_bigram,
+       CAST(COALESCE(bt.c, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN n.n_tokens >= 2
+            THEN COALESCE(bt.c, 0) * 1.0 / (n.n_tokens - 1) ELSE 0.0 END AS top_bigram_frac
+FROM n
+JOIN ut ON ut.doc_id = n.doc_id AND ut.rn = 1
+LEFT JOIN bt ON bt.doc_id = n.doc_id AND bt.rn = 1
+ORDER BY n.doc_id"""
+
+
+# ------------------------------------------------------- PMI collocations
+def doc_pmi_bigrams(sf_dir: str, min_count: int = 5, top_n: int = 50) -> pd.DataFrame:
+    """Corpus-level collocation mining: top-n adjacent token bigrams by
+    pointwise mutual information (Church & Hanks 1990, public paper).
+
+    Scale shape: per-batch bigram COMBINER (one row per distinct bigram per
+    batch) -> ONE hash exchange (grouped_aggregate) to global bigram counts
+    -> scalar total via Dataset.sum -> score inside map_batches against the
+    BROADCAST unigram-count table (vocabulary-bounded, built by the
+    doc_vocab dataflow) -> per-batch partial top-n, driver merges
+    blocks x n rows. The bigram-count dataset is materialized once because
+    it is consumed twice (total + scoring); it is vocab^2-bounded, not
+    corpus-bounded."""
+    uni = doc_vocab(sf_dir, min_count=1).to_pandas()  # vocabulary-bounded
+    t_uni = int(uni["tf"].sum())
+    uni_ref = ray.put(dict(zip(uni["token"], uni["tf"].astype(np.int64))))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        adj = parent[:-1] == parent[1:]
+        if not adj.any():
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype=object),
+                    "y": pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        p = pd.DataFrame({"x": flat[:-1][adj], "y": flat[1:][adj]})
+        out = p.groupby(["x", "y"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["x", "y"],
+        {"n": ("n", "sum")},
+    ).materialize()
+    t_big = int(counts.sum("n"))
+
+    class Score:
+        def __init__(self, ref):
+            self.uni = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df = df[df["n"] >= min_count]
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "bigram": pd.Series(dtype=object),
+                        "n": pd.Series(dtype=np.int64),
+                        "pmi": pd.Series(dtype=np.float64),
+                    }
+                )
+            cx = df["x"].map(self.uni).to_numpy(dtype=np.int64)
+            cy = df["y"].map(self.uni).to_numpy(dtype=np.int64)
+            n = df["n"].to_numpy(dtype=np.int64)
+            pmi = np.round(np.log((n * 1.0 * t_uni * t_uni) / (cx * 1.0 * cy * t_big)), 6)
+            out = pd.DataFrame(
+                {"bigram": df["x"].to_numpy() + " " + df["y"].to_numpy(), "n": n, "pmi": pmi}
+            )
+            return out.sort_values(["pmi", "bigram"], ascending=[False, True]).head(top_n)
+
+
+    parts = counts.map_batches(
+        Score, fn_constructor_args=(uni_ref,), batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    return (
+        parts.sort_values(["pmi", "bigram"], ascending=[False, True], ignore_index=True)
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+
+
+def doc_pmi_bigrams_sql(sf_dir: str, min_count: int = 5, top_n: int = 50) -> str:
+    return f"""
+WITH s AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM s),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni WHERE tok <> '' GROUP BY tok),
+tu AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       FROM s),
+bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+tb AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM bgc)
+SELECT bgc.bigram, bgc.n,
+       round(ln((bgc.n * 1.0 * tu.t * tu.t) / (ux.c * 1.0 * uy.c * tb.t)), 6) AS pmi
+FROM bgc
+CROSS JOIN tu
+CROSS JOIN tb
+JOIN uc ux ON ux.tok = string_split(bgc.bigram, ' ')[1]
+JOIN uc uy ON uy.tok = string_split(bgc.bigram, ' ')[2]
+WHERE bgc.n >= {min_count}
+ORDER BY pmi DESC, bigram
+LIMIT {top_n}"""
+
+
+# --------------------------------------------------- bigram-LM perplexity
+def doc_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """Per-document perplexity under an add-one-smoothed corpus bigram LM —
+    the CCNet-style quality signal (Wenzek et al. 2020, public paper): docs
+    whose token transitions are unlike the corpus score high ppl and get
+    routed to the tail quality bucket.
+
+    P(y|x) = (c(x,y) + 1) / (c(x) + V); ppl(doc) = exp(-mean ln P) over the
+    doc's adjacent token pairs (docs with < 2 tokens have no transitions and
+    are excluded in both engines).
+
+    Scale shape: the LM itself is the corpus bigram/unigram count table —
+    built by the doc_pmi_bigrams combiner dataflow (one hash exchange),
+    collected ONLY because this corpus' bigram vocabulary is bounded
+    (vocab²); at open-vocabulary scale the table would be count-pruned
+    (min_count) before broadcast, which is the standard CCNet recipe.
+    Scoring is then a stateless vectorized scan: one arrow split per batch,
+    dict-mapped transition counts, per-doc sums via np.bincount — no second
+    exchange, no driver loop."""
+    uni = doc_vocab(sf_dir, min_count=1).to_pandas()  # vocabulary-bounded
+    v = np.int64(len(uni))
+    uni_ref = ray.put(dict(zip(uni["token"], uni["tf"].astype(np.int64))))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        adj = parent[:-1] == parent[1:]
+        if not adj.any():
+            return pd.DataFrame(
+                {"bigram": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+            )
+        p = pd.DataFrame({"bigram": flat[:-1][adj] + " " + flat[1:][adj]})
+        out = p.groupby("bigram", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    bgc = grouped_aggregate(
+        ds.map_batches(bigram_partial, batch_format="pyarrow", batch_size=4096),
+        "bigram",
+        {"n": ("n", "sum")},
+    ).to_pandas()  # bigram-vocabulary-bounded (see docstring)
+    bg_ref = ray.put(dict(zip(bgc["bigram"], bgc["n"].astype(np.int64))))
+
+    class Score:
+        def __init__(self, uref, bref):
+            self.uni = ray.get(uref) if isinstance(uref, ray.ObjectRef) else uref
+            self.bg = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            split = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(split).to_numpy()
+            adj = parent[:-1] == parent[1:]
+            d = parent[:-1][adj]
+            xs = pd.Series(flat[:-1][adj])
+            key = xs + " " + pd.Series(flat[1:][adj])
+            n_xy = key.map(self.bg).to_numpy(dtype=np.int64)
+            c_x = xs.map(self.uni).to_numpy(dtype=np.int64)
+            ll = np.log((n_xy + 1.0) / (c_x + v))
+            n_rows = len(batch)
+            cnt = np.bincount(d, minlength=n_rows)
+            tot = np.bincount(d, weights=ll, minlength=n_rows)
+            keep = cnt > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[keep],
+                    "n_bigrams": cnt[keep].astype(np.int64),
+                    "ppl": np.round(np.exp(-(tot[keep] / cnt[keep])), 6),
+                }
+            )
+
+    return ds.map_batches(
+        Score, fn_constructor_args=(uni_ref, bg_ref), batch_format="pyarrow", concurrency=2
+    )
+
+
+def doc_perplexity_sql(sf_dir: str) -> str:
+    return """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM s),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni WHERE tok <> '' GROUP BY tok),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+bgd AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM s),
+bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bgd GROUP BY bigram),
+ll AS (SELECT d.doc_id, ln((bgc.n + 1.0) / (uc.c + v.v)) AS ll
+       FROM bgd d
+       JOIN bgc ON bgc.bigram = d.bigram
+       JOIN uc ON uc.tok = string_split(d.bigram, ' ')[1]
+       CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-(SUM(ll) / count(*))), 6) AS ppl
+FROM ll
+GROUP BY doc_id
+ORDER BY doc_id"""
