@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
     q["e_streaming_windows"] = lambda sf: ev.events_streaming_windows(f"{sf}/events.parquet")
     q["e_streaming_sessions"] = lambda sf: ev.events_streaming_sessions(f"{sf}/events.parquet")
+    q["e_hopping_windows"] = lambda sf: ev.events_hopping_windows(f"{sf}/events.parquet")
+    q["e_ntile"] = lambda sf: ev.events_ntile(f"{sf}/events.parquet")
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -474,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sales_rollup"] = tpch.sales_rollup
     q["nation_trade_volume"] = tpch.nation_trade_volume
     q["market_share"] = tpch.market_share
+    q["profit_by_nation_year"] = tpch.profit_by_nation_year
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -611,6 +614,8 @@ def oracle_sql() -> dict[str, str]:
         # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
         "e_streaming_windows": ev.events_streaming_windows_sql(),
         "e_streaming_sessions": ev.events_streaming_sessions_sql(),
+        "e_hopping_windows": ev.events_hopping_windows_sql(),
+        "e_ntile": ev.events_ntile_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -633,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": tpch.sales_rollup_sql(_SQL_SF_DIR),
         "nation_trade_volume": tpch.nation_trade_volume_sql(_SQL_SF_DIR),
         "market_share": tpch.market_share_sql(_SQL_SF_DIR),
+        "profit_by_nation_year": tpch.profit_by_nation_year_sql(_SQL_SF_DIR),
         "doc_bm25_topk": td.doc_bm25_topk_sql(_SQL_SF_DIR),
         "doc_perplexity": td.doc_perplexity_sql(_SQL_SF_DIR),
         "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),

@@ -994,3 +994,148 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 ORDER BY user_id, session_id"""
+
+
+def events_hopping_windows(
+    path: str, window_s: int = 3600, hop_s: int = 900, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Hopping (overlapping/sliding) event-time windows: every event lands
+    in window_s/hop_s windows whose starts are hop_s apart — the streaming
+    form of the reference's multi-timeframe resample family (a fixed window
+    per scale, step2_resample.py:220-244, generalized to overlap).
+
+    Dataflow: vectorized explode (np.repeat row data x K, np.tile the K
+    window-start offsets — no Python loop) followed by a per-batch partial
+    groupby, so the single hash exchange moves at most one row per
+    (user, window) per input batch instead of K rows per event; the final
+    per-(user_id, w_start_us) reduce is grouped_aggregate (C-level pandas
+    per hash partition, no per-group task cost). Sums ride integer cents,
+    exact and order-independent — bitwise against the DuckDB oracle."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["ts", "user_id", "value"])
+
+    def explode(batch) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // hop_us) * hop_us
+        offs = np.arange(k, dtype=np.int64) * hop_us
+        w_start = np.repeat(base, k) - np.tile(offs, len(ts_us))
+        cents = np.repeat(
+            np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64), k
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": np.repeat(batch["user_id"].to_numpy(zero_copy_only=False), k),
+                "w_start_us": w_start,
+                "n": np.int64(1),
+                "sum_cents": cents,
+                "min_cents": cents,
+                "max_cents": cents,
+            }
+        )
+        df = df[df["w_start_us"] >= 0]
+        return df.groupby(["user_id", "w_start_us"], as_index=False).agg(
+            {"n": "sum", "sum_cents": "sum", "min_cents": "min", "max_cents": "max"}
+        )
+
+    partials = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_aggregate(
+        partials,
+        key=["user_id", "w_start_us"],
+        aggs={
+            "n": ("n", "sum"),
+            "sum_cents": ("sum_cents", "sum"),
+            "min_cents": ("min_cents", "min"),
+            "max_cents": ("max_cents", "max"),
+        },
+        num_partitions=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "w_start_us": df["w_start_us"],
+                "n": df["n"].astype(np.int64),
+                "sum_value": df["sum_cents"].to_numpy() / 100.0,
+                "min_value": df["min_cents"].to_numpy() / 100.0,
+                "max_value": df["max_cents"].to_numpy() / 100.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_hopping_windows_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    k = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    return f"""
+WITH x AS (
+  SELECT user_id,
+         (epoch_us(ts) // {hop_us} - i.k) * {hop_us} AS w_start_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN (SELECT unnest(range({k})) AS k) i
+)
+SELECT user_id, w_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value,
+       CAST(MIN(cents) AS BIGINT) / 100.0 AS min_value,
+       CAST(MAX(cents) AS BIGINT) / 100.0 AS max_value
+FROM x
+WHERE w_start_us >= 0
+GROUP BY user_id, w_start_us
+ORDER BY user_id, w_start_us"""
+
+
+def _ntile_frame(g: pd.DataFrame, tiles: int) -> pd.DataFrame:
+    """NTILE(t) per event_type with the SQL tie-break (value, event_id):
+    the first n % t tiles get ceil(n/t) rows, the rest floor(n/t) —
+    computed per group from cumulative boundaries, no per-row loop."""
+    g = g.sort_values(["event_type", "value", "event_id"], kind="mergesort", ignore_index=True)
+    et = g["event_type"].to_numpy()
+    n = len(g)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(et[1:], et[:-1], out=new_grp[1:])
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, n))
+    idx = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)  # 0-based rank in group
+    gsz = np.repeat(sizes, sizes)
+    q, r = gsz // tiles, gsz % tiles
+    big = r * (q + 1)  # rows covered by the oversized tiles
+    tile = np.where(
+        idx < big,
+        idx // np.maximum(q + 1, 1),
+        r + np.where(q > 0, (idx - big) // np.maximum(q, 1), 0),
+    )
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": et,
+            "tile": (tile + 1).astype(np.int64),
+        }
+    )
+
+
+def events_ntile(path: str, tiles: int = 4, num_buckets: int = 8) -> ray.data.Dataset:
+    """NTILE(t) OVER (PARTITION BY event_type ORDER BY value, event_id) —
+    equal-frequency bucketing per event class (the windowed-rank family
+    member the repo's rank_topn/percentile operators don't cover).
+    Exchange keyed on event_type (few groups, small rows: 3 columns)."""
+    ds = _read_events(path, ["event_id", "event_type", "value"])
+    return partition_map_groups(
+        ds, lambda g: _ntile_frame(g, tiles), key="event_type", num_buckets=num_buckets
+    )
+
+
+def events_ntile_sql(tiles: int = 4) -> str:
+    return f"""
+SELECT event_id, event_type,
+       CAST(NTILE({tiles}) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+ORDER BY event_id"""

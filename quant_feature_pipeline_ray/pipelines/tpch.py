@@ -2049,3 +2049,131 @@ SELECT CAST(o_year AS BIGINT) AS o_year,
 FROM joined
 GROUP BY o_year
 ORDER BY o_year"""
+
+
+def profit_by_nation_year(sf_dir: str, name_like: str = "gear") -> pd.DataFrame:
+    """Product-profit report (TPC-H Q9 shape): the widest join in the
+    classic suite — lineitem x part x supplier x nation x orders — grouped
+    by supplier nation and order year.
+
+    Scale plan: part and supplier are true dimensions (part 2k rows at
+    sf0.01; key-only int64 arrays even at 100 TB), so the p_name filter and
+    the suppkey->nationkey map broadcast once via ray.put and resolve inside
+    the lineitem scan with sorted-array searchsorted — three of the four
+    joins never shuffle. The only fact-fact edge (lineitem x orders, both
+    unbounded) is ONE hash exchange on o_orderkey carrying per-batch partial
+    sums on the lineitem side (one row per (orderkey, nat) per batch) and
+    (orderkey, year) rows on the orders side; per-partition pandas merge
+    resolves the year, per-(nat, year) partials leave each partition, and
+    the driver folds <=25 x n_years rows. Profit rides integer cents x bp
+    (e4) — associative, bitwise vs the DuckDB oracle."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    n_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    pk = np.sort(
+        part.loc[part["p_name"].str.contains(name_like, regex=False), "p_partkey"].to_numpy(
+            np.int64
+        )
+    )
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.sort_values("s_suppkey")
+    dims_ref = ray.put(
+        (pk, supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        parts, sk, sn = ray.get(dims_ref) if isinstance(dims_ref, ray.ObjectRef) else dims_ref
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(parts, lpk)
+        m = (pos < len(parts)) & (parts[np.minimum(pos, len(parts) - 1)] == lpk)
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "nat": pd.Series(dtype="int64"),
+                    "year": pd.Series(dtype="int64"),
+                    "rev_e4": pd.Series(dtype="int64"),
+                }
+            )
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[m]
+        nat = sn[np.searchsorted(sk, lsk)]
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[m] * 100).astype(np.int64)
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "nat": nat,
+                "year": np.int64(-1),
+                "rev_e4": price_c * (100 - disc_c),
+            }
+        )
+        return p.groupby(["o_orderkey", "nat"], as_index=False).agg(
+            {"year": "first", "rev_e4": "sum"}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        odate = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]")
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "nat": np.int64(-1),
+                "year": odate.astype(np.int64) + 1970,
+                "rev_e4": np.int64(0),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    tagged = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def resolve_year(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g[g["nat"] >= 0][["o_orderkey", "nat", "rev_e4"]]
+        if rev.empty:
+            return pd.DataFrame(
+                {
+                    "nat": pd.Series(dtype="int64"),
+                    "year": pd.Series(dtype="int64"),
+                    "rev_e4": pd.Series(dtype="int64"),
+                }
+            )
+        om = g[g["nat"] < 0][["o_orderkey", "year"]]
+        j = rev.merge(om, on="o_orderkey", how="inner")
+        return j.groupby(["nat", "year"], as_index=False)["rev_e4"].sum()
+
+    parts_ds = partition_map_groups(tagged, resolve_year, key="o_orderkey", num_buckets=32)
+    out = parts_ds.to_pandas().groupby(["nat", "year"], as_index=False)["rev_e4"].sum()
+    out["nation"] = out["nat"].map(n_names)
+    out["profit"] = out["rev_e4"] / 10000.0
+    out["o_year"] = out["year"].astype(np.int64)
+    return (
+        out[["nation", "o_year", "profit"]]
+        .sort_values(["nation", "o_year"], ascending=[True, False], ignore_index=True)
+    )
+
+
+def profit_by_nation_year_sql(sf_dir: str, name_like: str = "gear") -> str:
+    return f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{name_like}%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC"""
