@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_streaming_sessions"] = lambda sf: ev.events_streaming_sessions(f"{sf}/events.parquet")
     q["e_hopping_windows"] = lambda sf: ev.events_hopping_windows(f"{sf}/events.parquet")
     q["e_ntile"] = lambda sf: ev.events_ntile(f"{sf}/events.parquet")
+    q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
+        f"{sf}/events.parquet"
+    )
 
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
@@ -477,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["nation_trade_volume"] = tpch.nation_trade_volume
     q["market_share"] = tpch.market_share
     q["profit_by_nation_year"] = tpch.profit_by_nation_year
+    q["priority_linestatus_mix"] = tpch.priority_linestatus_mix
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -616,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "e_streaming_sessions": ev.events_streaming_sessions_sql(),
         "e_hopping_windows": ev.events_hopping_windows_sql(),
         "e_ntile": ev.events_ntile_sql(),
+        "e_window_distinct_users": ev.events_window_distinct_users_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
@@ -639,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": tpch.nation_trade_volume_sql(_SQL_SF_DIR),
         "market_share": tpch.market_share_sql(_SQL_SF_DIR),
         "profit_by_nation_year": tpch.profit_by_nation_year_sql(_SQL_SF_DIR),
+        "priority_linestatus_mix": tpch.priority_linestatus_mix_sql(_SQL_SF_DIR),
         "doc_bm25_topk": td.doc_bm25_topk_sql(_SQL_SF_DIR),
         "doc_perplexity": td.doc_perplexity_sql(_SQL_SF_DIR),
         "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),

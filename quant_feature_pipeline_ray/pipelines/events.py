@@ -1139,3 +1139,55 @@ SELECT event_id, event_type,
        CAST(NTILE({tiles}) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile
 FROM events
 ORDER BY event_id"""
+
+
+def events_window_distinct_users(
+    path: str, window_s: int = 3600, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Distinct-aggregate inside tumbling event-time windows: per window,
+    event count AND exact distinct-user count. The per-batch combiner
+    dedupes (window, user) pairs locally and carries the batch's event
+    count, so the exchange moves at most one row per (window, user) per
+    batch — never one per event; the per-window distinct is then the group
+    size after a second local dedup, all inside ONE hash exchange keyed by
+    window."""
+    win_us = np.int64(window_s) * 1_000_000
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ds = _read_events(path, ["ts", "user_id"])
+
+    def partial(batch) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "w_start_us": (ts_us // win_us) * win_us,
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby(["w_start_us", "user_id"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("w_start_us").agg(
+            n_events=("n", "sum"), n_users=("user_id", "nunique")
+        )
+        out = out.reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partition_map_groups(partials, finish, key="w_start_us", num_buckets=num_buckets)
+
+
+def events_window_distinct_users_sql(window_s: int = 3600) -> str:
+    win_us = window_s * 1_000_000
+    return f"""
+SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY w_start_us
+ORDER BY w_start_us"""

@@ -2177,3 +2177,93 @@ JOIN orders ON o_orderkey = l_orderkey
 WHERE p_name LIKE '%{name_like}%'
 GROUP BY n_name, o_year
 ORDER BY n_name, o_year DESC"""
+
+
+def priority_linestatus_mix(
+    sf_dir: str, date_lo: str = "1997-01-01", date_hi: str = "1998-01-01"
+) -> pd.DataFrame:
+    """Shipping-priority mix (TPC-H Q12 shape): conditional CASE
+    aggregation after a fact-fact join — per lineitem status, how many
+    joined orders were critical (1-URGENT / 2-HIGH) vs not, within a
+    ship-date year.
+
+    Dataflow: the lineitem side is date-filtered AT THE SCAN and ships only
+    (orderkey, linestatus); the orders side ships (orderkey, priority
+    class) — priority is classified to a 0/1 int BEFORE the exchange so the
+    string never moves. ONE hash exchange on o_orderkey, per-partition
+    pandas merge + conditional partial counts, driver folds <= |status|
+    rows."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    )
+
+    def li_rows(batch: pa.Table) -> pd.DataFrame:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = (sd >= lo) & (sd < hi)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False)[m],
+                "is_high": np.int64(-1),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "l_linestatus": np.full(len(pri), "", dtype=object),
+                "is_high": np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int64),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    tagged = li.map_batches(li_rows, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def mix(g: pd.DataFrame) -> pd.DataFrame:
+        lis = g[g["is_high"] < 0][["o_orderkey", "l_linestatus"]]
+        if lis.empty:
+            return pd.DataFrame(
+                {
+                    "l_linestatus": pd.Series(dtype="object"),
+                    "high_line_count": pd.Series(dtype="int64"),
+                    "low_line_count": pd.Series(dtype="int64"),
+                }
+            )
+        om = g[g["is_high"] >= 0][["o_orderkey", "is_high"]]
+        j = lis.merge(om, on="o_orderkey", how="inner")
+        out = j.groupby("l_linestatus", as_index=False).agg(
+            high_line_count=("is_high", "sum"), low_line_count=("is_high", "size")
+        )
+        out["low_line_count"] = out["low_line_count"] - out["high_line_count"]
+        return out
+
+    parts = partition_map_groups(tagged, mix, key="o_orderkey", num_buckets=32)
+    out = parts.to_pandas().groupby("l_linestatus", as_index=False).sum()
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_linestatus", ignore_index=True)
+
+
+def priority_linestatus_mix_sql(
+    sf_dir: str, date_lo: str = "1997-01-01", date_hi: str = "1998-01-01"
+) -> str:
+    return f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{date_lo}' AND l_shipdate < TIMESTAMP '{date_hi}'
+GROUP BY l_linestatus
+ORDER BY l_linestatus"""
