@@ -241,6 +241,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_atr"] = t_atr
 
+    def _battery2_query(frame_fn):
+        # second indicator battery (stages/battery2.py): the reference's
+        # reserved indicator slots (congfigs/base_indicators.yaml:36-52)
+        # as transcript analogues, each bitwise-oracled
+        def run(sf):
+            return partition_map_groups(
+                _read_raw(sf),
+                lambda g: frame_fn(compute_turn_features(g)),
+                num_buckets=64,
+            )
+
+        return run
+
+    from quant_feature_pipeline_ray.stages import battery2 as b2
+
+    q["t_stochastic"] = _battery2_query(b2.stochastic_frame)
+    q["t_cci"] = _battery2_query(b2.cci_frame)
+    q["t_mfi"] = _battery2_query(b2.mfi_frame)
+    q["t_obv"] = _battery2_query(b2.obv_frame)
+    q["t_volatility"] = _battery2_query(b2.volatility_frame)
+    q["t_linreg"] = _battery2_query(b2.linreg_frame)
+    q["t_ultimate"] = _battery2_query(b2.ultimate_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -701,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
         "t_oscillator": _sql_oscillator(),
         "t_atr": _sql_atr(),
         "t_supertrend": _sql_supertrend(),
+        "t_stochastic": _b2_sql("sql_stochastic"),
+        "t_cci": _b2_sql("sql_cci"),
+        "t_mfi": _b2_sql("sql_mfi"),
+        "t_obv": _b2_sql("sql_obv"),
+        "t_volatility": _b2_sql("sql_volatility"),
+        "t_linreg": _b2_sql("sql_linreg"),
+        "t_ultimate": _b2_sql("sql_ultimate"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -782,6 +812,12 @@ def _sql_oscillator() -> str:
     from quant_feature_pipeline_ray.stages.oscillator import sql_oscillator
 
     return sql_oscillator(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b2_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery2
+
+    return getattr(battery2, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:
