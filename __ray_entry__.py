@@ -264,6 +264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_linreg"] = _battery2_query(b2.linreg_frame)
     q["t_ultimate"] = _battery2_query(b2.ultimate_frame)
 
+    from quant_feature_pipeline_ray.stages import battery3 as b3
+
+    q["t_aroon"] = _battery2_query(b3.aroon_frame)
+    q["t_vortex"] = _battery2_query(b3.vortex_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -731,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "t_volatility": _b2_sql("sql_volatility"),
         "t_linreg": _b2_sql("sql_linreg"),
         "t_ultimate": _b2_sql("sql_ultimate"),
+        "t_aroon": _b3_sql("sql_aroon"),
+        "t_vortex": _b3_sql("sql_vortex"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -818,6 +825,12 @@ def _b2_sql(name: str) -> str:
     from quant_feature_pipeline_ray.stages import battery2
 
     return getattr(battery2, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b3_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery3
+
+    return getattr(battery3, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:
