@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_distinct_users"] = lambda sf: ev.events_distinct_users(f"{sf}/events.parquet")
     q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
     q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
+    q["e_attribution"] = lambda sf: ev.events_attribution(f"{sf}/events.parquet")
     q["e_retention"] = lambda sf: ev.events_retention(f"{sf}/events.parquet")
     q["e_unpivot"] = lambda sf: ev.events_unpivot(f"{sf}/events.parquet")
     q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
@@ -521,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_cluster_rep"] = td.doc_cluster_rep
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     q["doc_simhash"] = td.doc_simhash
+    q["doc_simhash_pairs"] = td.doc_simhash_pairs
     q["doc_fingerprint"] = td.doc_fingerprint
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
@@ -538,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_source_kl"] = td.doc_source_kl
     q["doc_bm25_topk"] = td.doc_bm25_topk
     q["doc_perplexity"] = td.doc_perplexity
+    q["doc_model_score"] = td.doc_model_score
     q["doc_repetition"] = td.doc_repetition
     q["doc_pmi_bigrams"] = td.doc_pmi_bigrams
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
@@ -591,16 +594,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r02 and still exercised by the builder contract run
         # (scripts/check_contract.py, ALL queries).
         "t_oscillator", "t_composites", "t_atr", "t_supertrend",
+        "t_aroon", "t_vortex", "e_attribution", "doc_model_score",
         "doc_bm25_topk", "doc_repetition", "doc_pmi_bigrams",
         "nation_trade_volume", "market_share",
-        # doc_* exact-oracle family (not driver-verified in r02)
+        # doc_* exact-oracle family (not driver-verified in r02;
+        # doc_chunk/doc_weighted_sample/doc_zipf/doc_source_kl rotated
+        # behind the window — near-duplicate shapes of doc_export_shards/
+        # doc_stratified_sample/doc_vocab/doc_source_mix, still in the
+        # builder contract run)
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
         "doc_jaccard_pairs", "doc_dup_clusters", "doc_cluster_rep",
-        "doc_ngram_dup_frac", "doc_heavy_hitters", "doc_chunk",
-        "doc_stratified_sample", "doc_weighted_sample", "doc_zipf",
+        "doc_ngram_dup_frac", "doc_heavy_hitters",
+        "doc_stratified_sample",
         "doc_redact", "doc_contamination", "doc_export_shards",
-        "doc_source_mix", "doc_source_kl", "doc_dedup_incremental",
+        "doc_source_mix", "doc_dedup_incremental",
         "doc_curriculum_rank", "doc_vocab", "doc_quality_filter",
         "doc_curation_funnel", "doc_tfidf_topk", "doc_lm_stats",
         # emb_* exact-oracle family
@@ -641,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "e_distinct_users": ev.events_distinct_users_sql(),
         "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
         "e_funnel": ev.events_funnel_sql(),
+        "e_attribution": ev.events_attribution_sql(),
         "e_retention": ev.events_retention_sql(),
         "e_unpivot": ev.events_unpivot_sql(),
         # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
@@ -675,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_linestatus_mix": tpch.priority_linestatus_mix_sql(_SQL_SF_DIR),
         "doc_bm25_topk": td.doc_bm25_topk_sql(_SQL_SF_DIR),
         "doc_perplexity": td.doc_perplexity_sql(_SQL_SF_DIR),
+        "doc_model_score": td.doc_model_score_sql(_SQL_SF_DIR),
         "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),
         "doc_pmi_bigrams": td.doc_pmi_bigrams_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),

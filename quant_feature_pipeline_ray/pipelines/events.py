@@ -1191,3 +1191,96 @@ SELECT (epoch_us(ts) // {win_us}) * {win_us} AS w_start_us,
 FROM events
 GROUP BY w_start_us
 ORDER BY w_start_us"""
+
+
+_TOUCH_TYPES = ("click", "signup", "view")
+_ATTR_HORIZON_US = 7 * 86_400 * 1_000_000
+
+
+def events_attribution(path: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Last-touch attribution: each 'purchase' is credited to the user's
+    MOST RECENT touch event (view/click/signup) within a 7-day horizon, or
+    'direct' if none — the marketing-attribution join every event pipeline
+    ships (a per-key as-of join with tolerance, the event-table twin of the
+    transcript engine's backward as-of merge).
+
+    ONE hash exchange on user_id; inside each partition the credit resolves
+    as a vectorized pd.merge_asof (backward, tolerance=horizon) — no
+    per-user loop. Equal-timestamp touches resolve to the largest event_id
+    (touches sorted (ts, event_id), merge_asof keeps the last match; the
+    oracle pins the same tiebreak with ORDER BY ts DESC, event_id DESC).
+    Revenue sums as integer cents; per-partition partials roll up in one
+    channel-sized reduce."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ds = _read_events(path, ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            ts_us=g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            cents=np.round(g["value"].to_numpy() * 100).astype(np.int64),
+        )
+        conv = g[g["event_type"] == "purchase"][
+            ["event_id", "user_id", "ts_us", "cents"]
+        ].sort_values("ts_us", kind="mergesort", ignore_index=True)
+        tch = g[g["event_type"].isin(_TOUCH_TYPES)][
+            ["user_id", "ts_us", "event_id", "event_type"]
+        ].sort_values(["ts_us", "event_id"], kind="mergesort", ignore_index=True)
+        if len(conv) == 0:
+            return pd.DataFrame(
+                {
+                    "channel": pd.Series(dtype="object"),
+                    "n_conv": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            conv,
+            tch,
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+            tolerance=_ATTR_HORIZON_US,
+            suffixes=("", "_t"),
+        )
+        m["channel"] = m["event_type"].fillna("direct")
+        part = m.groupby("channel", as_index=False).agg(
+            n_conv=("event_id", "size"), cents=("cents", "sum")
+        )
+        part["n_conv"] = part["n_conv"].astype(np.int64)
+        return part
+
+    partials = partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+    out = grouped_aggregate(
+        partials, "channel", {"n_conv": ("n_conv", "sum"), "cents": ("cents", "sum")}
+    ).to_pandas()
+    out["total_value"] = out["cents"] / 100.0
+    out["n_conv"] = out["n_conv"].astype("int64")
+    return out.sort_values("channel", ignore_index=True)[["channel", "n_conv", "total_value"]]
+
+
+def events_attribution_sql() -> str:
+    touch = ", ".join(f"'{t}'" for t in _TOUCH_TYPES)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM e WHERE event_type IN ({touch})),
+att AS (
+  SELECT c.event_id, c.cents, t.event_type AS channel
+  FROM conv c LEFT JOIN tch t
+    ON t.user_id = c.user_id
+   AND t.ts_us <= c.ts_us AND t.ts_us >= c.ts_us - {_ATTR_HORIZON_US}
+  QUALIFY row_number() OVER (
+    PARTITION BY c.event_id ORDER BY t.ts_us DESC, t.event_id DESC) = 1
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conv,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value
+FROM att GROUP BY 1 ORDER BY 1"""

@@ -4676,3 +4676,214 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM ll
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+
+# ------------------------------------------- model-scoring actor pool
+def doc_model_score(
+    sf_dir: str, n_buckets: int = 64, scale: int = 8, concurrency: int = 2
+) -> ray.data.Dataset:
+    """Quality-classifier inference as a STATEFUL ACTOR-POOL stage — the
+    fasttext-style hashed bag-of-tokens linear model every large corpus
+    curation run applies (quality filtering by learned model rather than
+    heuristics; reference analogue: the rule-based keep gate in
+    doc_quality_filter, which this generalizes).
+
+    The model is deterministic public math so the DuckDB oracle can replay
+    it exactly: bucket(tok) = md5(tok)[:8] % n_buckets, weight(b) =
+    md5('w'||b)[:8] % 201 − 100 (int64 in [−100,100]).  Per doc:
+      z_num = Σ_tokens weight(bucket(tok))          (int64-exact)
+      z     = z_num / (n_tok · scale)               (ONE float division)
+      quality_score = 0.5·(1 + z/(1+|z|))           (algebraic sigmoid —
+                      every op an IEEE-identical expression on both sides,
+                      so the oracle is bitwise with NO rounding)
+      keep  = z_num >= 0                            (integer-exact flag)
+
+    Dataflow (100 TB-safe): stateless per-doc scan, NO shuffle. The model
+    weights live in each actor's __init__ (loaded once per actor, not per
+    batch — the map_batches(Cls, concurrency=N) discipline), and the
+    token→bucket md5 cache persists across batches inside the actor, so a
+    corpus with a Zipfian vocabulary hashes each frequent token once per
+    actor rather than once per occurrence."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Model:
+        def __init__(self) -> None:
+            import hashlib
+
+            self.w = np.array(
+                [
+                    int(hashlib.md5(f"w{j}".encode()).hexdigest()[:8], 16) % 201 - 100
+                    for j in range(n_buckets)
+                ],
+                dtype=np.int64,
+            )
+            self.bucket_of: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import hashlib
+
+            toks = (
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].to_numpy(),
+                        "tok": batch["text"].to_pandas().str.split(" "),
+                    }
+                )
+                .explode("tok", ignore_index=True)
+            )
+            toks = toks[toks["tok"] != ""]
+            fresh = [t for t in pd.unique(toks["tok"]) if t not in self.bucket_of]
+            for t in fresh:
+                self.bucket_of[t] = (
+                    int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+                )
+            toks["wt"] = self.w[toks["tok"].map(self.bucket_of).to_numpy()]
+            agg = toks.groupby("doc_id", as_index=False).agg(
+                z_num=("wt", "sum"), n_tok=("wt", "size")
+            )
+            agg = agg[agg["n_tok"] > 0]
+            z = agg["z_num"].to_numpy() / (agg["n_tok"].to_numpy() * float(scale))
+            return pd.DataFrame(
+                {
+                    "doc_id": agg["doc_id"].to_numpy(),
+                    "n_tok": agg["n_tok"].to_numpy().astype(np.int64),
+                    "z_num": agg["z_num"].to_numpy().astype(np.int64),
+                    "quality_score": 0.5 * (1.0 + z / (1.0 + np.abs(z))),
+                    "keep": (agg["z_num"].to_numpy() >= 0).astype(np.int64),
+                }
+            )
+
+    return ds.map_batches(Model, batch_format="pyarrow", concurrency=concurrency)
+
+
+def doc_model_score_sql(sf_dir: str, n_buckets: int = 64, scale: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('w' || CAST(
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {n_buckets}
+           AS VARCHAR)), 1, 8))::UBIGINT % 201 AS BIGINT) - 100 AS w
+  FROM toks WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tw GROUP BY doc_id
+), z AS (
+  SELECT doc_id, n_tok, z_num,
+         CAST(z_num AS DOUBLE) / (CAST(n_tok AS DOUBLE) * {float(scale)}) AS z
+  FROM agg
+)
+SELECT doc_id, n_tok, z_num,
+       0.5 * (1.0 + z / (1.0 + abs(z))) AS quality_score,
+       CAST(CASE WHEN z_num >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z ORDER BY doc_id"""
+
+
+# ------------------------------------------- simhash hamming-ball self-join
+def doc_simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, n_bands: int = 4, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """All document pairs within Hamming distance `max_hamming` of each
+    other's 64-bit SimHash — the bitwise near-duplicate join (Manku et al.,
+    WWW'07 "Detecting Near-Duplicates for Web Crawling": split the
+    fingerprint into bands; any pair with ≤ k differing bits shares at
+    least one identical band when n_bands > k, so band-equality blocking
+    is LOSSLESS — recall 1.0 by pigeonhole, no tuning).
+
+    Dataflow (100 TB-safe in structure): per-doc simhash (stateless scan)
+    → explode n_bands 16-byte rows per doc → ONE hash exchange on
+    (band, value16) → per-bucket vectorized XOR-popcount verify over the
+    colliding signatures only → global pair dedup (a pair can collide in
+    several bands) keyed on the pair id. Signatures are 8 bytes/doc — the
+    text never moves. The synthetic corpus is adversarially clique-heavy
+    (see lsh_verified_pairs), so all-pairs OUTPUT can be quadratic in a
+    clique; every non-output term stays linear.
+
+    Rows-only for the driver (simhash is not SQL-expressible); exactness
+    is pinned by tests/test_new_ops_r3d.py against the brute-force
+    all-pairs popcount."""
+    from quant_feature_pipeline_ray.functions.dedupfns import simhash64
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    assert n_bands > max_hamming, "pigeonhole blocking needs n_bands > max_hamming"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def bands(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        sigs = np.array(
+            [simhash64(t) for t in batch["text"].to_pandas()], dtype=np.uint64
+        )
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+        vals = ((sigs[:, None] >> shifts) & mask).astype(np.int64).ravel()
+        b = np.tile(np.arange(n_bands, dtype=np.int64), len(ids))
+        return pd.DataFrame(
+            {
+                # band+value fused into ONE exchange key (band in the high
+                # bits above the 16-bit band value)
+                "bkey": (b << np.int64(width)) | vals,
+                "doc_id": np.repeat(ids, n_bands),
+                "sig": np.repeat(sigs.astype(np.int64), n_bands),
+            }
+        )
+
+    exploded = docs.map_batches(bands, batch_format="pyarrow", concurrency=2)
+
+    def _pairs_of(sub: pd.DataFrame) -> pd.DataFrame | None:
+        n = len(sub)
+        if n < 2:
+            return None
+        ids = sub["doc_id"].to_numpy()
+        sigs = sub["sig"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        v = sigs[ia] ^ sigs[ib]
+        ham = np.zeros(len(v), dtype=np.int64)
+        v = v.copy()
+        while True:  # vectorized Kernighan popcount: iterations = max hamming
+            nz = v != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            v[nz] &= v[nz] - np.uint64(1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return None
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and int(hi.max()) >= (1 << 31):
+            raise ValueError("doc_simhash_pairs pair_key packs two ids into int64")
+        return pd.DataFrame(
+            {
+                "pair_key": (lo.astype(np.int64) << 32) | hi.astype(np.int64),
+                "doc_a": lo.astype(np.int64),
+                "doc_b": hi.astype(np.int64),
+                "hamming": ham[keep],
+            }
+        )
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket holds many (band, value) groups; pairs form only
+        # WITHIN a group — iterate groups, vectorized popcount inside each
+        frames = [p for _, sub in g.groupby("bkey", sort=False) if (p := _pairs_of(sub)) is not None]
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "pair_key": pd.Series(dtype="int64"),
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    pairs = partition_map_groups(exploded, collide, key="bkey", num_buckets=num_partitions)
+    uniq = grouped_aggregate(
+        pairs,
+        "pair_key",
+        {"doc_a": ("doc_a", "min"), "doc_b": ("doc_b", "min"), "hamming": ("hamming", "min")},
+    )
+    return uniq.drop_columns(["pair_key"])
