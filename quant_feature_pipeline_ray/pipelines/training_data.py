@@ -4837,31 +4837,43 @@ def doc_simhash_pairs(
             return None
         ids = sub["doc_id"].to_numpy()
         sigs = sub["sig"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        v = sigs[ia] ^ sigs[ib]
-        ham = np.zeros(len(v), dtype=np.int64)
-        v = v.copy()
-        while True:  # vectorized Kernighan popcount: iterations = max hamming
-            nz = v != 0
-            if not nz.any():
-                break
-            ham[nz] += 1
-            v[nz] &= v[nz] - np.uint64(1)
-        keep = ham <= max_hamming
-        if not keep.any():
+        # row-slab the triangular sweep so a mega collision group (the
+        # clique-heavy corpus case) never materializes all O(n²) pair
+        # indices at once — peak memory is O(slab · n)
+        slab = max(1, 4_000_000 // n)
+        frames = []
+        for s in range(0, n - 1, slab):
+            e = min(s + slab, n - 1)
+            ia = np.repeat(np.arange(s, e, dtype=np.int64), n - 1 - np.arange(s, e))
+            ib = np.concatenate([np.arange(i + 1, n, dtype=np.int64) for i in range(s, e)])
+            v = sigs[ia] ^ sigs[ib]
+            ham = np.zeros(len(v), dtype=np.int64)
+            while True:  # vectorized Kernighan popcount: iterations = max hamming
+                nz = v != 0
+                if not nz.any():
+                    break
+                ham[nz] += 1
+                v[nz] &= v[nz] - np.uint64(1)
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            if len(lo) and int(hi.max()) >= (1 << 31):
+                raise ValueError("doc_simhash_pairs pair_key packs two ids into int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pair_key": (lo.astype(np.int64) << 32) | hi.astype(np.int64),
+                        "doc_a": lo.astype(np.int64),
+                        "doc_b": hi.astype(np.int64),
+                        "hamming": ham[keep],
+                    }
+                )
+            )
+        if not frames:
             return None
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        if len(lo) and int(hi.max()) >= (1 << 31):
-            raise ValueError("doc_simhash_pairs pair_key packs two ids into int64")
-        return pd.DataFrame(
-            {
-                "pair_key": (lo.astype(np.int64) << 32) | hi.astype(np.int64),
-                "doc_a": lo.astype(np.int64),
-                "doc_b": hi.astype(np.int64),
-                "hamming": ham[keep],
-            }
-        )
+        return pd.concat(frames, ignore_index=True)
 
     def collide(g: pd.DataFrame) -> pd.DataFrame:
         # one hash bucket holds many (band, value) groups; pairs form only

@@ -116,3 +116,27 @@ def test_attribution_last_touch_and_direct(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
     odf = con.sql(events_attribution_sql()).df()
     assert got.reset_index(drop=True).equals(odf[got.columns].reset_index(drop=True))
+
+
+def test_attribution_bucket_with_no_touches(ray_session, tmp_path):
+    from quant_feature_pipeline_ray.pipelines.events import events_attribution
+
+    # every event is a purchase: merge_asof sees an EMPTY touch frame in
+    # every partition and all conversions must fall through to 'direct'
+    t0 = pd.Timestamp("2024-03-01")
+    d = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [t0, t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("2h")],
+            "user_id": [1, 2, 3],
+            "event_type": ["purchase"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": [""] * 3,
+        }
+    )
+    p = tmp_path / "events.parquet"
+    d.to_parquet(p)
+    got = events_attribution(str(p))
+    assert got["channel"].tolist() == ["direct"]
+    assert got["n_conv"].tolist() == [3]
+    assert got["total_value"].tolist() == [6.0]
