@@ -516,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_id"] = td.doc_lang_id
     q["doc_exact_dedup"] = td.doc_exact_dedup
     q["doc_normalized_dedup"] = td.doc_normalized_dedup
+    q["doc_segment_dedup"] = td.doc_segment_dedup
+    q["doc_dsir_weights"] = td.doc_dsir_weights
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -576,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_frame_sample"] = mm.media_frame_sample
     q["media_resize"] = mm.media_resize
     q["customers_without_orders"] = tpch.customers_without_orders
+    q["waiting_suppliers"] = tpch.waiting_suppliers
 
     # --- driver-verification ordering: the driver's correctness run covers
     # the FIRST 50 queries in insertion order. Round 2 verified the whole
@@ -606,10 +609,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
         "doc_jaccard_pairs", "doc_dup_clusters", "doc_cluster_rep",
         "doc_ngram_dup_frac", "doc_heavy_hitters",
-        "doc_stratified_sample",
+        # round-3 session additions (exact oracles): segment-level dedup
+        # with reassembly, DSIR importance weights, TPC-H Q21 shape.
+        # Rotated out to make room: doc_stratified_sample (same md5-filter
+        # shape as doc_export_shards, which stays), doc_source_mix (simple
+        # group count, cousin of doc_export_shards), doc_vocab (token-count
+        # shape covered by doc_tfidf_topk + doc_lm_stats in-window); all
+        # three remain in scripts/check_contract.py which runs ALL queries.
+        "doc_segment_dedup", "doc_dsir_weights", "waiting_suppliers",
         "doc_redact", "doc_contamination", "doc_export_shards",
-        "doc_source_mix", "doc_dedup_incremental",
-        "doc_curriculum_rank", "doc_vocab", "doc_quality_filter",
+        "doc_dedup_incremental",
+        "doc_curriculum_rank", "doc_quality_filter",
         "doc_curation_funnel", "doc_tfidf_topk", "doc_lm_stats",
         # emb_* exact-oracle family
         "emb_norms", "emb_label_centroids", "emb_ann_topk", "emb_ann_filtered",
@@ -691,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
         "doc_normalized_dedup": td.doc_normalized_dedup_sql(_SQL_SF_DIR),
+        "doc_segment_dedup": td.doc_segment_dedup_sql(_SQL_SF_DIR),
+        "doc_dsir_weights": td.doc_dsir_weights_sql(_SQL_SF_DIR),
+        "waiting_suppliers": tpch.waiting_suppliers_sql(_SQL_SF_DIR),
         "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),

@@ -2267,3 +2267,113 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '{date_lo}' AND l_shipdate < TIMESTAMP '{date_hi}'
 GROUP BY l_linestatus
 ORDER BY l_linestatus"""
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 60, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting): for finished
+    orders with MULTIPLE distinct suppliers, blame the supplier iff it is the
+    ONLY one whose items shipped late — the EXISTS + NOT-EXISTS double
+    correlated-subquery pattern, the hardest join shape in the TPC-H suite.
+    (The fixture's lineitem carries no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + late_days — the same correlated semantics on
+    the columns available.)
+
+    Dataflow (100-TB-safe): ONE tagged-union exchange on orderkey
+    co-partitions the order rows ('F' filter applied at the read) with the
+    lineitem rows; per partition, a vectorized pandas merge + two groupbys
+    compute per-(order, supplier) lateness and the order-level distinct /
+    distinct-late supplier counts — the EXISTS pair collapses to
+    (n_supp >= 2 AND n_late == 1) — and emit per-supplier PARTIAL counts.
+    The driver sums supplier-sized partials and resolves names from the
+    broadcast supplier dimension (J3 pattern)."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def li_rows(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": batch["l_orderkey"].to_numpy().astype(np.int64),
+                "suppkey": batch["l_suppkey"].to_numpy().astype(np.int64),
+                "ts_us": batch["l_shipdate"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view(np.int64),
+                "kind": np.zeros(batch.num_rows, dtype=np.int64),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    )
+
+    def order_rows(batch: pa.Table) -> pd.DataFrame:
+        m = batch["o_orderstatus"].to_numpy(zero_copy_only=False) == "F"
+        return pd.DataFrame(
+            {
+                "okey": batch["o_orderkey"].to_numpy().astype(np.int64)[m],
+                "suppkey": np.full(int(m.sum()), -1, dtype=np.int64),
+                "ts_us": batch["o_orderdate"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view(np.int64)[m],
+                "kind": np.ones(int(m.sum()), dtype=np.int64),
+            }
+        )
+
+    tagged = li.map_batches(li_rows, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "ts_us"]].rename(columns={"ts_us": "odate_us"})
+        l = g[g["kind"] == 0][["okey", "suppkey", "ts_us"]]
+        j = l.merge(o, on="okey", how="inner")  # inner = the 'F' status filter
+        if j.empty:
+            return pd.DataFrame(
+                {"suppkey": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        j["late"] = (j["ts_us"].to_numpy() > j["odate_us"].to_numpy() + late_us).astype(np.int64)
+        per_os = j.groupby(["okey", "suppkey"], as_index=False).agg(late=("late", "max"))
+        per_o = per_os.groupby("okey").agg(n_supp=("late", "size"), n_late=("late", "sum"))
+        hit = per_os.merge(per_o, on="okey")
+        hit = hit[(hit["late"] == 1) & (hit["n_supp"] >= 2) & (hit["n_late"] == 1)]
+        out = hit.groupby("suppkey", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = partition_map_groups(tagged, blame, key="okey", num_buckets=32)
+    agg = parts.to_pandas().groupby("suppkey", as_index=False)["n"].sum()
+    agg["s_name"] = agg["suppkey"].map(names)
+    agg = agg.rename(columns={"n": "numwait"})
+    agg["numwait"] = agg["numwait"].astype(np.int64)
+    agg = agg.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return agg[["s_name", "numwait"]]
+
+
+def waiting_suppliers_sql(sf_dir: str, late_days: int = 60, k: int = 20) -> str:
+    return f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late FROM j GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM j JOIN per_o USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {k}"""

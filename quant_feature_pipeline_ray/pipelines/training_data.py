@@ -4899,3 +4899,281 @@ def doc_simhash_pairs(
         {"doc_a": ("doc_a", "min"), "doc_b": ("doc_b", "min"), "hamming": ("hamming", "min")},
     )
     return uniq.drop_columns(["pair_key"])
+
+
+# ------------------------------------------- segment-level dedup (line dedup)
+def doc_segment_dedup(
+    sf_dir: str, seg_tokens: int = 8, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Segment-level exact dedup with document REASSEMBLY — the C4 / RefinedWeb
+    "line dedup" operator (public: Raffel et al. 2020 arXiv:1910.10683 §2.2
+    three-sentence-span dedup; Penedo et al. 2023 arXiv:2306.01116 line-wise
+    dedup): every document is split into consecutive `seg_tokens`-token
+    segments; a segment occurring in multiple places corpus-wide is kept ONLY
+    at its first occurrence (min (doc_id, seg_idx)) and removed everywhere
+    else, and each document is re-emitted with its surviving segments joined
+    back together. (The synthetic corpus has no newlines, so the segment
+    boundary is a token offset; on real text the split key is `\\n` — the
+    dataflow is identical.)
+
+    Dataflow (100-TB-safe — the text crosses the wire ONCE, and only for
+    reassembly):
+      read -> segmenter map_batches: (segment_hash, doc_id, seg_idx) — 24
+              bytes/segment, the segment TEXT never rides the dedup exchange
+      exchange on segment_hash -> per-hash winner = min packed (doc_id,
+              seg_idx); emit LOSER occurrences only (duplicate mass, not
+              corpus mass)
+      tagged union (documents + losers) exchanged on doc_id -> per-doc
+              re-segmentation, drop loser seg_idx, join survivors
+    Reference analogue: the keep-last turn dedup (step2_resample.py:143) is
+    the row-level cousin; this is the within-payload version a text corpus
+    needs."""
+    c = seg_tokens
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def segments_of(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized (doc_row, seg_idx, seg_text) for a batch of texts.
+        Returns (seg_text object array, per-doc segment counts)."""
+        toks = [t.split(" ") for t in texts]
+        segs: list[str] = []
+        counts = np.empty(len(toks), dtype=np.int64)
+        for i, tk in enumerate(toks):
+            n = (len(tk) + c - 1) // c
+            counts[i] = n
+            segs.extend(" ".join(tk[j * c : (j + 1) * c]) for j in range(n))
+        return np.asarray(segs, dtype=object), counts
+
+    def seg_stage(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        segs, counts = segments_of(texts)
+        seg_idx = np.arange(len(segs), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        doc_ids = np.repeat(ids, counts)
+        if len(doc_ids) and (int(doc_ids.max()) >= (1 << 42) or int(seg_idx.max()) >= (1 << 20)):
+            raise ValueError("doc_segment_dedup packs (doc_id, seg_idx) into int64")
+        return pd.DataFrame(
+            {
+                "h": content_hash(segs).astype(np.int64),
+                "packed": (doc_ids << 20) | seg_idx,
+            }
+        )
+
+    def losers_of(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("h", sort=False)["packed"].transform("min")
+        lose = g.loc[g["packed"] != win, "packed"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": lose >> 20,
+                "seg_idx": lose & ((1 << 20) - 1),
+                "text": np.full(len(lose), "", dtype=object),
+                "kind": np.ones(len(lose), dtype=np.int64),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    occurrences = docs.map_batches(seg_stage, batch_format="pyarrow")
+    losers = partition_map_groups(occurrences, losers_of, key="h", num_buckets=num_partitions)
+
+    def doc_tag(batch: pa.Table) -> pd.DataFrame:
+        n = batch.num_rows
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "seg_idx": np.full(n, -1, dtype=np.int64),
+                "text": batch["text"].to_numpy(zero_copy_only=False),
+                "kind": np.zeros(n, dtype=np.int64),
+            }
+        )
+
+    tagged = docs.map_batches(doc_tag, batch_format="pyarrow").union(losers)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0]
+        drop: dict[int, set[int]] = {}
+        for did, si in zip(
+            g.loc[g["kind"] == 1, "doc_id"].to_numpy(),
+            g.loc[g["kind"] == 1, "seg_idx"].to_numpy(),
+        ):
+            drop.setdefault(int(did), set()).add(int(si))
+        out_id, out_ns, out_nk, out_tx = [], [], [], []
+        for did, text in zip(d["doc_id"].to_numpy(), d["text"].to_numpy()):
+            segs, counts = segments_of(np.asarray([text], dtype=object))
+            gone = drop.get(int(did), ())
+            kept = [s for j, s in enumerate(segs) if j not in gone]
+            out_id.append(did)
+            out_ns.append(int(counts[0]))
+            out_nk.append(len(kept))
+            out_tx.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "n_segs": np.asarray(out_ns, dtype=np.int64),
+                "n_kept": np.asarray(out_nk, dtype=np.int64),
+                "text_dedup": out_tx,
+            }
+        )
+
+    return partition_map_groups(tagged, reassemble, key="doc_id", num_buckets=num_partitions)
+
+
+def doc_segment_dedup_sql(sf_dir: str, seg_tokens: int = 8) -> str:
+    c = seg_tokens
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+segs AS (
+  SELECT doc_id, u.ci AS seg_idx,
+         array_to_string(list_slice(tk, ci * {c} + 1, least((ci + 1) * {c}, len(tk))), ' ') AS seg_text
+  FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / {c}.0) AS BIGINT))) AS u(ci)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '') AS text_dedup
+FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
+# ------------------------------------------- DSIR-style importance weights
+def doc_dsir_weights(
+    sf_dir: str,
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 128,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Data Selection via Importance Resampling — hashed-n-gram importance
+    weights (public: Xie et al. 2023, arXiv:2302.03169): score every document
+    by how much more likely its hashed unigram profile is under a TARGET
+    distribution (here: the docs from `target_sources`) than under the raw
+    corpus distribution. This variant replaces DSIR's log-likelihood-ratio
+    with the smoothed PROBABILITY-DIFFERENCE numerator so the whole score is
+    int64-exact up to ONE final float division (the doc_model_score
+    discipline), making the DuckDB oracle bitwise:
+
+      bucket(tok) = md5(tok)[:8] % B
+      t_b, r_b    = bucket counts over target / all token occurrences
+      w_b         = (t_b+1)*(R+B) - (r_b+1)*(T+B)        (int64)
+      w_num(doc)  = Σ_tok w_b(bucket(tok))               (int64-exact)
+      dsir_score  = w_num / ((T+B) * (R+B))              (one division)
+                  = Σ_tok [ p̂_target(b) − p̂_raw(b) ]     (add-1 smoothing)
+
+    Dataflow (100-TB-safe): pass 1 is a per-batch COMBINER (B-row bucket
+    partials per batch — the token exchange moves B rows per batch, never
+    tokens) reduced to one B-row table on the driver and broadcast via
+    ray.put; pass 2 is a stateless scan through a stateful ACTOR POOL
+    (weights + md5 bucket cache built once per actor in __init__). At real
+    scale w_num overflow forces float weights — the int64 path is the
+    oracle-exactness device and guarded by asserts."""
+    import hashlib
+
+    B = n_buckets
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    tset = set(target_sources)
+
+    def count_stage(batch: pa.Table) -> pd.DataFrame:
+        toks = pd.DataFrame(
+            {
+                "is_t": pd.Series(batch["source"].to_numpy(zero_copy_only=False)).isin(tset).to_numpy(),
+                "tok": batch["text"].to_pandas().str.split(" "),
+            }
+        ).explode("tok", ignore_index=True)
+        toks = toks[toks["tok"] != ""]
+        b = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % B for t in toks["tok"]),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        agg = pd.DataFrame({"b": b, "is_t": toks["is_t"].to_numpy().astype(np.int64)}).groupby(
+            "b", as_index=False
+        ).agg(r_b=("is_t", "size"), t_b=("is_t", "sum"))
+        return agg
+
+    partials = ds.map_batches(count_stage, batch_format="pyarrow")
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    counts = grouped_aggregate(
+        partials, "b", {"r_b": ("r_b", "sum"), "t_b": ("t_b", "sum")}, num_partitions=8
+    ).to_pandas()  # B rows — driver-resident by design
+    r = np.zeros(B, dtype=np.int64)
+    t = np.zeros(B, dtype=np.int64)
+    r[counts["b"].to_numpy()] = counts["r_b"].to_numpy()
+    t[counts["b"].to_numpy()] = counts["t_b"].to_numpy()
+    R, T = int(r.sum()), int(t.sum())
+    w = (t + 1) * (R + B) - (r + 1) * (T + B)
+    assert abs(w).max() < (1 << 62), "doc_dsir_weights int64 weight overflow"
+    denom = float(T + B) * float(R + B)
+    w_ref = ray.put(w)
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.w = ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef) else w_ref
+            self.bucket_of: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            toks = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "tok": batch["text"].to_pandas().str.split(" "),
+                }
+            ).explode("tok", ignore_index=True)
+            toks = toks[toks["tok"] != ""]
+            fresh = [x for x in pd.unique(toks["tok"]) if x not in self.bucket_of]
+            for x in fresh:
+                self.bucket_of[x] = int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % B
+            toks["wt"] = self.w[toks["tok"].map(self.bucket_of).to_numpy()]
+            agg = toks.groupby("doc_id", as_index=False).agg(
+                w_num=("wt", "sum"), n_tok=("wt", "size")
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": agg["doc_id"].to_numpy(),
+                    "n_tok": agg["n_tok"].to_numpy().astype(np.int64),
+                    "w_num": agg["w_num"].to_numpy().astype(np.int64),
+                    "dsir_score": agg["w_num"].to_numpy() / denom,
+                }
+            )
+
+    return ds.drop_columns(["source"]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def doc_dsir_weights_sql(
+    sf_dir: str, target_sources: tuple[str, ...] = ("src0", "src1"), n_buckets: int = 128
+) -> str:
+    B = n_buckets
+    tlist = ", ".join(f"'{s}'" for s in target_sources)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {B} AS BIGINT) AS b
+  FROM toks WHERE tok <> ''
+), cnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS r_b,
+         CAST(sum(CASE WHEN source IN ({tlist}) THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+  FROM tb GROUP BY b
+), tot AS (
+  SELECT CAST(sum(r_b) AS BIGINT) AS R, CAST(sum(t_b) AS BIGINT) AS T FROM cnt
+), w AS (
+  SELECT b, (t_b + 1) * (R + {B}) - (r_b + 1) * (T + {B}) AS w_b FROM cnt, tot
+), doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(w_b) AS BIGINT) AS w_num
+  FROM tb JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tok, w_num,
+       CAST(w_num AS DOUBLE)
+         / (CAST((SELECT T FROM tot) + {B} AS DOUBLE) * CAST((SELECT R FROM tot) + {B} AS DOUBLE))
+         AS dsir_score
+FROM doc ORDER BY doc_id"""
