@@ -269,6 +269,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_aroon"] = _battery2_query(b3.aroon_frame)
     q["t_vortex"] = _battery2_query(b3.vortex_frame)
 
+    from quant_feature_pipeline_ray.stages import adaptive as ad
+    from quant_feature_pipeline_ray.stages import battery4 as b4
+
+    q["t_donchian"] = _battery2_query(b4.donchian_frame)
+    q["t_ichimoku"] = _battery2_query(b4.ichimoku_frame)
+    q["t_roc_cmo"] = _battery2_query(b4.roc_cmo_frame)
+    q["t_keltner"] = _battery2_query(b4.keltner_frame)
+    q["t_trix"] = _battery2_query(ad.trix_frame)
+    q["t_kama"] = _battery2_query(ad.kama_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -761,6 +771,12 @@ def oracle_sql() -> dict[str, str]:
         "t_ultimate": _b2_sql("sql_ultimate"),
         "t_aroon": _b3_sql("sql_aroon"),
         "t_vortex": _b3_sql("sql_vortex"),
+        "t_donchian": _b4_sql("sql_donchian"),
+        "t_ichimoku": _b4_sql("sql_ichimoku"),
+        "t_roc_cmo": _b4_sql("sql_roc_cmo"),
+        "t_keltner": _b4_sql("sql_keltner"),
+        "t_trix": _ad_sql("sql_trix"),
+        "t_kama": _ad_sql("sql_kama"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -854,6 +870,18 @@ def _b3_sql(name: str) -> str:
     from quant_feature_pipeline_ray.stages import battery3
 
     return getattr(battery3, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b4_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery4
+
+    return getattr(battery4, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _ad_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import adaptive
+
+    return getattr(adaptive, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:
