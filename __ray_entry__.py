@@ -279,6 +279,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_trix"] = _battery2_query(ad.trix_frame)
     q["t_kama"] = _battery2_query(ad.kama_frame)
 
+    from quant_feature_pipeline_ray.stages import battery5 as b5
+
+    q["t_adx"] = _battery2_query(b5.adx_frame)
+    q["t_wma"] = _battery2_query(b5.wma_frame)
+    q["t_chaikin"] = _battery2_query(b5.chaikin_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -777,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "t_keltner": _b4_sql("sql_keltner"),
         "t_trix": _ad_sql("sql_trix"),
         "t_kama": _ad_sql("sql_kama"),
+        "t_adx": _b5_sql("sql_adx"),
+        "t_wma": _b5_sql("sql_wma"),
+        "t_chaikin": _b5_sql("sql_chaikin"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -882,6 +891,12 @@ def _ad_sql(name: str) -> str:
     from quant_feature_pipeline_ray.stages import adaptive
 
     return getattr(adaptive, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b5_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery5
+
+    return getattr(battery5, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:

@@ -41,12 +41,18 @@ def run_bench() -> dict:
     spill_cfg = json.dumps(
         {"type": "filesystem", "params": {"directory_path": "/dev/shm/ray_spill"}}
     )
+    # Optional plasma-store cap (GB). Default Ray sizes the store at ~30% of
+    # RAM; on this sandbox every fresh plasma page is supplied serially at
+    # ~550 MB/s (see module header), so a bounded store that stays fully
+    # faulted across reps beats a huge one that keeps touching new pages.
+    store_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=int(float(store_gb) * 1e9) if store_gb else None,
         _system_config={"object_spilling_config": spill_cfg},
     )
     import ray.data
