@@ -539,6 +539,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_dup_clusters"] = td.doc_dup_clusters
     q["doc_cluster_rep"] = td.doc_cluster_rep
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
+    # character-level near-dup verify over the LSH candidate set: two native
+    # hash joins attach pair texts, pairs-vectorized Levenshtein DP verifies
+    q["doc_edit_pairs"] = td.doc_edit_pairs
+    # hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+    q["doc_rrf_fusion"] = td.doc_rrf_fusion
     q["doc_simhash"] = td.doc_simhash
     q["doc_simhash_pairs"] = td.doc_simhash_pairs
     q["doc_fingerprint"] = td.doc_fingerprint
@@ -722,6 +727,8 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": tpch.waiting_suppliers_sql(_SQL_SF_DIR),
         "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
+        "doc_edit_pairs": td.doc_edit_pairs_sql(_SQL_SF_DIR),
+        "doc_rrf_fusion": td.doc_rrf_fusion_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /

@@ -660,6 +660,156 @@ def doc_minhash_lsh(sf_dir: str, threshold: float = 0.82, num_perm: int = 64, nu
     )
 
 
+def doc_edit_pairs(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
+    """Edit-distance verify for near-dup candidate pairs — the character-
+    level tier below token-set Jaccard (a pair with identical token SETS
+    but shuffled order scores Jaccard 1.0; edit distance still separates
+    them). Candidates are the LSH-blocked Jaccard-verified pairs
+    (lsh_verified_pairs — the same candidate set doc_jaccard_pairs emits,
+    so the DuckDB oracle can reproduce the candidate set exactly), and the
+    verify is exact unit-cost Levenshtein (identical semantics to DuckDB's
+    levenshtein()).
+
+    Scale shape: two distributed hash JOINS (Ray Data's native join
+    operator) attach each side's text to its pairs — each doc's text ships
+    once per pass, never multiplied by the number of bands or pairs — and
+    the per-batch verify runs the pairs-vectorized DP kernel
+    (functions/editdist.py: O(P·La·Lb) cells at numpy throughput, no
+    Python inner loop). Emits edit_dist + edit_sim = 1 − d/max(len) per
+    qualifying pair (edit_sim of two empty texts = 1.0).
+
+    reference parity: the reference dedups exact (conv_id, turn_idx) keys
+    only (step2 dedup); character-level near-dup verify is part of the
+    added large-scale-curation surface (SURVEY.md §2.7)."""
+    pairs = lsh_verified_pairs(sf_dir, threshold=threshold).drop_columns(
+        ["n_inter", "n_union", "jaccard"]
+    )
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    withA = pairs.join(
+        docs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_a"})
+    withB = withA.join(
+        docs, join_type="inner", num_partitions=n_parts, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"text": "text_b"})
+
+    def verify(batch: pa.Table) -> pd.DataFrame:
+        from quant_feature_pipeline_ray.functions.editdist import levenshtein_batch
+
+        a = batch["text_a"].to_pylist()
+        b = batch["text_b"].to_pylist()
+        d = levenshtein_batch(a, b)
+        la = np.fromiter((len(s) for s in a), np.int64, count=len(a))
+        lb = np.fromiter((len(s) for s in b), np.int64, count=len(b))
+        mx = np.maximum(la, lb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.where(mx > 0, 1.0 - d / mx, 1.0)
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy(),
+                "doc_b": batch["doc_b"].to_numpy(),
+                "edit_dist": d,
+                "edit_sim": sim,
+            }
+        )
+
+    out = withB.map_batches(verify, batch_format="pyarrow", batch_size=1024).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "edit_dist": pd.Series(dtype="int64"),
+                "edit_sim": pd.Series(dtype="float64"),
+            }
+        )
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def doc_edit_pairs_sql(sf_dir: str, threshold: float = 0.82) -> str:
+    # candidate set == doc_jaccard_pairs_sql's, then exact levenshtein verify
+    return f"""
+WITH s AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {threshold}
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+       CASE WHEN greatest(length(ta), length(tb)) > 0
+            THEN 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                 / CAST(greatest(length(ta), length(tb)) AS DOUBLE)
+            ELSE 1.0 END AS edit_sim
+FROM cand ORDER BY doc_a, doc_b"""
+
+
+def doc_rrf_fusion(
+    sf_dir: str, depth: int = 50, k: int = 20, rrf_k: int = 60
+) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 ranking
+    and the dense cosine ranking (query vector = embedding 0, the aligned
+    doc_id/vec_id key space).
+
+    rrf(doc) = Σ_lists 1/(rrf_k + rank_list(doc)) over the lists containing
+    the doc in their top-`depth` (absent list contributes 0.0) — Cormack &
+    Clarke SIGIR'09. Both input rankings are already engine-independent
+    (round-6 score ties broken by id), and every rrf term is 1/(int + int),
+    so the fused score is bitwise reproducible in SQL.
+
+    Scale shape: both constituent retrievals are the existing distributed
+    operators (BM25: two O(1)-scalar passes + per-batch partial top-k;
+    dense: broadcast query matmul + partial top-k); the fusion itself
+    touches 2·depth rows on the driver."""
+    lex = doc_bm25_topk(sf_dir, k=depth)[["doc_id", "rank"]].rename(
+        columns={"rank": "rank_lex"}
+    )
+    dense = emb_ann_topk(sf_dir, n_queries=1, k=depth)[["vec_id", "rank"]].rename(
+        columns={"vec_id": "doc_id", "rank": "rank_dense"}
+    )
+    m = lex.merge(dense, on="doc_id", how="outer")
+    rl = m["rank_lex"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rd = m["rank_dense"].to_numpy(dtype=np.float64, na_value=np.nan)
+    score = np.where(np.isnan(rl), 0.0, 1.0 / (rrf_k + rl)) + np.where(
+        np.isnan(rd), 0.0, 1.0 / (rrf_k + rd)
+    )
+    m["rrf_score"] = score
+    m = m.sort_values(["rrf_score", "doc_id"], ascending=[False, True], ignore_index=True).head(k)
+    out = pd.DataFrame(
+        {
+            "doc_id": m["doc_id"].astype(np.int64),
+            "rrf_rank": np.arange(1, len(m) + 1, dtype=np.int64),
+            "rrf_score": m["rrf_score"],
+        }
+    )
+    return out
+
+
+def doc_rrf_fusion_sql(sf_dir: str, depth: int = 50, k: int = 20, rrf_k: int = 60) -> str:
+    lex = doc_bm25_topk_sql(sf_dir, k=depth)
+    dense = emb_ann_topk_sql(sf_dir, n_queries=1, k=depth)
+    return f"""
+WITH lex AS ({lex}),
+dense AS ({dense}),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id,
+         COALESCE(1.0 / ({rrf_k} + lex.rank), 0.0)
+           + COALESCE(1.0 / ({rrf_k} + dense.rank), 0.0) AS rrf_score
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank,
+       rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}"""
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash per doc (+ fingerprint); pytest-oracled."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
