@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_edit_pairs"] = td.doc_edit_pairs
     # hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
     q["doc_rrf_fusion"] = td.doc_rrf_fusion
+    # cross-corpus dedup: broadcast Bloom prefilter + exact anti-join verify
+    q["doc_bloom_dedup"] = td.doc_bloom_dedup
     q["doc_simhash"] = td.doc_simhash
     q["doc_simhash_pairs"] = td.doc_simhash_pairs
     q["doc_fingerprint"] = td.doc_fingerprint
@@ -728,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
         "doc_edit_pairs": td.doc_edit_pairs_sql(_SQL_SF_DIR),
+        "doc_bloom_dedup": td.doc_bloom_dedup_sql(_SQL_SF_DIR),
         "doc_rrf_fusion": td.doc_rrf_fusion_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),

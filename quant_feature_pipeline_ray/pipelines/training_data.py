@@ -810,6 +810,177 @@ ORDER BY rrf_score DESC, doc_id
 LIMIT {k}"""
 
 
+def doc_bloom_dedup(
+    sf_dir: str, base_rate: float = 0.7, bits_log2: int = 22, n_hashes: int = 4
+) -> pd.DataFrame:
+    """Cross-corpus dedup with a broadcast Bloom prefilter: which INCOMING
+    documents are genuinely new relative to an existing BASE corpus?
+
+    The classic new-crawl-vs-existing-training-set filter. The corpus is
+    split deterministically (md5(doc_id) uniform < base_rate → base; the
+    engine and the DuckDB oracle compute the identical bytes, same idiom as
+    doc_weighted_sample).
+
+    Dataflow:
+      1. BUILD — one pass over base: per-batch Bloom partial (content_hash
+         → n_hashes splitmix-derived bit positions in a 2^bits_log2-bit
+         array), partials OR-reduced on the driver (m/8 bytes each — 512 KiB
+         at the default; at 100 TB make m ∝ n and tree-reduce the OR), then
+         ray.put-broadcast ONCE.
+      2. PROBE — one pass over incoming: rows the filter rejects are
+         DEFINITELY new (Bloom has no false negatives) and never enter any
+         exchange; only Bloom-POSITIVE rows (true dups + the ~(1-e^{-kn/m})^k
+         false-positive sliver) become candidates.
+      3. EXACT VERIFY — candidates and base content-hashes meet in ONE
+         hash-partitioned exchange (16 bytes/row, text never moves); a
+         vectorized per-partition anti-join keeps candidates whose hash has
+         no base occurrence. Correctness is therefore INDEPENDENT of the
+         Bloom parameters — the filter only prunes exchange volume.
+
+    Returns the new incoming doc_ids, sorted. Oracle: exact NOT IN
+    anti-join on raw text (content-hash equality == text equality under the
+    collision-negligible SipHash assumption, same policy as
+    doc_exact_dedup)."""
+    import hashlib
+
+    from quant_feature_pipeline_ray.hashing import content_hash
+    from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
+
+    m_bits = 1 << bits_log2
+    n_words = m_bits >> 6
+    cut = np.uint64(int(base_rate * 2**32))
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def _positions(h: np.ndarray, j: int) -> np.ndarray:
+        # splitmix64 finisher over (h + j·C): independent-enough position
+        # streams from one 64-bit content hash (Kirsch–Mitzenmacher style)
+        x = h + np.uint64(j) * C
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return (x & np.uint64(m_bits - 1)).astype(np.int64)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        u32 = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in ids),
+            np.uint64,
+            count=len(ids),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype(np.int64),
+                "h": content_hash(batch["text"].to_numpy(zero_copy_only=False)).astype(
+                    np.int64
+                ),
+                "is_base": (u32 < cut).astype(np.int8),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tagged = docs.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def bloom_partial(batch: pa.Table) -> pd.DataFrame:
+        h = batch["h"].to_numpy().view(np.uint64)[batch["is_base"].to_numpy() == 1]
+        words = np.zeros(n_words, dtype=np.uint64)
+        for j in range(n_hashes):
+            pos = _positions(h, j)
+            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pd.DataFrame({"bits": [words.tobytes()]})
+
+    parts = tagged.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for b in parts["bits"]:
+        bloom |= np.frombuffer(b, dtype=np.uint64)
+    bref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        inc = batch.filter(pa.compute.equal(batch["is_base"], 0))
+        h = inc["h"].to_numpy().view(np.uint64)
+        bl = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        present = np.ones(len(h), dtype=bool)
+        for j in range(n_hashes):
+            pos = _positions(h, j)
+            present &= (bl[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1) != 0
+        return pd.DataFrame(
+            {
+                "doc_id": inc["doc_id"].to_numpy(),
+                "h": inc["h"].to_numpy(),
+                "candidate": present.astype(np.int8),
+            }
+        )
+
+    probed = tagged.map_batches(probe, batch_format="pyarrow").materialize()
+    new_direct = probed.filter(
+        expr="candidate == 0"
+    )  # Bloom-negative: definitely new, no exchange
+
+    # exact verify exchange: candidates (role 1) + base hashes (role 0)
+    n_parts = max(8, cluster_cpus())
+
+    def cand_side(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pa.compute.equal(batch["candidate"], 1))
+        return pd.DataFrame(
+            {
+                "h": t["h"].to_numpy(),
+                "doc_id": t["doc_id"].to_numpy(),
+                "role": np.ones(len(t), dtype=np.int8),
+            }
+        )
+
+    def base_side(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pa.compute.equal(batch["is_base"], 1))
+        h = np.unique(t["h"].to_numpy())
+        return pd.DataFrame(
+            {"h": h, "doc_id": np.zeros(len(h), np.int64), "role": np.zeros(len(h), np.int8)}
+        )
+
+    union = probed.map_batches(cand_side, batch_format="pyarrow").union(
+        tagged.map_batches(base_side, batch_format="pyarrow")
+    )
+
+    def add_gk(b: pa.Table) -> pa.Table:
+        gk = (b["h"].to_numpy().view(np.uint64) * C % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("gk", pa.array(gk))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        base_h = np.unique(df.loc[df["role"].to_numpy() == 0, "h"].to_numpy())
+        cand = df[df["role"].to_numpy() == 1]
+        keep = ~np.isin(cand["h"].to_numpy(), base_h, assume_unique=False)
+        return pd.DataFrame({"doc_id": cand["doc_id"].to_numpy()[keep]})
+
+    new_verified = (
+        union.map_batches(add_gk, batch_format="pyarrow").groupby("gk").map_groups(anti)
+    )
+
+    ids = np.concatenate(
+        [
+            new_direct.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(),
+            new_verified.to_pandas()["doc_id"].to_numpy()
+            if new_verified.count() > 0
+            else np.zeros(0, np.int64),
+        ]
+    )
+    return pd.DataFrame({"doc_id": np.sort(ids.astype(np.int64))})
+
+
+def doc_bloom_dedup_sql(sf_dir: str, base_rate: float = 0.7) -> str:
+    cut = int(base_rate * 2**32)
+    return f"""
+WITH u AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS u32
+  FROM documents
+),
+base AS (SELECT text FROM u WHERE u32 < {cut}),
+inc  AS (SELECT doc_id, text FROM u WHERE u32 >= {cut})
+SELECT doc_id FROM inc
+WHERE text NOT IN (SELECT text FROM base)
+ORDER BY doc_id"""
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash per doc (+ fingerprint); pytest-oracled."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
