@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
     q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
     q["e_attribution"] = lambda sf: ev.events_attribution(f"{sf}/events.parquet")
+    # m:n time-bounded stream-stream join (Flink intervalJoin shape)
+    q["e_stream_join"] = lambda sf: ev.events_stream_join(f"{sf}/events.parquet")
     q["e_retention"] = lambda sf: ev.events_retention(f"{sf}/events.parquet")
     q["e_unpivot"] = lambda sf: ev.events_unpivot(f"{sf}/events.parquet")
     q["e_distinct_users_hll"] = lambda sf: ev.events_distinct_users_hll(f"{sf}/events.parquet")
@@ -683,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
         "e_funnel": ev.events_funnel_sql(),
         "e_attribution": ev.events_attribution_sql(),
+        "e_stream_join": ev.events_stream_join_sql(),
         "e_retention": ev.events_retention_sql(),
         "e_unpivot": ev.events_unpivot_sql(),
         # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)

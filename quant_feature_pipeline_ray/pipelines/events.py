@@ -1284,3 +1284,103 @@ SELECT COALESCE(channel, 'direct') AS channel,
        CAST(count(*) AS BIGINT) AS n_conv,
        CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value
 FROM att GROUP BY 1 ORDER BY 1"""
+
+
+def events_stream_join(path: str, window_s: int = 86400, num_buckets: int = 32) -> pd.DataFrame:
+    """Time-bounded stream-stream join: every (click, purchase) pair of the
+    SAME user with purchase.ts in [click.ts, click.ts + window) — the m:n
+    windowed equi-join a streaming engine keeps dual keyed state for
+    (Flink-style intervalJoin). Batch form here; the streaming-state
+    variant of the same semantics lives in state/event_windows.py.
+
+    ONE hash exchange on user_id (both sides ride the same partitioning,
+    like events_attribution); inside a partition both sides sort once by a
+    (user_code << 47 | ts_rel) composite and every left row's match range
+    resolves with TWO binary searches (np.searchsorted), exploded to pairs
+    by repeat/arange — no per-user Python loop. ts_rel is partition-local
+    (offset from the partition min), so the composite stays inside int64
+    for spans up to ~4.5 years and 65k users per partition; wider spans
+    would switch to per-user segment offsets.
+
+    Exact DuckDB oracle: the equivalent self-join with the identical range
+    predicate (integer µs arithmetic end-to-end)."""
+    import numpy as np
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    w_us = np.int64(window_s) * 1_000_000
+    ds = _read_events(path, ["event_id", "user_id", "event_type", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.Series(dtype="int64"),
+                "purchase_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "dt_us": pd.Series(dtype="int64"),
+            }
+        )
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        lm = et == "click"
+        rm = et == "purchase"
+        if not lm.any() or not rm.any():
+            return empty
+        base = ts_us.min()
+        codes, _ = pd.factorize(g["user_id"].to_numpy(), sort=True)
+        # +w_us in the guard: the probe key ts_rel + w_us must also stay
+        # below 2^47 or the upper search could leak into the next user code
+        if codes.max() >= (1 << 16) or (ts_us.max() - base) + w_us >= (1 << 47):
+            raise ValueError("events_stream_join: composite key envelope exceeded")
+        comp = (codes.astype(np.int64) << 47) | (ts_us - base)
+        l_ids = g["event_id"].to_numpy()[lm]
+        l_users = g["user_id"].to_numpy()[lm]
+        l_comp = comp[lm]
+        l_ts = ts_us[lm]
+        order_l = np.argsort(l_comp, kind="stable")
+        l_ids, l_users, l_comp, l_ts = (
+            l_ids[order_l], l_users[order_l], l_comp[order_l], l_ts[order_l]
+        )
+        r_ids = g["event_id"].to_numpy()[rm]
+        r_comp = comp[rm]
+        r_ts = ts_us[rm]
+        order_r = np.argsort(r_comp, kind="stable")
+        r_ids, r_comp, r_ts = r_ids[order_r], r_comp[order_r], r_ts[order_r]
+        lo = np.searchsorted(r_comp, l_comp, side="left")
+        hi = np.searchsorted(r_comp, l_comp + w_us, side="left")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        total = int(cnt[keep].sum())
+        li = np.repeat(np.flatnonzero(keep), cnt[keep])
+        starts = np.concatenate([[0], np.cumsum(cnt[keep])[:-1]])
+        ri = np.arange(total) - np.repeat(starts, cnt[keep]) + np.repeat(lo[keep], cnt[keep])
+        return pd.DataFrame(
+            {
+                "click_id": l_ids[li].astype(np.int64),
+                "purchase_id": r_ids[ri].astype(np.int64),
+                "user_id": l_users[li].astype(np.int64),
+                "dt_us": (r_ts[ri] - l_ts[li]).astype(np.int64),
+            }
+        )
+
+    out = partition_map_groups(
+        ds, per_bucket, key="user_id", num_buckets=num_buckets
+    ).to_pandas()
+    return out.sort_values(["click_id", "purchase_id"], ignore_index=True)
+
+
+def events_stream_join_sql(window_s: int = 86400) -> str:
+    w_us = window_s * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       p.ts_us - c.ts_us AS dt_us
+FROM e c JOIN e p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts_us >= c.ts_us AND p.ts_us < c.ts_us + {w_us}
+ORDER BY click_id, purchase_id"""

@@ -86,3 +86,29 @@ def test_edit_pairs_agree_with_jaccard_candidates(ray_session):
     assert (ep["edit_sim"] <= 1.0).all() and (ep["edit_dist"] >= 0).all()
     exact = ep[ep["edit_dist"] == 0]
     assert (exact["edit_sim"] == 1.0).all()
+
+
+def test_stream_join_matches_bruteforce(ray_session):
+    import pandas as pd
+
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    w = 86400
+    got = ev.events_stream_join(path, window_s=w)
+    df = pd.read_parquet(path, columns=["event_id", "user_id", "event_type", "ts"])
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    df = df.assign(ts_us=ts)
+    c = df[df["event_type"] == "click"]
+    p = df[df["event_type"] == "purchase"]
+    m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+    m = m[(m["ts_us_p"] >= m["ts_us_c"]) & (m["ts_us_p"] < m["ts_us_c"] + w * 1_000_000)]
+    exp = (
+        m[["event_id_c", "event_id_p", "user_id"]]
+        .rename(columns={"event_id_c": "click_id", "event_id_p": "purchase_id"})
+        .sort_values(["click_id", "purchase_id"], ignore_index=True)
+    )
+    assert list(map(tuple, got[["click_id", "purchase_id", "user_id"]].values)) == list(
+        map(tuple, exp.values)
+    )
+    assert ((got["dt_us"] >= 0) & (got["dt_us"] < w * 1_000_000)).all()
