@@ -285,6 +285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_wma"] = _battery2_query(b5.wma_frame)
     q["t_chaikin"] = _battery2_query(b5.chaikin_frame)
 
+    from quant_feature_pipeline_ray.stages import battery6 as b6
+
+    q["t_moments"] = _battery2_query(b6.moments_frame)
+    q["t_cusum"] = _battery2_query(b6.cusum_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -536,6 +541,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_normalized_dedup"] = td.doc_normalized_dedup
     q["doc_segment_dedup"] = td.doc_segment_dedup
     q["doc_dsir_weights"] = td.doc_dsir_weights
+    q["doc_bpe_pairs"] = td.doc_bpe_pairs
+    q["doc_source_overlap"] = td.doc_source_overlap
+    q["emb_quantize_int8"] = td.emb_quantize_int8
+    q["emb_kcenter_sample"] = td.emb_kcenter_sample
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -621,10 +630,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # t_asof_features, e_asof_window) rotated out — all driver-green in
         # CORRECTNESS_r02 and still exercised by the builder contract run
         # (scripts/check_contract.py, ALL queries).
-        "t_oscillator", "t_composites", "t_atr", "t_supertrend",
+        "t_oscillator", "t_composites", "t_supertrend",
         "t_aroon", "t_vortex", "e_attribution", "doc_model_score",
         "doc_bm25_topk", "doc_repetition", "doc_pmi_bigrams",
         "nation_trade_volume", "market_share",
+        # round-3 fourth-session additions (exact oracles): rolling
+        # higher moments + CUSUM drift detector (stages/battery6.py), BPE
+        # merge-candidate counts, source-overlap Jaccard matrix, int8
+        # embedding quantization. Rotated out to make room, each the
+        # in-window cousin of a member that stays: t_atr (recursion
+        # subsumed by t_supertrend), doc_heavy_hitters (token-count shape
+        # of doc_tfidf_topk/doc_lm_stats), emb_cosine_dups (exact cosine
+        # threshold shape of emb_range_search), customers_without_orders
+        # (anti-join shape of waiting_suppliers), part_value_concentration
+        # (HAVING-over-global-scalar cousin of supplier_count_by_part_attrs);
+        # all five remain in scripts/check_contract.py which runs ALL queries.
+        "t_moments", "t_cusum", "doc_bpe_pairs", "doc_source_overlap",
+        "emb_quantize_int8",
         # doc_* exact-oracle family (not driver-verified in r02;
         # doc_chunk/doc_weighted_sample/doc_zipf/doc_source_kl rotated
         # behind the window — near-duplicate shapes of doc_export_shards/
@@ -633,7 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats", "doc_lang_id", "doc_exact_dedup",
         "doc_normalized_dedup", "doc_crossdoc_ngrams",
         "doc_jaccard_pairs", "doc_dup_clusters", "doc_cluster_rep",
-        "doc_ngram_dup_frac", "doc_heavy_hitters",
+        "doc_ngram_dup_frac",
         # round-3 session additions (exact oracles): segment-level dedup
         # with reassembly, DSIR importance weights, TPC-H Q21 shape.
         # Rotated out to make room: doc_stratified_sample (same md5-filter
@@ -648,14 +670,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation_funnel", "doc_tfidf_topk", "doc_lm_stats",
         # emb_* exact-oracle family
         "emb_norms", "emb_label_centroids", "emb_ann_topk", "emb_ann_filtered",
-        "emb_cosine_dups", "emb_range_search", "emb_covariance",
+        "emb_range_search", "emb_covariance",
         # multimodal exact-oracle family (media_resize rotated out — same
         # actor-pool plumbing shape as media_decode, stays in the contract run)
         "media_decode", "media_frame_sample",
         # TPC-H shapes added after the r02 driver window
         "top_suppliers_by_revenue", "disjunctive_revenue",
-        "supplier_count_by_part_attrs", "part_value_concentration",
-        "sales_rollup", "customers_without_orders",
+        "supplier_count_by_part_attrs", "sales_rollup",
     ]
     assert len(first) == 50 and all(k in q for k in first)
     ordered = {k: q[k] for k in first}
@@ -729,6 +750,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_normalized_dedup": td.doc_normalized_dedup_sql(_SQL_SF_DIR),
         "doc_segment_dedup": td.doc_segment_dedup_sql(_SQL_SF_DIR),
         "doc_dsir_weights": td.doc_dsir_weights_sql(_SQL_SF_DIR),
+        "doc_bpe_pairs": td.doc_bpe_pairs_sql(_SQL_SF_DIR),
+        "doc_source_overlap": td.doc_source_overlap_sql(_SQL_SF_DIR),
+        "emb_quantize_int8": td.emb_quantize_int8_sql(_SQL_SF_DIR),
         "waiting_suppliers": tpch.waiting_suppliers_sql(_SQL_SF_DIR),
         "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),
         "doc_jaccard_pairs": td.doc_jaccard_pairs_sql(_SQL_SF_DIR),
@@ -799,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
         "t_adx": _b5_sql("sql_adx"),
         "t_wma": _b5_sql("sql_wma"),
         "t_chaikin": _b5_sql("sql_chaikin"),
+        "t_moments": _b6_sql("sql_moments"),
+        "t_cusum": _b6_sql("sql_cusum"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -910,6 +936,12 @@ def _b5_sql(name: str) -> str:
     from quant_feature_pipeline_ray.stages import battery5
 
     return getattr(battery5, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b6_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery6
+
+    return getattr(battery6, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:

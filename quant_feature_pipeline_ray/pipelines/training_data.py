@@ -5498,3 +5498,317 @@ SELECT doc_id, n_tok, w_num,
          / (CAST((SELECT T FROM tot) + {B} AS DOUBLE) * CAST((SELECT R FROM tot) + {B} AS DOUBLE))
          AS dsir_score
 FROM doc ORDER BY doc_id"""
+
+
+# ----------------------------------------------- BPE merge-candidate counts
+def doc_bpe_pairs(sf_dir: str, k: int = 100, batch_size: int = 4096) -> pd.DataFrame:
+    """Top-k adjacent character pairs within words — the BPE tokenizer-
+    training step 0 (merge-candidate statistics, Sennrich ACL'16).
+
+    Dataflow is the doc_vocab wordcount shape: a per-batch combiner collapses
+    each batch to its distinct pairs (counts pre-summed) BEFORE the exchange,
+    so the shuffle moves pair-vocabulary-sized partials (≤ alphabet², in
+    practice a few thousand rows) — never one row per character position.
+    The final top-k runs on the aggregated pair vocabulary (driver-resident,
+    alphabet-bounded, corpus-size-independent).
+
+    Vectorization: each batch's words are joined with the tokenizer's own
+    separator (' ', which cannot occur inside a word) into ONE string whose
+    UTF-32 view gives the codepoint array; adjacent pairs are two shifted
+    slices packed into int64 keys and counted with np.unique — no Python
+    loop over positions (only over the batch's DISTINCT pairs to render the
+    2-char strings). Codepoint (not byte) pairs mirror DuckDB's
+    character-based substring() bitwise."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        joined = " ".join(words.to_pylist())
+        if len(joined) == 0:
+            return pd.DataFrame({"pair": pd.Series(dtype=str), "cnt": pd.Series(dtype=np.int64)})
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        a, b = cp[:-1], cp[1:]
+        sep = ord(" ")
+        keep = (a != sep) & (b != sep)
+        packed = (a[keep] << 32) | b[keep]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        pairs = [chr(int(p) >> 32) + chr(int(p) & 0xFFFFFFFF) for p in uniq]
+        return pd.DataFrame({"pair": pairs, "cnt": cnt.astype(np.int64)})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        "pair",
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    agg = agg.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
+    return agg.head(k).reset_index(drop=True)
+
+
+def doc_bpe_pairs_sql(sf_dir: str, k: int = 100) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pos AS (
+  SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2
+)
+SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pos
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {k}"""
+
+
+# ------------------------------------------------- source-overlap matrix
+def doc_source_overlap(sf_dir: str, batch_size: int = 4096) -> pd.DataFrame:
+    """Pairwise token-set Jaccard between sources (corpus-overlap matrix —
+    the cross-corpus contamination / redundancy audit run before mixing
+    training sources).
+
+    Three vocabulary-bounded exchanges, none carrying a row per token
+    OCCURRENCE: (1) per-batch distinct (token, source) partials -> global
+    distinct via one hash-key aggregate; (2) token -> int bitmask of the
+    sources containing it (sum of 1<<src_id is exact because step 1 made
+    each (token, source) unique); (3) bitmask histogram (#distinct masks ≤
+    #tokens, and ≤ 2^n_sources). The S×S matrix then reduces on the driver
+    from the mask histogram alone — intersection(a,b) = Σ cnt[mask] over
+    masks containing both bits — never touching per-token data again. Adding
+    a source re-runs only the cheap scans; at 100 TB the only corpus-scale
+    object shuffled is the distinct token vocabulary."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        src = batch["source"].take(parent.filter(keep)).to_pandas()
+        df = pd.DataFrame({"token": flat.filter(keep).to_pandas(), "source": src})
+        return df.drop_duplicates(ignore_index=True)
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    pairs = grouped_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow", batch_size=batch_size),
+        ["token", "source"],
+        {"one": ("source", "size")},
+    )
+    sources = sorted(
+        grouped_aggregate(pairs, "source", {"n": ("one", "size")}).to_pandas()["source"]
+    )
+    src_id = {s: i for i, s in enumerate(sources)}
+
+    def to_mask(df: pd.DataFrame) -> pd.DataFrame:
+        bit = df["source"].map(src_id).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"token": df["token"], "bit": np.int64(1) << bit})
+
+    masks = grouped_aggregate(
+        pairs.map_batches(to_mask, batch_format="pandas"),
+        "token",
+        {"mask": ("bit", "sum")},
+    )
+    hist = grouped_aggregate(masks, "mask", {"cnt": ("token", "size")}).to_pandas()
+    mk = hist["mask"].to_numpy(dtype=np.int64)
+    ct = hist["cnt"].to_numpy(dtype=np.int64)
+    rows = []
+    for ia, sa in enumerate(sources):
+        in_a = (mk >> ia) & 1 == 1
+        na = int(ct[in_a].sum())
+        for ib in range(ia + 1, len(sources)):
+            inter = int(ct[in_a & ((mk >> ib) & 1 == 1)].sum())
+            if inter == 0:
+                continue  # SQL inner join drops empty intersections
+            nb = int(ct[(mk >> ib) & 1 == 1].sum())
+            un = na + nb - inter
+            rows.append((sa, sources[ib], inter, un, inter / un))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "inter", "un", "jaccard"])
+    out["inter"] = out["inter"].astype(np.int64)
+    out["un"] = out["un"].astype(np.int64)
+    return out
+
+
+def doc_source_overlap_sql(sf_dir: str) -> str:
+    return """
+WITH t0 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), toks AS (
+  SELECT DISTINCT source, token FROM t0 WHERE token <> ''
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b USING (token)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       sa.n + sb.n - inter AS un,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b"""
+
+
+# ------------------------------------------------ int8 scalar quantization
+def emb_quantize_int8(sf_dir: str, batch_size: int = 2048) -> ray.data.Dataset:
+    """Per-dimension symmetric int8 scalar quantization of the embedding
+    column (the storage/serving compression pass run before ANN indexing).
+
+    Pass 1 reduces the per-dim scale s_d = max|x_d| with per-batch partials
+    (d rows per batch -> one tiny hash aggregate; nothing row-scaled leaves
+    the workers). Pass 2 broadcasts the d-vector of scales in the closure
+    and emits codes floor((x/s)*127 + 0.5) — one IEEE expression replayed
+    textually by the oracle, float64 all the way from the float32 input so
+    both sides round identically. Long (vec_id, dim, code) layout keeps the
+    oracle join trivial; dim is 1-based to match SQL."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def scale_partial(batch: pa.Table) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mx = np.abs(mat).max(axis=0)
+        return pd.DataFrame(
+            {"dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64), "s": mx}
+        )
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    scales = (
+        grouped_aggregate(
+            ds.map_batches(scale_partial, batch_format="pyarrow", batch_size=batch_size),
+            "dim",
+            {"s": ("s", "max")},
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    s = scales["s"].to_numpy()  # len d, corpus-global
+
+    def quantize(batch: pa.Table) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((mat / s) * 127.0 + 0.5)
+        q = np.where(s > 0.0, q, 0.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+                "code": q.ravel(),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow", batch_size=batch_size)
+
+
+def emb_quantize_int8_sql(sf_dir: str) -> str:
+    return """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), sc AS (
+  SELECT dim, MAX(ABS(CAST(v AS DOUBLE))) AS s FROM ex GROUP BY dim
+)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN s > 0.0
+                 THEN FLOOR((CAST(e.v AS DOUBLE) / s) * 127.0 + 0.5)
+                 ELSE 0.0 END AS BIGINT) AS code
+FROM ex e JOIN sc USING (dim)
+ORDER BY vec_id, dim"""
+
+
+# ------------------------------------------------- greedy k-center coreset
+def emb_kcenter_sample(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Greedy k-center (Gonzalez'85) coreset selection over the embedding
+    corpus — the diversity-sampling / data-pruning pass (Sener & Savarese
+    ICLR'18 core-set selection).
+
+    Distributed form: the chosen centers live on the driver (k×d, tiny);
+    each round ONE map_batches updates the cached min-distance column
+    against only the NEWEST center (classic incremental trick — O(N·d) per
+    round, not O(N·k·d)) and emits a per-block (max_dist, argmax vec_id)
+    partial; the driver reduces #blocks partials to the next center.
+    k rounds × one scan; the iterated dataset is re-materialized per round
+    with its block count pinned (BASELINE.md round-3 iterative-operator
+    rule). Deterministic: seed = smallest vec_id, ties broken toward the
+    smaller vec_id, all distances float64.
+
+    Returns (order_idx, vec_id, dist) — dist is the squared L2 distance to
+    the previously selected set at selection time (the k-center radius
+    sequence, nonincreasing ⇒ coverage guarantee); 0 for the seed."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def seed_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"vid": [int(pd.Series(batch["vec_id"].to_numpy()).min())]})
+
+    seed_id = int(ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()["vid"].min())
+
+    def fetch_vec(vid: int) -> np.ndarray:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"], filter=pads.field("vec_id") == vid
+        )
+        return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+    center = fetch_vec(seed_id)
+    chosen = [(0, seed_id, 0.0)]
+    chosen_ids = {seed_id}
+
+    work = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy(),
+                "dist": np.full(len(b), np.inf),
+            }
+            | {"emb": [np.asarray(v, dtype=np.float64) for v in b["embedding"].to_pandas()]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for order_idx in range(1, k):
+        c = center  # broadcast via closure capture (ray.put under the hood)
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df["emb"].to_numpy())
+            delta = mat - c
+            d2 = np.einsum("ij,ij->i", delta, delta)
+            df = df.copy()
+            df["dist"] = np.minimum(df["dist"].to_numpy(), d2)
+            return df
+
+        work = work.map_batches(update, batch_format="pandas").materialize()
+
+        def argmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+            dist = df["dist"].to_numpy()
+            vids = df["vec_id"].to_numpy()
+            mask = ~np.isin(vids, np.fromiter(chosen_ids, dtype=np.int64))
+            if not mask.any():
+                return pd.DataFrame({"vec_id": [], "dist": []})
+            dist, vids = dist[mask], vids[mask]
+            mx = dist.max()
+            vid = vids[dist == mx].min()
+            return pd.DataFrame({"vec_id": [int(vid)], "dist": [float(mx)]})
+
+        parts = work.map_batches(argmax_partial, batch_format="pandas").to_pandas()
+        mx = parts["dist"].max()
+        nxt = int(parts.loc[parts["dist"] == mx, "vec_id"].min())
+        chosen.append((order_idx, nxt, float(mx)))
+        chosen_ids.add(nxt)
+        center = fetch_vec(nxt)
+
+    return pd.DataFrame(chosen, columns=["order_idx", "vec_id", "dist"]).astype(
+        {"order_idx": np.int64, "vec_id": np.int64}
+    )

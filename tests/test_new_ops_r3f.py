@@ -1,0 +1,117 @@
+"""Round-3 session-4 additions: BPE merge-candidate counts, source-overlap
+Jaccard matrix, int8 embedding quantization, greedy k-center coreset."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(tables: dict[str, str]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name, path in tables.items():
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _cmp(got: pd.DataFrame, odf: pd.DataFrame) -> None:
+    cols = sorted(got.columns)
+    assert sorted(odf.columns) == cols
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_pairs_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_bpe_pairs(SF, k=50)
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    odf = con.sql(td.doc_bpe_pairs_sql(SF, k=50)).df()
+    _cmp(got, odf)
+    assert len(got) == 50 and (got["cnt"] > 0).all()
+
+
+def test_bpe_pairs_unicode_and_chunking(ray_session, tmp_path):
+    # codepoint (not byte) pairs, and batch size must not change the counts
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["héllo héllo wörld", "a ab abc", "日本語 日本 語"],
+            "lang": ["x"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [17, 8, 9],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got1 = td.doc_bpe_pairs(str(tmp_path), k=100, batch_size=1)
+    got2 = td.doc_bpe_pairs(str(tmp_path), k=100, batch_size=1000)
+    pd.testing.assert_frame_equal(got1, got2)
+    con = _con({"documents": f"{tmp_path}/documents.parquet"})
+    odf = con.sql(td.doc_bpe_pairs_sql(str(tmp_path), k=100)).df()
+    _cmp(got1, odf)
+    assert "日本" in set(got1["pair"])
+
+
+def test_source_overlap_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_source_overlap(SF)
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    odf = con.sql(td.doc_source_overlap_sql(SF)).df()
+    _cmp(got, odf)
+    # jaccard must be the same division both sides and within range
+    assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1.0)).all()
+    assert (got["inter"] <= got["un"]).all()
+
+
+def test_quantize_int8_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_quantize_int8(SF).to_pandas()
+    con = _con({"embeddings": f"{SF}/embeddings.parquet"})
+    odf = con.sql(td.emb_quantize_int8_sql(SF)).df()
+    _cmp(got, odf)
+    assert got["code"].abs().max() <= 127
+    # every dimension must hit at least one endpoint (the max-|x| row
+    # quantizes to ±127) — pins that the scale really is the per-dim max
+    ends = got.groupby("dim")["code"].agg(lambda s: s.abs().max())
+    assert (ends == 127).all()
+
+
+def test_kcenter_parity_and_coverage(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    k = 6
+    got = td.emb_kcenter_sample(SF, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+
+    # straight-line greedy Gonzalez with the same tie-breaks
+    order = np.argsort(vids)
+    mat, vids = mat[order], vids[order]
+    chosen = [0]
+    dist = np.full(len(vids), np.inf)
+    picks = [(0, int(vids[0]), 0.0)]
+    for j in range(1, k):
+        delta = mat - mat[chosen[-1]]
+        dist = np.minimum(dist, np.einsum("ij,ij->i", delta, delta))
+        mask = np.isin(np.arange(len(vids)), chosen)
+        dd = np.where(mask, -np.inf, dist)
+        mx = dd.max()
+        idx = np.flatnonzero(dd == mx)
+        pick = idx[np.argmin(vids[idx])]
+        picks.append((j, int(vids[pick]), float(mx)))
+        chosen.append(int(pick))
+
+    ref = pd.DataFrame(picks, columns=["order_idx", "vec_id", "dist"]).astype(
+        {"order_idx": np.int64, "vec_id": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    # k-center radius sequence is nonincreasing after the seed
+    d = got["dist"].to_numpy()[1:]
+    assert (np.diff(d) <= 1e-12).all()
