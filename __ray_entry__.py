@@ -290,6 +290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_moments"] = _battery2_query(b6.moments_frame)
     q["t_cusum"] = _battery2_query(b6.cusum_frame)
 
+    from quant_feature_pipeline_ray.stages import battery7 as b7
+
+    q["t_force"] = _battery2_query(b7.force_frame)
+    q["t_elder"] = _battery2_query(b7.elder_frame)
+    q["t_coppock"] = _battery2_query(b7.coppock_frame)
+
     def t_supertrend(sf):
         # SuperTrend(10, 3.0) direction analogue — the battery's ratcheting
         # band recursion; exact WITH RECURSIVE DuckDB oracle replays the
@@ -388,13 +394,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["t_continuity"] = t_continuity
 
     def t_role_counts(sf):
-        from ray.data.aggregate import Count
+        # pruned plan: role counting needs the dedup-keep-last semantics but
+        # NOT the 85-col feature kernel or the text column — read 4 narrow
+        # columns, dedup per conv-hash bucket, pre-count per bucket, then
+        # sum the ≤ 64×|roles| partials (previously this computed the full
+        # flagship upstream: 4.8 s → ~0.6 s at sf0.01)
+        import numpy as np
+        import pandas as pd
 
-        return (
-            _turns_ds(sf)
-            .groupby("role")
-            .aggregate(Count(alias_name="n"))
+        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+        from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+        from quant_feature_pipeline_ray.stages.partition import sort_partition
+        from quant_feature_pipeline_ray.stages.turn_features import dedup_keep_last
+
+        ds = read_transcripts(
+            ensure_transcripts(sf), columns=["conv_id", "turn_idx", "role", "ts"]
         )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = sort_partition(g)
+            # same determinism guard as dedup_keep_last, on the column that
+            # matters here: equal-ts duplicates disagreeing on role would
+            # make the counts arrival-order-dependent
+            if len(g) > 1:
+                eq = (
+                    (g["conv_id"].to_numpy()[:-1] == g["conv_id"].to_numpy()[1:])
+                    & (g["turn_idx"].to_numpy()[:-1] == g["turn_idx"].to_numpy()[1:])
+                    & (g["ts"].to_numpy()[:-1] == g["ts"].to_numpy()[1:])
+                )
+                r = g["role"].to_numpy()
+                if (eq & (r[:-1] != r[1:])).any():
+                    raise ValueError("equal-ts duplicate rows disagree on role")
+            kept = dedup_keep_last(g)
+            out = kept.groupby("role", as_index=False).agg(n=("role", "size"))
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+        parts = partition_map_groups(ds, per_bucket, key="conv_id", num_buckets=64)
+        return grouped_aggregate(parts, "role", {"n": ("n", "sum")})
 
     q["t_role_counts"] = t_role_counts
 
@@ -825,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         "t_chaikin": _b5_sql("sql_chaikin"),
         "t_moments": _b6_sql("sql_moments"),
         "t_cusum": _b6_sql("sql_cusum"),
+        "t_force": _b7_sql("sql_force"),
+        "t_elder": _b7_sql("sql_elder"),
+        "t_coppock": _b7_sql("sql_coppock"),
         "t_composites": oracle.sql_composites(_SQL_TRANSCRIPTS),
         "t_rolling_cov": _sql_rolling_cov(),
         "t_rolling_median": oracle.base_cte(_SQL_TRANSCRIPTS)
@@ -942,6 +982,12 @@ def _b6_sql(name: str) -> str:
     from quant_feature_pipeline_ray.stages import battery6
 
     return getattr(battery6, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
+
+
+def _b7_sql(name: str) -> str:
+    from quant_feature_pipeline_ray.stages import battery7
+
+    return getattr(battery7, name)(oracle.base_cte(_SQL_TRANSCRIPTS))
 
 
 def _sql_atr() -> str:
