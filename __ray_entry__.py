@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_source_overlap"] = td.doc_source_overlap
     q["emb_quantize_int8"] = td.emb_quantize_int8
     q["emb_kcenter_sample"] = td.emb_kcenter_sample
+    q["emb_label_prop"] = td.emb_label_prop
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters

@@ -115,16 +115,36 @@ def run_bench() -> dict:
     out_dir = f"{out_root}/{os.path.basename(sf_dir)}"
     import shutil
 
+    # GRAFT_SINK=count swaps the parquet sink for a row-count consumption —
+    # used ONLY by the scaling decomposition (BASELINE.md): on this sandbox
+    # every fresh tmpfs page the sink writes is supplied serially at
+    # ~550 MB/s regardless of CPU count (≈25 GB/rep at sf2.0 ⇒ ~45 s of
+    # CPU-count-independent wall per rep), while on a real cluster sink
+    # bandwidth scales with nodes (per-node NVMe/S3 shards). Comparing
+    # write-consumed vs count-consumed legs separates compute+shuffle
+    # scaling from single-node-sink page supply. The headline metric stays
+    # write-consumed.
+    sink_count = os.environ.get("GRAFT_SINK") == "count"
+
+    def consume() -> None:
+        ds = transcript_features(path)
+        if sink_count:
+            ds.count()
+        else:
+            ds.write_parquet(out_dir)
+
     if not os.environ.get("GRAFT_NO_WARMUP"):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        transcript_features(path).write_parquet(out_dir)
+        if not sink_count:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        consume()
     reps = []
     # best-of-N: host noise is ±50%, and allocator warm-up amortizes over
     # several runs (see BASELINE.md round-2 steady-state discipline)
     for _ in range(int(os.environ.get("GRAFT_REPS", "4"))):
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not sink_count:
+            shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        transcript_features(path).write_parquet(out_dir)
+        consume()
         reps.append(round(time.time() - t0, 3))
     queries["flagship_backfill"] = min(reps)
     queries["flagship_backfill_reps"] = reps

@@ -3351,7 +3351,7 @@ WHERE q.vec_id < {n_queries}
 ORDER BY query_id, vec_id"""
 
 
-def emb_knn_graph(
+def emb_knn_graph_ds(
     sf_dir: str,
     k: int = 5,
     n_clusters: int = 16,
@@ -3359,7 +3359,7 @@ def emb_knn_graph(
     sample_max: int = 65536,
     vec_assign: int = 4,
     max_cluster_rows: int = 100_000,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Approximate k-NN GRAPH over the whole embedding column — every vector's
     k nearest neighbours (the substrate for SemDeDup-style curation, graph
     clustering, and hub/outlier analysis). Brute force is O(N^2) in one block;
@@ -3371,8 +3371,10 @@ def emb_knn_graph(
       member's top-k WITHIN the cluster -> one vec_id-keyed exchange merges
       the per-cluster partials (dedup neighbours, keep global top-k).
 
-    Driver sees only the final N x k edge rows. Approximate by design ->
-    rows-only; tests gate recall >= 0.9 vs the exact numpy graph."""
+    Returns the distributed (vec_id, rank, nbr_id, sim) edge Dataset —
+    consumed as-is by graph algorithms (emb_label_prop) so the edge list
+    never has to fit on the driver. Approximate by design -> rows-only;
+    tests gate recall >= 0.9 vs the exact numpy graph."""
     from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
     from quant_feature_pipeline_ray.stages.partition import partition_map_groups
 
@@ -3452,8 +3454,21 @@ def emb_knn_graph(
         out["rank"] = out.groupby("vec_id").cumcount().to_numpy() + 1
         return out[["vec_id", "rank", "nbr_id", "sim"]]
 
-    out = partition_map_groups(
-        partials, merge_vec, key="vec_id", num_buckets=n_parts
+    return partition_map_groups(partials, merge_vec, key="vec_id", num_buckets=n_parts)
+
+
+def emb_knn_graph(
+    sf_dir: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    vec_assign: int = 4,
+    max_cluster_rows: int = 100_000,
+) -> pd.DataFrame:
+    """Driver-resident view of emb_knn_graph_ds (the N×k edge rows)."""
+    out = emb_knn_graph_ds(
+        sf_dir, k, n_clusters, kmeans_iters, sample_max, vec_assign, max_cluster_rows
     ).to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -5812,3 +5827,166 @@ def emb_kcenter_sample(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return pd.DataFrame(chosen, columns=["order_idx", "vec_id", "dist"]).astype(
         {"order_idx": np.int64, "vec_id": np.int64}
     )
+
+
+# ------------------------------------------------- label propagation
+def emb_label_prop(
+    sf_dir: str,
+    k: int = 5,
+    n_iters: int = 3,
+    mask_mod: int = 4,
+    n_parts: int = 16,
+) -> pd.DataFrame:
+    """Semi-supervised label propagation over the approximate kNN graph
+    (Zhu & Ghahramani, CMU-CALD-02-107) — graph-smoothness auto-labeling,
+    the cheap label-expansion pass run when only a slice of a corpus is
+    human-labeled.
+
+    Seeds: vectors with vec_id % mask_mod == 0 keep their `label` column
+    (deterministic stand-in for the labeled slice); the rest start
+    unlabeled (-1). Each round every NON-SEED vector adopts the
+    weight-majority label among its currently-labeled kNN neighbours, with
+    votes weighted by round(sim·10⁶) INTEGERS — exact sums, so the argmax
+    and its (weight desc, label asc) tie-break are deterministic under any
+    partitioning (a float-weighted vote would be exchange-order-dependent).
+    Seed labels are clamped; a node with no labeled neighbour stays -1.
+
+    Dataflow per round, TWO hash exchanges (the doc_graph_pagerank BSP
+    discipline):
+
+      exchange 1 (key = voting neighbour): static edge list + current
+        (node, label) rows ride one tagged union; per partition each edge
+        picks up its voter's label, drops unlabeled voters, and
+        PRE-AGGREGATES (dst, label) -> weight partials
+      exchange 2 (key = dst node): vote partials + the static seed/node
+        table; per partition the weighted argmax decides, seeds clamp,
+        voteless nodes keep -1
+
+    The label table is re-materialized each round with a PINNED block
+    count (repartition before materialize — BASELINE.md round-3 iterative
+    rule: union+map_groups otherwise doubles the physical block count per
+    round). Per-round exchange volume is O(|E| + N), never corpus-quadratic.
+    Approximate upstream (IVF kNN) -> rows-only driver query; pytest pins
+    exact parity vs a straight-line numpy propagation on the same edges."""
+    edges = emb_knn_graph_ds(sf_dir, k=k)
+
+    def to_votes(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["nbr_id"].to_numpy(),  # the voter
+                "dst": b["vec_id"].to_numpy(),
+                "w": np.round(b["sim"].to_numpy() * 1e6).astype(np.int64),
+                "label": np.full(len(b), -1, dtype=np.int64),
+                "tag": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    edge_rows = edges.map_batches(to_votes, batch_format="pyarrow").materialize()
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+
+    def seed_rows(b: pa.Table) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy()
+        lab = b["label"].to_numpy().astype(np.int64)
+        is_seed = ids % mask_mod == 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": np.where(is_seed, lab, -1),
+                "is_seed": is_seed.astype(np.int64),
+            }
+        )
+
+    seeds = emb.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    labels = seeds
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    for _ in range(n_iters):
+
+        def label_rows(b: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": b["vec_id"].to_numpy(),
+                    "dst": np.full(len(b), -1, dtype=np.int64),
+                    "w": np.zeros(len(b), dtype=np.int64),
+                    "label": b["label"].to_numpy(),
+                    "tag": np.ones(len(b), dtype=np.int64),
+                }
+            )
+
+        tagged = edge_rows.union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+        )
+
+        def vote_partial(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["tag"] == 1]
+            cur = dict(zip(lab["key"].to_numpy(), lab["label"].to_numpy()))
+            ed = g[g["tag"] == 0]
+            if len(ed) == 0:
+                return pd.DataFrame(
+                    {"dst": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64),
+                     "w": pd.Series(dtype=np.int64)}
+                )
+            vlab = ed["key"].map(cur).fillna(-1).astype(np.int64)
+            keep = vlab >= 0
+            votes = pd.DataFrame(
+                {"dst": ed["dst"].to_numpy()[keep], "label": vlab.to_numpy()[keep],
+                 "w": ed["w"].to_numpy()[keep]}
+            )
+            return votes.groupby(["dst", "label"], as_index=False).agg(w=("w", "sum"))
+
+        partials = partition_map_groups(
+            tagged, vote_partial, key="key", num_buckets=n_parts
+        )
+
+        def node_rows(b: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "dst": b["vec_id"].to_numpy(),
+                    "label": b["label"].to_numpy(),
+                    "w": np.full(len(b), -1, dtype=np.int64),
+                    "seed_label": np.where(
+                        b["is_seed"].to_numpy() == 1, b["label"].to_numpy(), -1
+                    ).astype(np.int64),
+                    "tag": np.ones(len(b), dtype=np.int64),
+                }
+            )
+
+        def decide(g: pd.DataFrame) -> pd.DataFrame:
+            nodes = g[g["tag"] == 1]
+            votes = g[g["tag"] == 0]
+            if len(votes):
+                agg = votes.groupby(["dst", "label"], as_index=False).agg(w=("w", "sum"))
+                agg = agg.sort_values(
+                    ["dst", "w", "label"], ascending=[True, False, True], kind="mergesort"
+                )
+                win = agg.drop_duplicates("dst", keep="first")
+                winner = dict(zip(win["dst"].to_numpy(), win["label"].to_numpy()))
+            else:
+                winner = {}
+            ids = nodes["dst"].to_numpy()
+            seed_lab = nodes["seed_label"].to_numpy()
+            voted = pd.Series(ids).map(winner).fillna(-1).astype(np.int64).to_numpy()
+            new_lab = np.where(seed_lab >= 0, seed_lab, voted)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "label": new_lab,
+                    "is_seed": (seed_lab >= 0).astype(np.int64),
+                }
+            )
+
+        tagged2 = partials.map_batches(
+            lambda df: df.assign(seed_label=np.int64(-1), tag=np.int64(0)),
+            batch_format="pandas",
+        ).union(seeds.map_batches(node_rows, batch_format="pyarrow"))
+        labels = (
+            partition_map_groups(tagged2, decide, key="dst", num_buckets=n_parts)
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    out = labels.to_pandas().sort_values("vec_id", ignore_index=True)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out

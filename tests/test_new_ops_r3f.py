@@ -115,3 +115,54 @@ def test_kcenter_parity_and_coverage(ray_session):
     # k-center radius sequence is nonincreasing after the seed
     d = got["dist"].to_numpy()[1:]
     assert (np.diff(d) <= 1e-12).all()
+
+
+def test_label_prop_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    k, iters, mod = 5, 3, 4
+    got = td.emb_label_prop(SF, k=k, n_iters=iters, mask_mod=mod)
+    edges = td.emb_knn_graph(SF, k=k)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+
+    lab = dict(
+        zip(
+            emb["vec_id"].to_numpy(),
+            np.where(emb["vec_id"].to_numpy() % mod == 0, emb["label"].to_numpy(), -1),
+        )
+    )
+    seeds = {v for v in emb["vec_id"] if v % mod == 0}
+    w = np.round(edges["sim"].to_numpy() * 1e6).astype(np.int64)
+    ev, en = edges["vec_id"].to_numpy(), edges["nbr_id"].to_numpy()
+
+    for _ in range(iters):
+        nxt = dict(lab)
+        vl = np.array([lab[n] for n in en])
+        for vid in emb["vec_id"]:
+            if vid in seeds:
+                continue
+            m = (ev == vid) & (vl >= 0)
+            if not m.any():
+                nxt[vid] = -1
+                continue
+            votes = {}
+            for l, ww in zip(vl[m], w[m]):
+                votes[l] = votes.get(l, 0) + int(ww)
+            best = max(votes.items(), key=lambda t: (t[1], -t[0]))
+            nxt[vid] = best[0]
+        lab = nxt
+
+    ref = pd.DataFrame(
+        {
+            "vec_id": sorted(lab),
+            "label": [lab[v] for v in sorted(lab)],
+            "is_seed": [int(v in seeds) for v in sorted(lab)],
+        }
+    ).astype({"vec_id": np.int64, "label": np.int64, "is_seed": np.int64})
+    pd.testing.assert_frame_equal(got, ref)
+    # the propagation must actually label non-seed nodes, and seeds clamp
+    ns = got[got["is_seed"] == 0]
+    assert (ns["label"] >= 0).any()
+    sd = got[got["is_seed"] == 1].set_index("vec_id")["label"]
+    orig = emb.set_index("vec_id")["label"]
+    assert (sd == orig.loc[sd.index]).all()
