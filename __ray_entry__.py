@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_interval_join"] = lambda sf: ev.events_interval_join(f"{sf}/events.parquet")
     q["e_running_total"] = lambda sf: ev.events_running_total(f"{sf}/events.parquet")
     q["e_pivot"] = lambda sf: ev.events_pivot(f"{sf}/events.parquet")
+    q["e_cube"] = lambda sf: ev.events_cube(f"{sf}/events.parquet")
     q["e_json_extract"] = lambda sf: ev.events_json_extract(f"{sf}/events.parquet")
     q["e_lead_lag"] = lambda sf: ev.events_lead_lag(f"{sf}/events.parquet")
     q["e_rank_topn"] = lambda sf: ev.events_rank_topn(f"{sf}/events.parquet")
@@ -737,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "e_interval_join": ev.events_interval_join_sql(),
         "e_running_total": ev.events_running_total_sql(),
         "e_pivot": ev.events_pivot_sql(),
+        "e_cube": ev.events_cube_sql(),
         "e_json_extract": ev.events_json_extract_sql(),
         "e_lead_lag": ev.events_lead_lag_sql(),
         "e_rank_topn": ev.events_rank_topn_sql(),

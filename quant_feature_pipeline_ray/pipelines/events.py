@@ -1384,3 +1384,87 @@ FROM e c JOIN e p ON c.user_id = p.user_id
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
   AND p.ts_us >= c.ts_us AND p.ts_us < c.ts_us + {w_us}
 ORDER BY click_id, purchase_id"""
+
+
+def events_cube(path: str) -> pd.DataFrame:
+    """CUBE grouping-sets shape: event counts + value sums at FOUR
+    aggregation levels — (event_type, hour), (event_type), (hour), grand
+    total — from ONE pass over the fact table.
+
+    Same multi-level discipline as tpch.sales_rollup: the FINEST grid
+    (|types| × 24, dimension-sized) aggregates through per-batch combiners
+    and one tiny key exchange; every coarser CUBE level re-aggregates the
+    finest-level integer partials driver-side — the fact table is read
+    once and never re-shuffled. Sentinels ('ALL', -1) stand in for CUBE's
+    NULLs so the value-hash compare is engine-independent. Value sums ride
+    integer cents end-to-end."""
+    import pyarrow as pa
+
+    import ray
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy()
+        hour = ((ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000) % 24).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour": hour,
+                "value_c": np.round(batch["value"].to_numpy() * 100).astype(np.int64),
+                "n": np.ones(len(hour), np.int64),
+            }
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            value_c=("value_c", "sum"), n=("n", "sum")
+        )
+
+    fine = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"value_c": ("value_c", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+
+    def lvl(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            out = df.groupby(keys, as_index=False).agg(
+                value_c=("value_c", "sum"), n=("n", "sum")
+            )
+        else:
+            out = pd.DataFrame(
+                {"value_c": [df["value_c"].sum()], "n": [df["n"].sum()]}
+            )
+        if "event_type" not in out:
+            out["event_type"] = "ALL"
+        if "hour" not in out:
+            out["hour"] = np.int64(-1)
+        return out[["event_type", "hour", "value_c", "n"]]
+
+    cube = pd.concat(
+        [lvl(fine, ["event_type", "hour"]), lvl(fine, ["event_type"]), lvl(fine, ["hour"]), lvl(fine, [])],
+        ignore_index=True,
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": cube["event_type"],
+            "hour": cube["hour"].astype(np.int64),
+            "total_value": cube["value_c"].astype(np.int64) / 100.0,
+            "n": cube["n"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["event_type", "hour"], ignore_index=True)
+
+
+def events_cube_sql() -> str:
+    return """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(CAST(hour(ts) AS BIGINT), -1) AS BIGINT) AS hour,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE(event_type, hour(ts))
+ORDER BY event_type, hour"""

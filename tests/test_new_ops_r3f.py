@@ -166,3 +166,16 @@ def test_label_prop_parity(ray_session):
     sd = got[got["is_seed"] == 1].set_index("vec_id")["label"]
     orig = emb.set_index("vec_id")["label"]
     assert (sd == orig.loc[sd.index]).all()
+
+
+def test_events_cube_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_cube(f"{SF}/events.parquet")
+    con = _con({"events": f"{SF}/events.parquet"})
+    odf = con.sql(ev.events_cube_sql()).df()
+    _cmp(got, odf)
+    # the four CUBE levels must reconcile: each level's n sums to the total
+    total = got.loc[(got.event_type == "ALL") & (got.hour == -1), "n"].iloc[0]
+    fine = got[(got.event_type != "ALL") & (got.hour != -1)]
+    assert fine["n"].sum() == total
