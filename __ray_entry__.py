@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_quantize_int8"] = td.emb_quantize_int8
     q["emb_kcenter_sample"] = td.emb_kcenter_sample
     q["emb_label_prop"] = td.emb_label_prop
+    q["doc_source_overlap_sketch"] = td.doc_source_overlap_sketch
+    q["doc_cluster_keep_best"] = td.doc_cluster_keep_best
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -791,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_segment_dedup": td.doc_segment_dedup_sql(_SQL_SF_DIR),
         "doc_dsir_weights": td.doc_dsir_weights_sql(_SQL_SF_DIR),
         "doc_bpe_pairs": td.doc_bpe_pairs_sql(_SQL_SF_DIR),
+        "doc_cluster_keep_best": td.doc_cluster_keep_best_sql(_SQL_SF_DIR),
         "doc_source_overlap": td.doc_source_overlap_sql(_SQL_SF_DIR),
         "emb_quantize_int8": td.emb_quantize_int8_sql(_SQL_SF_DIR),
         "waiting_suppliers": tpch.waiting_suppliers_sql(_SQL_SF_DIR),

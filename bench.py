@@ -198,6 +198,9 @@ def run_bench() -> dict:
     timed("emb_hyperplane_lsh", lambda: td.emb_hyperplane_lsh(sf_dir))
     timed("emb_knn_graph", lambda: len(td.emb_knn_graph(sf_dir)))
     timed("doc_curriculum_rank", lambda: len(td.doc_curriculum_rank(sf_dir)))
+    timed("doc_bpe_pairs", lambda: len(td.doc_bpe_pairs(sf_dir)))
+    timed("doc_source_overlap", lambda: len(td.doc_source_overlap(sf_dir)))
+    timed("emb_quantize_int8", lambda: td.emb_quantize_int8(sf_dir).count())
 
     ray.shutdown()
     return {

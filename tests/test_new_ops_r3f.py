@@ -179,3 +179,45 @@ def test_events_cube_oracle(ray_session):
     total = got.loc[(got.event_type == "ALL") & (got.hour == -1), "n"].iloc[0]
     fine = got[(got.event_type != "ALL") & (got.hour != -1)]
     assert fine["n"].sum() == total
+
+
+def test_source_overlap_sketch(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    exact = td.doc_source_overlap(SF).set_index(["src_a", "src_b"])["jaccard"]
+
+    # exact regime: every source's distinct-token count <= k -> the sketch
+    # IS the set and the estimate equals the exact Jaccard bitwise
+    full = td.doc_source_overlap_sketch(SF, k=4096).set_index(["src_a", "src_b"])[
+        "jaccard_est"
+    ]
+    assert set(full.index) == set(exact.index)
+    np.testing.assert_allclose(full.loc[exact.index], exact, rtol=0, atol=0)
+
+    # approximate regime: tiny k forces real sketching; sigma ~ 1/sqrt(k)
+    approx = td.doc_source_overlap_sketch(SF, k=8).set_index(["src_a", "src_b"])[
+        "jaccard_est"
+    ]
+    joined = exact.to_frame().join(approx, how="inner")
+    assert len(joined) > 0
+    err = (joined["jaccard_est"] - joined["jaccard"]).abs()
+    assert err.max() <= 0.45  # 1/sqrt(8) ~ 0.35 one-sigma
+
+
+def test_cluster_keep_best_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_cluster_keep_best(SF)
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    odf = con.sql(td.doc_cluster_keep_best_sql(SF)).df()
+    _cmp(got, odf)
+    # the winner's quality really is the cluster max (tie -> smaller doc_id)
+    scores = td.doc_model_score(SF).to_pandas().set_index("doc_id")["quality_score"]
+    labels = td.dup_cluster_labels(SF).to_pandas()
+    lab = labels.set_index("node")["cluster_id"]
+    for _, row in got.head(20).iterrows():
+        members = lab[lab == row.cluster_id].index
+        mq = scores.loc[members]
+        assert row.best_q == mq.max()
+        assert row.best_doc_id == mq[mq == mq.max()].index.min()
+        assert row.n_members == len(members)
