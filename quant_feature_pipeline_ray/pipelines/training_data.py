@@ -6151,3 +6151,213 @@ FROM (
   FROM lab JOIN sc ON sc.doc_id = lab.doc_id
 )
 WHERE rk = 1 ORDER BY cluster_id"""
+
+
+# ------------------------------------------------- BPE tokenizer training
+_BPE_NEW_BASE = 0x110000  # first id above the Unicode codepoint range
+
+
+def _bpe_merge_loop(
+    words: list[str], cnts: np.ndarray, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Vectorized BPE merge loop over a (word, count) vocabulary table
+    (Sennrich ACL'16 §3.2). Every round is numpy over ONE flat symbol
+    array: weighted adjacent-pair counts via sort+reduceat, argmax with
+    (count desc, symbol-id pair asc) tie-break, and a left-to-right
+    non-overlapping greedy merge (runs of consecutive candidate positions
+    keep even offsets — exactly the sequential greedy result). Merged
+    symbols get ids above the codepoint range so pair packing stays
+    collision-free in (a<<32)|b."""
+    if len(words) == 0 or n_merges <= 0:
+        return []
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    keep_w = lens > 0
+    words = [w for w, k in zip(words, keep_w) if k]
+    cnts, lens = cnts[keep_w], lens[keep_w]
+    flat = "".join(words)
+    sym = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    wt = np.repeat(cnts.astype(np.int64), lens)
+    names: dict[int, str] = {}
+
+    def name_of(i: int) -> str:
+        return names[i] if i >= _BPE_NEW_BASE else chr(i)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        valid = wid[:-1] == wid[1:]
+        if not valid.any():
+            break
+        a, b, w = sym[:-1][valid], sym[1:][valid], wt[:-1][valid]
+        packed = (a << 32) | b
+        order = np.argsort(packed, kind="stable")
+        ps, ws = packed[order], w[order]
+        bounds = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        sums = np.add.reduceat(ws, bounds)
+        top = sums.max()
+        kbest = int(ps[bounds][sums == top].min())
+        pa_, pb_ = kbest >> 32, kbest & 0xFFFFFFFF
+        new_id = _BPE_NEW_BASE + rank
+        names[new_id] = name_of(pa_) + name_of(pb_)
+        merges.append((rank, name_of(pa_), name_of(pb_), int(top)))
+        cand = np.flatnonzero(
+            (sym[:-1] == pa_) & (sym[1:] == pb_) & (wid[:-1] == wid[1:])
+        )
+        run_start = np.r_[True, np.diff(cand) != 1]
+        starts_idx = np.flatnonzero(run_start)
+        offset = np.arange(len(cand)) - starts_idx[np.cumsum(run_start) - 1]
+        kept = cand[offset % 2 == 0]
+        sym[kept] = new_id
+        alive = np.ones(len(sym), dtype=bool)
+        alive[kept + 1] = False
+        sym, wid, wt = sym[alive], wid[alive], wt[alive]
+    return merges
+
+
+def doc_bpe_train(
+    sf_dir: str, n_merges: int = 60, batch_size: int = 4096
+) -> pd.DataFrame:
+    """BPE tokenizer TRAINING over the corpus — the full merge loop, not
+    just the step-0 pair statistics of doc_bpe_pairs.
+
+    Scale design (how real tokenizer trainers work): the only corpus-scale
+    stage is ONE distributed word-count scan — per-batch combiners collapse
+    each batch to distinct words before the exchange, so the shuffle moves
+    word-vocabulary-sized partials, never a row per occurrence. The merge
+    loop then iterates on the (word, count) TABLE, whose size is bounded by
+    the distinct-word vocabulary — corpus-size-INDEPENDENT — so running it
+    driver-resident (vectorized numpy, see _bpe_merge_loop) is the correct
+    placement: at 100 TB the vocab table is a few hundred MB while the
+    corpus is not, and n_merges rounds over it never touch the corpus
+    again. Deterministic: argmax tie-breaks on the smallest symbol-id
+    pair; a rank's count is the weighted number of adjacent occurrences
+    (overlaps included) at the time of the merge."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        keep = pc.not_equal(flat, "")
+        s = flat.filter(keep).to_pandas()
+        out = s.value_counts().rename_axis("w").reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    vocab = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        "w",
+        {"cnt": ("cnt", "sum")},
+    ).to_pandas()
+    vocab = vocab.sort_values("w", ignore_index=True)  # deterministic layout
+    merges = _bpe_merge_loop(
+        vocab["w"].tolist(), vocab["cnt"].to_numpy(), n_merges
+    )
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]).astype(
+        {"rank": np.int64, "cnt": np.int64}
+    )
+
+
+# ------------------------------------------------- distributed logistic regression
+def emb_logreg_train(
+    sf_dir: str,
+    epochs: int = 40,
+    lr: float = 5.0,
+    batch_size: int = 256,
+) -> pd.DataFrame:
+    """Multinomial logistic-regression TRAINING on the embedding table —
+    BSP full-batch gradient descent as a Ray Data iterative pipeline
+    (the model-scoring counterpart: doc_model_score applies a model,
+    this one fits it).
+
+    Per epoch: one map_batches pass computes per-batch gradient PARTIALS
+    of the softmax cross-entropy; the driver sums them, updates the
+    (d+1)x C weight matrix (bias folded in), and broadcasts it into the
+    next epoch's closure — weights are k·d driver-resident, the dataset
+    is never collected. The training set is materialize()d once into the
+    object store (the canonical iterative-training cache; Ray spills it
+    under memory pressure rather than holding Python lists).
+
+    Determinism at any parallelism: each ROW's gradient contribution is
+    quantized to fixed-point int64 (np.rint at 2^scale_bits) BEFORE any
+    cross-row sum, so partial sums are integer — associative and
+    commutative — and the fitted weights are bitwise identical regardless
+    of batch boundaries or worker scheduling (same discipline as
+    emb_label_prop's integer vote weights). scale_bits shrinks with the
+    row count so the int64 accumulator cannot overflow (N·2^bits < 2^61).
+    Matrix products are computed as an explicit feature-ordered loop of
+    rank-1 updates — a fixed float reduction order, immune to BLAS
+    threading — and the parity pytest reproduces the identical math
+    straight-line."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    n_rows = meta.metadata.num_rows
+    d = 0
+    for b in meta.iter_batches(batch_size=1):
+        d = len(b["embedding"][0])
+        break
+    ds = ray.data.read_parquet(path, columns=["embedding", "label"]).materialize()
+    n_classes = 10
+    scale_bits = min(24, 61 - int(np.ceil(np.log2(n_rows + 1))))
+    scale = float(2**scale_bits)
+
+    def matmul_fixed(Xb: np.ndarray, W: np.ndarray) -> np.ndarray:
+        # explicit feature-ordered accumulation: deterministic float order
+        Z = np.zeros((Xb.shape[0], W.shape[1]))
+        for j in range(W.shape[0]):
+            Z += Xb[:, j : j + 1] * W[j]
+        return Z
+
+    def embed_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        y = batch["label"].to_numpy().astype(np.int64)
+        return Xb, y
+
+    W = np.zeros((d + 1, n_classes))
+    for _ in range(epochs):
+        Wb = W.copy()
+
+        def grad_partial(batch: pa.Table) -> pd.DataFrame:
+            Xb, y = embed_matrix(batch)
+            Z = matmul_fixed(Xb, Wb)
+            Z -= Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            P[np.arange(len(y)), y] -= 1.0
+            G = np.rint(scale * np.einsum("ni,nj->nij", Xb, P)).astype(np.int64)
+            return pd.DataFrame({"g": [G.sum(axis=0).ravel()]})
+
+        parts = ds.map_batches(
+            grad_partial, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        G = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(d + 1, n_classes)
+        W = W - lr * (G.astype(np.float64) / scale) / n_rows
+
+    Wf = W
+
+    def acc_partial(batch: pa.Table) -> pd.DataFrame:
+        Xb, y = embed_matrix(batch)
+        pred = np.argmax(matmul_fixed(Xb, Wf), axis=1)
+        return pd.DataFrame({"ok": [int((pred == y).sum())], "n": [len(y)]})
+
+    acc = ds.map_batches(acc_partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    train_acc = float(acc["ok"].sum()) / float(acc["n"].sum())
+
+    cls, dim = np.meshgrid(np.arange(n_classes), np.arange(-1, d))
+    out = pd.DataFrame(
+        {
+            "class": cls.ravel().astype(np.int64),
+            "dim": dim.ravel().astype(np.int64),  # -1 = bias
+            "w": np.vstack([W[-1:], W[:-1]]).ravel(),
+            "train_acc": np.full((d + 1) * n_classes, train_acc),
+        }
+    )
+    return out.sort_values(["class", "dim"], ignore_index=True)

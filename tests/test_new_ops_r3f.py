@@ -221,3 +221,110 @@ def test_cluster_keep_best_oracle(ray_session):
         assert row.best_q == mq.max()
         assert row.best_doc_id == mq[mq == mq.max()].index.min()
         assert row.n_members == len(members)
+
+
+def _bpe_ref(words, cnts, n_merges):
+    # straight-line BPE trainer: same id space, tie-break and overlap-counting
+    # rules as training_data._bpe_merge_loop, zero vectorization
+    BASE = 0x110000
+    syms = [[ord(c) for c in w] for w in words]
+    names = {}
+
+    def nm(i):
+        return names[i] if i >= BASE else chr(i)
+
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for s, c in zip(syms, cnts):
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + int(c)
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, v in counts.items() if v == top)
+        new_id = BASE + rank
+        names[new_id] = nm(best[0]) + nm(best[1])
+        merges.append((rank, nm(best[0]), nm(best[1]), top))
+        nxt = []
+        for s in syms:
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        syms = nxt
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]).astype(
+        {"rank": np.int64, "cnt": np.int64}
+    )
+
+
+def test_bpe_train_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_bpe_train(SF, n_merges=40)
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    wc = con.sql(
+        """SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w ORDER BY w"""
+    ).df()
+    ref = _bpe_ref(wc["w"].tolist(), wc["cnt"].to_numpy(), 40)
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) == 40
+    # merged symbols really compose: later merges may reference earlier ones
+    assert (got["cnt"] > 0).all()
+    # batch size cannot change the result
+    got_small = td.doc_bpe_train(SF, n_merges=40, batch_size=17)
+    pd.testing.assert_frame_equal(got_small, got)
+
+
+def test_logreg_train_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_logreg_train(SF, epochs=8, lr=1.0)
+
+    # straight-line: identical per-row fixed-point quantization and
+    # feature-ordered matmul, no Ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64
+                   ).reshape(-1, 64)
+    Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+    y = t["label"].to_numpy().astype(np.int64)
+    n, C = len(y), 10
+    scale = float(2 ** min(24, 61 - int(np.ceil(np.log2(n + 1)))))
+
+    def mm(A, W):
+        Z = np.zeros((A.shape[0], W.shape[1]))
+        for j in range(W.shape[0]):
+            Z += A[:, j : j + 1] * W[j]
+        return Z
+
+    W = np.zeros((65, C))
+    for _ in range(8):
+        Z = mm(Xb, W)
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        P[np.arange(n), y] -= 1.0
+        G = np.rint(scale * np.einsum("ni,nj->nij", Xb, P)).astype(np.int64).sum(axis=0)
+        W = W - 1.0 * (G.astype(np.float64) / scale) / n
+    # rows sorted by (class, dim) traverse the (d+1, C) matrix class-major
+    np.testing.assert_array_equal(
+        got.sort_values(["class", "dim"])["w"].to_numpy(),
+        np.vstack([W[-1:], W[:-1]]).T.ravel(),
+    )
+    # and the fit is real: beats the 10-class random baseline handily
+    acc = got["train_acc"].iloc[0]
+    pred = np.argmax(mm(Xb, W), axis=1)
+    assert acc == (pred == y).mean()
+
+    # bitwise invariant to batch boundaries (per-row quantization)
+    got64 = td.emb_logreg_train(SF, epochs=8, lr=1.0, batch_size=64)
+    pd.testing.assert_frame_equal(got64, got)
