@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_source_overlap_sketch"] = td.doc_source_overlap_sketch
     q["doc_cluster_keep_best"] = td.doc_cluster_keep_best
     q["doc_bpe_train"] = td.doc_bpe_train
+    q["doc_bpe_encode"] = td.doc_bpe_encode
     q["emb_logreg_train"] = td.emb_logreg_train
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs

@@ -6361,3 +6361,91 @@ def emb_logreg_train(
         }
     )
     return out.sort_values(["class", "dim"], ignore_index=True)
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Encode one word with a trained merge table: repeatedly merge every
+    occurrence of the lowest-rank adjacent pair present (left-to-right
+    non-overlapping), until no mergeable pair remains. Returns the token
+    count (the symbols themselves are concatenations of the input, so the
+    count is the datum worth shipping)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best_pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def doc_bpe_encode(
+    sf_dir: str, n_merges: int = 60, batch_size: int = 2048
+) -> pd.DataFrame:
+    """Tokenize the corpus with the BPE model doc_bpe_train just fit — the
+    apply side of tokenizer training, and the honest BPE token count the
+    whitespace/token-regex stats approximate.
+
+    The merge-rank table (n_merges rows) is broadcast once via ray.put and
+    materialized per ACTOR in __init__ — never re-shipped per batch. Each
+    actor keeps a persistent word → token-count cache across batches: word
+    frequency is Zipfian, so the per-word merge loop (the only non-vector
+    step, inherent to BPE's sequential merge semantics) runs once per
+    DISTINCT word per actor, not once per occurrence. Output is one row
+    per doc (doc_id, n_tokens, n_words) — linear, no exchange at all."""
+    merges = doc_bpe_train(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    ranks_ref = ray.put(ranks)
+
+    class Encoder:
+        def __init__(self):
+            self.ranks = ray.get(ranks_ref)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            split = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            keep = pc.not_equal(flat, "")
+            words = flat.filter(keep).to_pandas().to_numpy()
+            par = parent.filter(keep).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(words, return_inverse=True)
+            counts = np.empty(len(uniq), dtype=np.int64)
+            for i, w in enumerate(uniq):
+                c = self.cache.get(w)
+                if c is None:
+                    c = _bpe_apply(w, self.ranks)
+                    self.cache[w] = c
+                counts[i] = c
+            per_word = counts[inv]
+            n_docs = len(batch)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "n_tokens": np.bincount(par, weights=per_word, minlength=n_docs
+                                            ).astype(np.int64),
+                    "n_words": np.bincount(par, minlength=n_docs).astype(np.int64),
+                }
+            )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        Encoder, concurrency=2, batch_size=batch_size, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)

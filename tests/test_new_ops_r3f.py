@@ -328,3 +328,46 @@ def test_logreg_train_parity(ray_session):
     # bitwise invariant to batch boundaries (per-row quantization)
     got64 = td.emb_logreg_train(SF, epochs=8, lr=1.0, batch_size=64)
     pd.testing.assert_frame_equal(got64, got)
+
+
+def test_bpe_encode_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_bpe_encode(SF, n_merges=40)
+    merges = td.doc_bpe_train(SF, n_merges=40)
+
+    # independent straight-line encoder: apply merges strictly in rank order
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+
+    def enc(word):
+        syms = list(word)
+        while True:
+            cands = [(ranks[(a, b)], (a, b)) for a, b in zip(syms, syms[1:])
+                     if (a, b) in ranks]
+            if not cands:
+                return len(syms)
+            _, pair = min(cands)
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    docs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    exp_rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in text.split(" ") if w]
+        exp_rows.append((did, sum(enc(w) for w in ws), len(ws)))
+    ref = pd.DataFrame(exp_rows, columns=["doc_id", "n_tokens", "n_words"])
+    pd.testing.assert_frame_equal(got, ref)
+    # merges really compress: fewer tokens than codepoints, at least as many
+    # as words
+    n_chars = docs["text"].map(lambda t: sum(len(w) for w in t.split(" "))).sum()
+    assert got["n_tokens"].sum() < n_chars
+    assert (got["n_tokens"] >= got["n_words"]).all()
