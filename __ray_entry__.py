@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_bpe_train"] = td.doc_bpe_train
     q["doc_bpe_encode"] = td.doc_bpe_encode
     q["emb_logreg_train"] = td.emb_logreg_train
+    q["emb_triangle_count"] = td.emb_triangle_count
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters

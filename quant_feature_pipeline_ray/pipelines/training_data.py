@@ -6449,3 +6449,117 @@ def doc_bpe_encode(
         Encoder, concurrency=2, batch_size=batch_size, batch_format="pyarrow"
     ).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def emb_triangle_count(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Distributed exact triangle count over the (undirected) k-NN graph —
+    the clustering-coefficient / community-structure primitive on the
+    similarity graph the curation family already builds.
+
+    Degree-oriented wedge join (Suri & Vassilvitskii WWW'11 "curse of the
+    last reducer"): canonicalize the directed kNN edges to unordered pairs,
+    rank nodes by (degree, id), orient every edge low-rank -> high-rank —
+    each node's out-degree is then O(sqrt(m))-bounded, so per-node wedge
+    generation can't blow up on hubs. Wedges (u's out-neighbour pairs) and
+    oriented edges meet in ONE pair-keyed tagged-union exchange; a wedge
+    closed by an edge is exactly one triangle, counted once (orientation
+    makes u < v < w in rank order unique). Nothing node- or edge-scaled
+    lands on the driver — per-bucket int64 partial counts only."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    edges = emb_knn_graph_ds(sf_dir, k=k)
+
+    def canon(b: pa.Table) -> pd.DataFrame:
+        u = b["vec_id"].to_numpy(zero_copy_only=False)
+        v = b["nbr_id"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates(
+            ignore_index=True
+        )
+
+    und = edges.map_batches(canon, batch_format="pyarrow")
+
+    # global pair dedup + per-edge emit, one exchange keyed on the pair
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"], ignore_index=True)[["a", "b"]]
+
+    # materialize the canonical edge list once: both the degree pass and the
+    # wedge join consume it, and without the pin the second consumer would
+    # re-execute the whole kNN lineage (actor pools included)
+    und = partition_map_groups(und, dedup_pairs, key="a", num_buckets=32).materialize()
+
+    # degrees (vocabulary-sized: one row per node)
+    def deg_partial(b: pa.Table) -> pd.DataFrame:
+        ids = np.concatenate(
+            [b["a"].to_numpy(zero_copy_only=False), b["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    deg = grouped_aggregate(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        "node",
+        {"deg": ("deg", "sum")},
+    ).to_pandas()
+    # rank = (deg, id): dense int rank, broadcast (node-vocabulary-sized —
+    # at kNN degree <= 2k the rank table is N rows of two ints; for a
+    # general graph this table is the one driver-resident object and stays
+    # far below the edge list it orients)
+    deg = deg.sort_values(["deg", "node"], ignore_index=True)
+    rank_of = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"].to_numpy())
+    rank_ref = ray.put(rank_of)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ra = r.loc[b["a"].to_numpy()].to_numpy()
+        rb = r.loc[b["b"].to_numpy()].to_numpy()
+        src = np.where(ra < rb, b["a"].to_numpy(), b["b"].to_numpy())
+        dst = np.where(ra < rb, b["b"].to_numpy(), b["a"].to_numpy())
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "rd": np.where(ra < rb, rb, ra)})
+
+    oriented = und.map_batches(orient, batch_format="pandas")
+
+    # wedges per source node (out-neighbour pairs), tagged union with edges
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, grp in g.groupby("src"):
+            # pair order must match the edge ORIENTATION: sort the
+            # out-neighbours by rank so (x, y) has rank(x) < rank(y)
+            nb = grp.sort_values("rd")["dst"].to_numpy()
+            n = len(nb)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({"x": nb[i], "y": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"x": pd.Series(dtype=np.int64),
+                                 "y": pd.Series(dtype=np.int64),
+                                 "is_edge": pd.Series(dtype=np.int64)})
+        out = pd.concat(outs, ignore_index=True)
+        out["is_edge"] = np.int64(0)
+        return out
+
+    wedge_ds = partition_map_groups(oriented, wedges, key="src", num_buckets=32)
+    edge_tagged = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {"x": b["src"].to_numpy(), "y": b["dst"].to_numpy(),
+             "is_edge": np.ones(len(b), dtype=np.int64)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["is_edge"].to_numpy().astype(bool)
+        w = g.loc[~is_e, ["x", "y"]]
+        e = g.loc[is_e, ["x", "y"]].drop_duplicates()
+        closed = len(w.merge(e, on=["x", "y"]))
+        return pd.DataFrame({"n_triangles": [np.int64(closed)]})
+
+    parts = partition_map_groups(
+        wedge_ds.union(edge_tagged), close_count, key="x", num_buckets=32
+    ).to_pandas()
+    return pd.DataFrame({"n_triangles": [np.int64(parts["n_triangles"].sum())]})

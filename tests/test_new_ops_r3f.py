@@ -371,3 +371,24 @@ def test_bpe_encode_parity(ray_session):
     n_chars = docs["text"].map(lambda t: sum(len(w) for w in t.split(" "))).sum()
     assert got["n_tokens"].sum() < n_chars
     assert (got["n_tokens"] >= got["n_words"]).all()
+
+
+def test_triangle_count_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = int(td.emb_triangle_count(SF, k=5)["n_triangles"].iloc[0])
+
+    # brute force over the same (deterministic) kNN edge set
+    edges = td.emb_knn_graph(SF, k=5)
+    u = edges["vec_id"].to_numpy()
+    v = edges["nbr_id"].to_numpy()
+    ids = np.unique(np.concatenate([u, v]))
+    pos = {n: i for i, n in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    for a, b in zip(u, v):
+        if a != b:
+            A[pos[a], pos[b]] = 1
+            A[pos[b], pos[a]] = 1
+    ref = int(np.trace(A @ A @ A) // 6)
+    assert got == ref
+    assert got > 0  # the kNN similarity graph really has closed triads
