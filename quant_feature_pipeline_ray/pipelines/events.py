@@ -1468,3 +1468,74 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM events
 GROUP BY CUBE(event_type, hour(ts))
 ORDER BY event_type, hour"""
+
+
+def events_time_weighted_avg(path: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-user TIME-weighted average of `value` — the step-function mean
+    (each event's value holds until the next event; the metric a plain AVG
+    silently misstates whenever sampling is irregular).
+
+    One hash partition by user_id; inside each bucket a single sort and a
+    vectorized segment reduce: numerator Σ value_i·(ts_{i+1}−ts_i) and
+    denominator ts_last−ts_first, both in exact int64 (cents × micros — the
+    products stay < 2^60 for any plausible span), so the final
+    double-division is bitwise identical to the oracle's. Single-event /
+    zero-duration users are excluded (no interval to weight)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                            ignore_index=True)
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vc = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "twa_value": pd.Series(dtype=np.float64),
+                                 "dur_us": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64)})
+        same = np.empty(n, dtype=bool)
+        same[:-1] = user[1:] == user[:-1]
+        same[-1] = False
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = ts[1:] - ts[:-1]
+        dt[~same] = 0  # last event of each user carries no interval
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        num = np.add.reduceat(vc * dt, starts)
+        cnt = np.add.reduceat(np.ones(n, dtype=np.int64), starts)
+        ends = np.r_[starts[1:], n] - 1
+        dur = ts[ends] - ts[starts]
+        keep = dur > 0
+        return pd.DataFrame(
+            {
+                "user_id": user[starts][keep],
+                "twa_value": (num[keep].astype(np.float64)
+                              / (dur[keep].astype(np.float64) * 100.0)),
+                "dur_us": dur[keep],
+                "n_events": cnt[keep],
+            }
+        )
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "value"])
+    return partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+
+
+def events_time_weighted_avg_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(vc * (nxt - ts_us)) AS DOUBLE)
+         / (CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) * 100.0) AS twa_value,
+       MAX(ts_us) - MIN(ts_us) AS dur_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e
+GROUP BY user_id
+HAVING MAX(ts_us) - MIN(ts_us) > 0
+ORDER BY user_id"""

@@ -6563,3 +6563,132 @@ def emb_triangle_count(sf_dir: str, k: int = 5) -> pd.DataFrame:
         wedge_ds.union(edge_tagged), close_count, key="x", num_buckets=32
     ).to_pandas()
     return pd.DataFrame({"n_triangles": [np.int64(parts["n_triangles"].sum())]})
+
+
+def emb_logreg_cv(
+    sf_dir: str,
+    n_folds: int = 5,
+    epochs: int = 20,
+    lr: float = 5.0,
+    batch_size: int = 256,
+) -> pd.DataFrame:
+    """K-fold cross-validated logistic regression — the model-selection
+    protocol as ONE dataflow: all K leave-fold-out models train
+    SIMULTANEOUSLY, so each epoch is a single pass over the data (not K),
+    and the eval pass scores every row under the model that never saw it
+    (honest out-of-fold accuracy).
+
+    Folds are vec_id % n_folds (deterministic, no shuffle needed on ids
+    that carry no order semantics). Per batch the gradient partial is a
+    (K, d+1, C) int64 tensor — each row's fixed-point-quantized outer
+    product enters the K−1 models whose fold it is NOT in, evaluated under
+    each model's own weights. Same bitwise-at-any-parallelism discipline
+    as emb_logreg_train (per-row int64 quantization, feature-ordered
+    matmul)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path)
+    n_rows = meta.metadata.num_rows
+    d = 0
+    for b in meta.iter_batches(batch_size=1):
+        d = len(b["embedding"][0])
+        break
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"]
+    ).materialize()
+    C = 10
+    K = n_folds
+    scale_bits = min(24, 61 - int(np.ceil(np.log2(n_rows + 1))))
+    scale = float(2**scale_bits)
+
+    def matmul_fixed(Xb: np.ndarray, W: np.ndarray) -> np.ndarray:
+        Z = np.zeros((Xb.shape[0], W.shape[1]))
+        for j in range(W.shape[0]):
+            Z += Xb[:, j : j + 1] * W[j]
+        return Z
+
+    def embed_matrix(batch: pa.Table):
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        y = batch["label"].to_numpy().astype(np.int64)
+        f = batch["vec_id"].to_numpy().astype(np.int64) % K
+        return Xb, y, f
+
+    # per-fold row counts (one cheap pass)
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        f = batch["vec_id"].to_numpy().astype(np.int64) % K
+        return pd.DataFrame({"cnt": [np.bincount(f, minlength=K).astype(np.int64)]})
+
+    cnts = np.sum(
+        np.stack(
+            ds.map_batches(count_partial, batch_format="pyarrow", batch_size=batch_size)
+            .to_pandas()["cnt"]
+            .to_numpy()
+        ),
+        axis=0,
+    )
+    n_train = n_rows - cnts  # rows each model trains on
+
+    Ws = np.zeros((K, d + 1, C))
+    for _ in range(epochs):
+        Wb = Ws.copy()
+
+        def grad_partial(batch: pa.Table) -> pd.DataFrame:
+            Xb, y, f = embed_matrix(batch)
+            n = len(y)
+            G = np.zeros((K, d + 1, C), dtype=np.int64)
+            for k in range(K):
+                use = f != k
+                if not use.any():
+                    continue
+                Xu, yu = Xb[use], y[use]
+                Z = matmul_fixed(Xu, Wb[k])
+                Z -= Z.max(axis=1, keepdims=True)
+                P = np.exp(Z)
+                P /= P.sum(axis=1, keepdims=True)
+                P[np.arange(len(yu)), yu] -= 1.0
+                G[k] = np.rint(scale * np.einsum("ni,nj->nij", Xu, P)).astype(
+                    np.int64
+                ).sum(axis=0)
+            return pd.DataFrame({"g": [G.ravel()]})
+
+        parts = ds.map_batches(
+            grad_partial, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        G = np.sum(np.stack(parts["g"].to_numpy()), axis=0).reshape(K, d + 1, C)
+        for k in range(K):
+            Ws[k] = Ws[k] - lr * (G[k].astype(np.float64) / scale) / n_train[k]
+
+    Wf = Ws.copy()
+
+    def eval_partial(batch: pa.Table) -> pd.DataFrame:
+        Xb, y, f = embed_matrix(batch)
+        ok = np.zeros(K, dtype=np.int64)
+        for k in range(K):
+            m = f == k  # out-of-fold rows for model k
+            if not m.any():
+                continue
+            pred = np.argmax(matmul_fixed(Xb[m], Wf[k]), axis=1)
+            ok[k] = int((pred == y[m]).sum())
+        return pd.DataFrame({"ok": [ok]})
+
+    oks = np.sum(
+        np.stack(
+            ds.map_batches(eval_partial, batch_format="pyarrow", batch_size=batch_size)
+            .to_pandas()["ok"]
+            .to_numpy()
+        ),
+        axis=0,
+    )
+    return pd.DataFrame(
+        {
+            "fold": np.arange(K, dtype=np.int64),
+            "n_train": n_train.astype(np.int64),
+            "n_test": cnts.astype(np.int64),
+            "oof_acc": oks.astype(np.float64) / np.maximum(cnts, 1),
+        }
+    )

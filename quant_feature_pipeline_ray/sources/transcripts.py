@@ -59,6 +59,19 @@ def _is_csv(path: str) -> bool:
     return False
 
 
+def _is_jsonl(path: str) -> bool:
+    import os
+
+    if path.endswith(".jsonl"):
+        return True
+    if os.path.isdir(path):
+        names = os.listdir(path)
+        return any(f.endswith(".jsonl") for f in names) and not any(
+            f.endswith((".parquet", ".csv")) for f in names
+        )
+    return False
+
+
 def read_transcripts(
     path: str,
     columns: list[str] | None = None,
@@ -66,9 +79,11 @@ def read_transcripts(
     ts_start=None,
     ts_stop=None,
 ) -> ray.data.Dataset:
-    """Projected, optionally time-sliced transcript read with CSV/parquet
-    extension dispatch (S3/M2/M3 analogues; reference: read_df_auto,
-    tools/io_paths.py:9-18 reads whichever of csv/parquet exists).
+    """Projected, optionally time-sliced transcript read with
+    CSV/NDJSON/parquet extension dispatch (S3/M2/M3 analogues; reference:
+    read_df_auto, tools/io_paths.py:9-18 reads whichever format exists).
+    NDJSON rides the same normalize_ts stage as CSV (epoch-unit sniffing,
+    int32 narrowing) and is bitwise-identical to the parquet path.
 
     Parquet: ts_start/ts_stop are pushed down as a row-group predicate on
     `ts` (reference: start/end slicing, step2_resample.py:146-149).
@@ -85,10 +100,10 @@ def read_transcripts(
     if ts_stop is not None:
         f2 = pc.field("ts") <= ts_stop
         flt = f2 if flt is None else flt & f2
-    if _is_csv(path):
+    if _is_csv(path) or _is_jsonl(path):
         from quant_feature_pipeline_ray.sources.normalize_ts import normalize_ts_batch
 
-        ds = ray.data.read_csv(path)
+        ds = ray.data.read_csv(path) if _is_csv(path) else ray.data.read_json(path)
 
         import pyarrow as pa
 

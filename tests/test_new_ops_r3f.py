@@ -392,3 +392,88 @@ def test_triangle_count_parity(ray_session):
     ref = int(np.trace(A @ A @ A) // 6)
     assert got == ref
     assert got > 0  # the kNN similarity graph really has closed triads
+
+
+def test_time_weighted_avg_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_time_weighted_avg(f"{SF}/events.parquet").to_pandas()
+    got = got.sort_values("user_id", ignore_index=True)
+    con = _con({"events": f"{SF}/events.parquet"})
+    odf = con.sql(ev.events_time_weighted_avg_sql()).df()
+    _cmp(got, odf)
+    # TWA lies within each user's [min, max] value envelope
+    raw = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "value"])
+    env = raw.groupby("user_id")["value"].agg(["min", "max"])
+    j = got.set_index("user_id").join(env, how="inner")
+    assert ((j["twa_value"] >= j["min"] - 1e-9) & (j["twa_value"] <= j["max"] + 1e-9)).all()
+
+
+def test_logreg_cv_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    K = 3
+    got = td.emb_logreg_cv(SF, n_folds=K, epochs=5, lr=1.0)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64
+                   ).reshape(-1, 64)
+    Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+    y = t["label"].to_numpy().astype(np.int64)
+    f = t["vec_id"].to_numpy().astype(np.int64) % K
+    n, C = len(y), 10
+    scale = float(2 ** min(24, 61 - int(np.ceil(np.log2(n + 1)))))
+
+    def mm(A, W):
+        Z = np.zeros((A.shape[0], W.shape[1]))
+        for j in range(W.shape[0]):
+            Z += A[:, j : j + 1] * W[j]
+        return Z
+
+    accs = []
+    for k in range(K):
+        tr = f != k
+        W = np.zeros((65, C))
+        for _ in range(5):
+            Z = mm(Xb[tr], W)
+            Z -= Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            P[np.arange(tr.sum()), y[tr]] -= 1.0
+            G = np.rint(scale * np.einsum("ni,nj->nij", Xb[tr], P)).astype(np.int64
+                        ).sum(axis=0)
+            W = W - 1.0 * (G.astype(np.float64) / scale) / tr.sum()
+        pred = np.argmax(mm(Xb[~tr], W), axis=1)
+        accs.append((pred == y[~tr]).mean())
+
+    np.testing.assert_array_equal(got["oof_acc"].to_numpy(), np.array(accs))
+    assert (got["n_train"] + got["n_test"] == n).all()
+    # batch boundaries cannot change the folds' fitted models
+    got64 = td.emb_logreg_cv(SF, n_folds=K, epochs=5, lr=1.0, batch_size=64)
+    pd.testing.assert_frame_equal(got64, got)
+
+
+def test_jsonl_read_parity(ray_session, tmp_path):
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+    from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+
+    pq_path = ensure_transcripts(SF)
+    ref = read_transcripts(pq_path).to_pandas()
+
+    # write the same rows as NDJSON with epoch-us integer timestamps
+    df = ref.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    jdir = tmp_path / "jsonl"
+    jdir.mkdir()
+    half = len(df) // 2  # two shards: the read must handle multi-file dirs
+    df.iloc[:half].to_json(jdir / "a.jsonl", orient="records", lines=True)
+    df.iloc[half:].to_json(jdir / "b.jsonl", orient="records", lines=True)
+
+    got = read_transcripts(str(jdir)).to_pandas()
+    key = ["conv_id", "turn_idx", "ts"]
+    a = got.sort_values(key, ignore_index=True)
+    b = ref.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert str(a["turn_idx"].dtype) == "int32"
