@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_hopping_windows"] = lambda sf: ev.events_hopping_windows(f"{sf}/events.parquet")
     q["e_ntile"] = lambda sf: ev.events_ntile(f"{sf}/events.parquet")
     q["e_time_weighted_avg"] = lambda sf: ev.events_time_weighted_avg(f"{sf}/events.parquet")
+    q["e_markov"] = lambda sf: ev.events_markov(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
         f"{sf}/events.parquet"
     )
@@ -592,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_logreg_train"] = td.emb_logreg_train
     q["emb_triangle_count"] = td.emb_triangle_count
     q["emb_logreg_cv"] = td.emb_logreg_cv
+    q["emb_mmr_diversify"] = td.emb_mmr_diversify
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -678,7 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r02 and still exercised by the builder contract run
         # (scripts/check_contract.py, ALL queries).
         "t_oscillator", "t_composites", "t_supertrend",
-        "t_aroon", "t_vortex", "e_attribution", "doc_model_score",
+        "t_aroon", "e_markov", "e_attribution", "doc_model_score",
+        # (t_vortex rotated behind: micro-bar battery cousin of in-window
+        # t_aroon/t_supertrend; stays in the builder contract run)
         "doc_bm25_topk", "doc_repetition", "doc_pmi_bigrams",
         "market_share", "e_time_weighted_avg",
         # (nation_trade_volume rotated behind: Q7 join shape is the cousin
@@ -765,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "e_hopping_windows": ev.events_hopping_windows_sql(),
         "e_ntile": ev.events_ntile_sql(),
         "e_time_weighted_avg": ev.events_time_weighted_avg_sql(),
+        "e_markov": ev.events_markov_sql(),
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),

@@ -1539,3 +1539,54 @@ FROM e
 GROUP BY user_id
 HAVING MAX(ts_us) - MIN(ts_us) > 0
 ORDER BY user_id"""
+
+
+def events_markov(path: str, num_buckets: int = 32) -> pd.DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    SEQUENCE (the session-flow mining shape: which action follows which).
+
+    One hash partition by user_id; inside each bucket a single sort and a
+    shifted-array pair extraction (next event within the same user), then
+    per-bucket pre-counted partials so the final exchange is
+    transition-matrix-sized (|types|² rows), never a row per event. The
+    row-conditional probability p_next = cnt / Σ_row cnt is computed from
+    the exact integer counts on both engine and oracle sides — bitwise."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                            ignore_index=True)
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame({"cur": pd.Series(dtype=str),
+                                 "nxt": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        same = user[1:] == user[:-1]
+        out = pd.DataFrame({"cur": et[:-1][same], "nxt": et[1:][same]})
+        return out.groupby(["cur", "nxt"], as_index=False).agg(
+            cnt=("cur", "size")
+        ).astype({"cnt": np.int64})
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "event_type"])
+    parts = partition_map_groups(ds, per_bucket, key="user_id",
+                                 num_buckets=num_buckets).to_pandas()
+    out = parts.groupby(["cur", "nxt"], as_index=False).agg(cnt=("cnt", "sum"))
+    row_tot = out.groupby("cur")["cnt"].transform("sum")
+    out["p_next"] = out["cnt"].astype(np.float64) / row_tot.astype(np.float64)
+    return out.sort_values(["cur", "nxt"], ignore_index=True).astype({"cnt": np.int64})
+
+
+def events_markov_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur, nxt, cnt,
+       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE)
+         AS p_next
+FROM pairs ORDER BY cur, nxt"""

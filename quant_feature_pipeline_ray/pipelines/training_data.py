@@ -6692,3 +6692,85 @@ def emb_logreg_cv(
             "oof_acc": oks.astype(np.float64) / np.maximum(cnts, 1),
         }
     )
+
+
+def emb_mmr_diversify(
+    sf_dir: str,
+    query_id: int = 0,
+    n_candidates: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — the diversification tail of the retrieval stack
+    (doc_bm25_topk / emb_ann_topk / doc_rrf_fusion produce relevance-ranked
+    candidates; MMR trades relevance against redundancy:
+    argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)).
+
+    Stage 1 is the distributed part: brute-force cosine vs the broadcast
+    query over the whole column, per-batch top-N partials (blocks×N rows to
+    the driver, never the corpus). Stage 2 fetches only the N candidate
+    vectors by predicate-pushdown read and runs the inherently sequential
+    greedy selection driver-side — O(k·N·d) on N=50 rows, the correct
+    placement. Deterministic tie-break (score desc handled by exact float
+    compare, then vec_id asc)."""
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qdf = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"], filter=pc.field("vec_id") == query_id
+    ).to_pandas()
+    qv = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    qref = ray.put(qv)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(qref)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = np.asarray(col.flatten(), dtype=np.float64).reshape(len(batch), -1)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X @ q
+        ids = batch["vec_id"].to_numpy()
+        keep = ids != query_id
+        ids, sims = ids[keep], sims[keep]
+        n = min(n_candidates, len(ids))
+        order = np.lexsort((ids, -sims))[:n]
+        return pd.DataFrame({"vec_id": ids[order], "sim_q": sims[order]})
+
+    parts = ray.data.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        part, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    parts = parts.sort_values(["sim_q", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(n_candidates)
+    cand_ids = parts["vec_id"].to_numpy()
+
+    cdf = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(cand_ids.tolist()),
+    ).to_pandas().set_index("vec_id").loc[cand_ids]
+    M = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sim_q = parts["sim_q"].to_numpy()
+
+    chosen: list[int] = []
+    max_red = np.full(len(cand_ids), -np.inf)
+    out = []
+    for rank in range(min(k, len(cand_ids))):
+        if not chosen:
+            score = lam * sim_q
+        else:
+            score = lam * sim_q - (1.0 - lam) * max_red
+        score[chosen] = -np.inf
+        best = score.max()
+        idx = np.flatnonzero(score == best)
+        pick = idx[np.argmin(cand_ids[idx])]
+        out.append((rank, int(cand_ids[pick]), float(sim_q[pick]), float(best)))
+        chosen.append(int(pick))
+        red = M @ M[pick]
+        max_red = np.maximum(max_red, red)
+    return pd.DataFrame(out, columns=["rank", "vec_id", "sim_q", "mmr_score"]).astype(
+        {"rank": np.int64, "vec_id": np.int64}
+    )

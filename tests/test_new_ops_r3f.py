@@ -477,3 +477,50 @@ def test_jsonl_read_parity(ray_session, tmp_path):
     b = ref.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
     assert str(a["turn_idx"].dtype) == "int32"
+
+
+def test_markov_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_markov(f"{SF}/events.parquet")
+    con = _con({"events": f"{SF}/events.parquet"})
+    odf = con.sql(ev.events_markov_sql()).df()
+    _cmp(got, odf)
+    # conditional rows sum to 1
+    s = got.groupby("cur")["p_next"].sum()
+    np.testing.assert_allclose(s, 1.0, rtol=0, atol=1e-12)
+
+
+def test_mmr_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    qid, N, k, lam = 3, 30, 8, 0.7
+    got = td.emb_mmr_diversify(SF, query_id=qid, n_candidates=N, k=k, lam=lam)
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qv = X[ids == qid][0]
+    sims = X @ qv
+    mask = ids != qid
+    order = np.lexsort((ids[mask], -sims[mask]))[:N]
+    cids, csim, CM = ids[mask][order], sims[mask][order], X[mask][order]
+
+    chosen, maxr, ref = [], np.full(N, -np.inf), []
+    for rank in range(k):
+        score = lam * csim if not chosen else lam * csim - (1 - lam) * maxr
+        score = score.copy()
+        score[chosen] = -np.inf
+        best = score.max()
+        idx = np.flatnonzero(score == best)
+        pick = idx[np.argmin(cids[idx])]
+        ref.append((rank, int(cids[pick]), float(csim[pick]), float(best)))
+        chosen.append(pick)
+        maxr = np.maximum(maxr, CM @ CM[pick])
+    refdf = pd.DataFrame(ref, columns=["rank", "vec_id", "sim_q", "mmr_score"]).astype(
+        {"rank": np.int64, "vec_id": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, refdf)
+    # the first pick is the pure-relevance argmax; later picks diversify
+    assert got.loc[0, "vec_id"] == cids[0]
