@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_ntile"] = lambda sf: ev.events_ntile(f"{sf}/events.parquet")
     q["e_time_weighted_avg"] = lambda sf: ev.events_time_weighted_avg(f"{sf}/events.parquet")
     q["e_markov"] = lambda sf: ev.events_markov(f"{sf}/events.parquet")
+    q["e_grouped_quantiles_sketch"] = lambda sf: ev.events_grouped_quantiles_sketch(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
         f"{sf}/events.parquet"
     )
@@ -594,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_triangle_count"] = td.emb_triangle_count
     q["emb_logreg_cv"] = td.emb_logreg_cv
     q["emb_mmr_diversify"] = td.emb_mmr_diversify
+    q["doc_export_partitioned"] = td.doc_export_partitioned
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -770,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "e_ntile": ev.events_ntile_sql(),
         "e_time_weighted_avg": ev.events_time_weighted_avg_sql(),
         "e_markov": ev.events_markov_sql(),
+        "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),

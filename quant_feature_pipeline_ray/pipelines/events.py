@@ -1590,3 +1590,63 @@ SELECT cur, nxt, cnt,
        CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE)
          AS p_next
 FROM pairs ORDER BY cur, nxt"""
+
+
+def events_grouped_quantiles_sketch(
+    path: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    max_centroids: int = 256,
+    num_buckets: int = 8,
+) -> pd.DataFrame:
+    """Bounded-state grouped quantiles — the sketch counterpart of the
+    exact events_grouped_quantiles, for value domains too wide for the
+    value-counts histogram (unbounded floats at 100 TB).
+
+    Per batch each group's values compress to a ≤ max_centroids (mean,
+    weight) digest (functions/sketches.qdigest_partial); ONE group-keyed
+    exchange merges digests associatively (centroids are never split, so
+    merge order cannot change the bound); the driver reads quantiles off
+    groups × max_centroids state — corpus-size-INDEPENDENT, vs the exact
+    operator's distinct-value-sized exchange. Rank error ≤ 1/max_centroids
+    of the group mass per merge level (pytest pins it against the exact
+    operator)."""
+    from quant_feature_pipeline_ray.functions.sketches import (
+        qdigest_merge,
+        qdigest_partial,
+        qdigest_quantile,
+    )
+
+    ds = _read_events(path, ["event_type", "value"])
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "v": batch["value"].to_numpy(),
+            }
+        )
+        rows = []
+        for et, g in df.groupby("event_type"):
+            rows.append((et, qdigest_partial(g["v"].to_numpy(), max_centroids).ravel().tolist()))
+        return pd.DataFrame(rows, columns=["event_type", "digest"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, gg in g.groupby("event_type"):
+            parts = [np.asarray(d, dtype=np.float64).reshape(-1, 2) for d in gg["digest"]]
+            rows.append((et, qdigest_merge(parts, max_centroids).ravel().tolist()))
+        return pd.DataFrame(rows, columns=["event_type", "digest"])
+
+    merged = partition_map_groups(
+        ds.map_batches(part, batch_format="pyarrow"),
+        merge,
+        key="event_type",
+        num_buckets=num_buckets,
+    ).to_pandas()
+    out = {"event_type": merged["event_type"].to_numpy()}
+    for q in qs:
+        out[f"q{int(q * 100)}"] = np.array(
+            [qdigest_quantile(np.asarray(d, dtype=np.float64).reshape(-1, 2), q)
+             for d in merged["digest"]]
+        )
+    return pd.DataFrame(out).sort_values("event_type", ignore_index=True)

@@ -6774,3 +6774,49 @@ def emb_mmr_diversify(
     return pd.DataFrame(out, columns=["rank", "vec_id", "sim_q", "mmr_score"]).astype(
         {"rank": np.int64, "vec_id": np.int64}
     )
+
+
+def doc_export_partitioned(sf_dir: str, read_lang: str = "en") -> pd.DataFrame:
+    """Hive-partitioned columnar export + partition-PRUNED read-back — the
+    resumable-output discipline end-to-end: write the corpus partitioned by
+    lang (`lang=<v>/` directories via write_parquet(partition_cols=...),
+    one subtree per partition so a failed run can skip finished partitions
+    and downstream readers prune at the PATH level), then read exactly one
+    partition back — the read lists only `lang=<read_lang>/` files, never
+    touching the other partitions' bytes.
+
+    The export is cached per corpus fingerprint (_corpus_ck_key — path +
+    size + mtime + row count), so re-runs skip the write. Returns the
+    pruned partition's rows, oracle-checked against a WHERE filter over the
+    unpartitioned table."""
+    import os
+    import shutil
+
+    out_root = os.path.join(
+        "/tmp", "graft_part_export", _corpus_ck_key(sf_dir)
+    )
+    done = os.path.join(out_root, "_SUCCESS")
+    if not os.path.exists(done):
+        shutil.rmtree(out_root, ignore_errors=True)
+        tmp = out_root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        ds.write_parquet(tmp, partition_cols=["lang"])
+        os.replace(tmp, out_root)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    part = ray.data.read_parquet(os.path.join(out_root, f"lang={read_lang}"))
+    out = part.to_pandas()
+    out["lang"] = read_lang  # partition column lives in the path, not the files
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "lang", "n_chars"]].sort_values("doc_id", ignore_index=True)
+
+
+def doc_export_partitioned_sql(sf_dir: str, read_lang: str = "en") -> str:
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = '{read_lang}' ORDER BY doc_id"""

@@ -524,3 +524,42 @@ def test_mmr_parity(ray_session):
     pd.testing.assert_frame_equal(got, refdf)
     # the first pick is the pure-relevance argmax; later picks diversify
     assert got.loc[0, "vec_id"] == cids[0]
+
+
+def test_grouped_quantiles_sketch(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    exact = ev.events_grouped_quantiles(f"{SF}/events.parquet")
+    sk = ev.events_grouped_quantiles_sketch(f"{SF}/events.parquet",
+                                            max_centroids=256)
+    j = exact.merge(sk, on="event_type", suffixes=("", "_sk"))
+    assert len(j) == len(exact)
+    # rank error <= ~1/max_centroids of group mass -> value error bounded by
+    # the local quantile density; on this fixture a few percent of the IQR
+    for q in ("q50", "q90"):
+        iqr = exact["q90"] - exact["q50"]
+        err = (j[q] - j[f"{q}_sk"]).abs()
+        assert (err <= 0.05 * iqr.max() + 1e-9).all(), (q, err.max())
+    # tiny-centroid regime still returns ordered, in-range estimates
+    sk8 = ev.events_grouped_quantiles_sketch(f"{SF}/events.parquet",
+                                             max_centroids=8)
+    assert (sk8["q50"] <= sk8["q90"] + 1e-12).all()
+
+
+def test_export_partitioned_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_export_partitioned(SF, read_lang="en")
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    odf = con.sql(td.doc_export_partitioned_sql(SF, read_lang="en")).df()
+    _cmp(got, odf)
+    # the layout really is one directory per partition value
+    import os
+    root = os.path.join("/tmp", "graft_part_export", td._corpus_ck_key(SF))
+    parts = sorted(d for d in os.listdir(root) if d.startswith("lang="))
+    langs = sorted(pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])["lang"].unique())
+    assert parts == [f"lang={l}" for l in langs]
+    # second partition prunes independently
+    got_fr = td.doc_export_partitioned(SF, read_lang="fr")
+    odf_fr = con.sql(td.doc_export_partitioned_sql(SF, read_lang="fr")).df()
+    _cmp(got_fr, odf_fr)
