@@ -1650,3 +1650,100 @@ def events_grouped_quantiles_sketch(
              for d in merged["digest"]]
         )
     return pd.DataFrame(out).sort_values("event_type", ignore_index=True)
+
+
+def events_max_concurrency(path: str) -> pd.DataFrame:
+    """Peak number of simultaneously-active users — the sweep-line /
+    interval-aggregation shape: each user's activity span [first_ts,
+    last_ts] contributes +1 at its start and −1 past its end; the answer is
+    the max of the running sum over the globally ordered delta stream.
+
+    Distributed prefix-scan: spans (one row per user) come from a grouped
+    min/max; the ±1 delta stream is globally sorted on the UNIQUE key
+    (ts, delta DESC, user_id) — +1 sorts before −1 at ties, so a user
+    active for a single instant still counts — then each block reduces to
+    the associative pair (block_sum, block_max_prefix); blocks combine on
+    the driver in key order ((Σa+maxpref_b) ⊕ rule), block-count-sized
+    state. Nothing user- or event-scaled lands on the driver."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "ts_us": batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    spans = grouped_aggregate(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        "user_id",
+        {"a": ("ts_us", "min"), "b": ("ts_us", "max")},
+    )
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy()
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pd.DataFrame(
+            {
+                "ts_us": np.concatenate([a, b]),
+                "delta": np.concatenate(
+                    [np.ones(len(u), dtype=np.int64), -np.ones(len(u), dtype=np.int64)]
+                ),
+                "user_id": np.concatenate([u, u]),
+            }
+        )
+
+    deltas = spans.map_batches(explode, batch_format="pyarrow").sort(
+        ["ts_us", "delta", "user_id"], descending=[False, True, False]
+    )
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["delta"].to_numpy()
+        pref = np.cumsum(d)
+        return pd.DataFrame(
+            {
+                "first_ts": [np.int64(df["ts_us"].iloc[0])],
+                "first_delta": [np.int64(df["delta"].iloc[0])],
+                "first_user": [np.int64(df["user_id"].iloc[0])],
+                "bsum": [np.int64(pref[-1])],
+                "bmax": [np.int64(pref.max())],
+            }
+        )
+
+    stats = deltas.map_batches(
+        block_stats, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    # combine per-block (sum, max-prefix) pairs in global key order: the
+    # (+1-first) sort key is unique, so block first-keys totally order the
+    # blocks. (s,m)_ab = (s_a+s_b, max(m_a, s_a+m_b)) — associative.
+    stats = stats.sort_values(
+        ["first_ts", "first_delta", "first_user"],
+        ascending=[True, False, True], ignore_index=True,
+    )
+    run, best = np.int64(0), np.int64(0)
+    for s, m in zip(stats["bsum"], stats["bmax"]):
+        best = max(best, run + m)
+        run += s
+    return pd.DataFrame({"max_concurrency": [np.int64(best)]})
+
+
+def events_max_concurrency_sql() -> str:
+    return """
+WITH spans AS (
+  SELECT user_id,
+         MIN(CAST(epoch_us(ts) AS BIGINT)) AS a,
+         MAX(CAST(epoch_us(ts) AS BIGINT)) AS b
+  FROM events GROUP BY user_id
+), deltas AS (
+  SELECT user_id, a AS ts_us, 1 AS delta FROM spans
+  UNION ALL
+  SELECT user_id, b AS ts_us, -1 AS delta FROM spans
+), run AS (
+  SELECT SUM(delta) OVER (ORDER BY ts_us, delta DESC, user_id) AS c
+  FROM deltas
+)
+SELECT CAST(MAX(c) AS BIGINT) AS max_concurrency FROM run"""

@@ -563,3 +563,38 @@ def test_export_partitioned_oracle(ray_session):
     got_fr = td.doc_export_partitioned(SF, read_lang="fr")
     odf_fr = con.sql(td.doc_export_partitioned_sql(SF, read_lang="fr")).df()
     _cmp(got_fr, odf_fr)
+
+
+def test_max_concurrency_oracle(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_max_concurrency(f"{SF}/events.parquet")
+    con = _con({"events": f"{SF}/events.parquet"})
+    odf = con.sql(ev.events_max_concurrency_sql()).df()
+    _cmp(got, odf)
+    mc = int(got["max_concurrency"].iloc[0])
+    n_users = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])[
+        "user_id"].nunique()
+    assert 1 <= mc <= n_users
+
+
+def test_max_concurrency_engineered(ray_session, tmp_path):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    # spans: u1 [0,10], u2 [5,15], u3 [20,30], u4 [30,40] (touching at 30)
+    rows = []
+    for uid, (a, b) in enumerate([(0, 10), (5, 15), (20, 30), (30, 40)], start=1):
+        rows.append((uid * 10, pd.Timestamp(a, unit="s"), uid, "view", 1.0, "{}"))
+        rows.append((uid * 10 + 1, pd.Timestamp(b, unit="s"), uid, "click", 1.0, "{}"))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                     "value", "props"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p, index=False)
+    got = ev.events_max_concurrency(str(p))
+    # u1/u2 overlap (2); u3 ends exactly when u4 starts -> +1 sorts first,
+    # so the instant 30 also counts 2
+    assert int(got["max_concurrency"].iloc[0]) == 2
+    con = _con({"events": str(p)})
+    odf = con.sql(ev.events_max_concurrency_sql()).df()
+    _cmp(got, odf)
