@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_bpe_encode"] = td.doc_bpe_encode
     q["emb_logreg_train"] = td.emb_logreg_train
     q["emb_triangle_count"] = td.emb_triangle_count
+    q["emb_clustering_coeff"] = td.emb_clustering_coeff
     q["emb_logreg_cv"] = td.emb_logreg_cv
     q["emb_mmr_diversify"] = td.emb_mmr_diversify
     q["doc_export_partitioned"] = td.doc_export_partitioned

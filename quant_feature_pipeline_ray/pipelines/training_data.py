@@ -6820,3 +6820,124 @@ def doc_export_partitioned_sql(sf_dir: str, read_lang: str = "en") -> str:
     return f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE lang = '{read_lang}' ORDER BY doc_id"""
+
+
+def emb_clustering_coeff(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-node local clustering coefficient over the undirected kNN graph
+    — 2·T(v) / (deg(v)·(deg(v)−1)) — the node-level refinement of
+    emb_triangle_count (same degree-oriented wedge join; Suri &
+    Vassilvitskii WWW'11).
+
+    The wedge rows additionally carry their center u; a closed wedge
+    (u;v,w) credits ONE triangle to each of u, v, w. Per-bucket partial
+    (node, t) counts pre-sum before the node-keyed exchange, so the final
+    aggregation is node-vocabulary-sized. Degrees ride the same table the
+    orientation pass already built."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    edges = emb_knn_graph_ds(sf_dir, k=k)
+
+    def canon(b: pa.Table) -> pd.DataFrame:
+        u = b["vec_id"].to_numpy(zero_copy_only=False)
+        v = b["nbr_id"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates(
+            ignore_index=True
+        )
+
+    und = partition_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        lambda g: g.drop_duplicates(["a", "b"], ignore_index=True)[["a", "b"]],
+        key="a",
+        num_buckets=32,
+    ).materialize()
+
+    def deg_partial(b: pa.Table) -> pd.DataFrame:
+        ids = np.concatenate(
+            [b["a"].to_numpy(zero_copy_only=False), b["b"].to_numpy(zero_copy_only=False)]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = grouped_aggregate(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        "node",
+        {"deg": ("deg", "sum")},
+    ).to_pandas()
+    deg = deg.sort_values(["deg", "node"], ignore_index=True)
+    rank_of = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"].to_numpy())
+    rank_ref = ray.put(rank_of)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ra = r.loc[b["a"].to_numpy()].to_numpy()
+        rb = r.loc[b["b"].to_numpy()].to_numpy()
+        src = np.where(ra < rb, b["a"].to_numpy(), b["b"].to_numpy())
+        dst = np.where(ra < rb, b["b"].to_numpy(), b["a"].to_numpy())
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "rd": np.where(ra < rb, rb, ra)})
+
+    oriented = und.map_batches(orient, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, grp in g.groupby("src"):
+            nb = grp.sort_values("rd")["dst"].to_numpy()
+            n = len(nb)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame(
+                {"x": nb[i], "y": nb[j],
+                 "u": np.full(len(i), src, dtype=np.int64)}))
+        if not outs:
+            return pd.DataFrame({"x": pd.Series(dtype=np.int64),
+                                 "y": pd.Series(dtype=np.int64),
+                                 "u": pd.Series(dtype=np.int64),
+                                 "is_edge": pd.Series(dtype=np.int64)})
+        out = pd.concat(outs, ignore_index=True)
+        out["is_edge"] = np.int64(0)
+        return out
+
+    wedge_ds = partition_map_groups(oriented, wedges, key="src", num_buckets=32)
+    edge_tagged = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {"x": b["src"].to_numpy(), "y": b["dst"].to_numpy(),
+             "u": np.full(len(b), -1, dtype=np.int64),
+             "is_edge": np.ones(len(b), dtype=np.int64)}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def close_credit(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["is_edge"].to_numpy().astype(bool)
+        w = g.loc[~is_e, ["x", "y", "u"]]
+        e = g.loc[is_e, ["x", "y"]].drop_duplicates()
+        closed = w.merge(e, on=["x", "y"])
+        if len(closed) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "t": pd.Series(dtype=np.int64)})
+        nodes = np.concatenate(
+            [closed["u"].to_numpy(), closed["x"].to_numpy(), closed["y"].to_numpy()]
+        )
+        un, cn = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": un, "t": cn.astype(np.int64)})
+
+    tri = grouped_aggregate(
+        partition_map_groups(
+            wedge_ds.union(edge_tagged), close_credit, key="x", num_buckets=32
+        ),
+        "node",
+        {"t": ("t", "sum")},
+    ).to_pandas()
+
+    out = deg.merge(tri, on="node", how="left")
+    out["t"] = out["t"].fillna(0).astype(np.int64)
+    d = out["deg"].to_numpy().astype(np.float64)
+    denom = d * (d - 1.0)
+    out["coeff"] = np.where(denom > 0, 2.0 * out["t"].to_numpy() / denom, 0.0)
+    return out.sort_values("node", ignore_index=True).astype(
+        {"node": np.int64, "deg": np.int64}
+    )

@@ -598,3 +598,32 @@ def test_max_concurrency_engineered(ray_session, tmp_path):
     con = _con({"events": str(p)})
     odf = con.sql(ev.events_max_concurrency_sql()).df()
     _cmp(got, odf)
+
+
+def test_clustering_coeff_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_clustering_coeff(SF, k=5)
+
+    edges = td.emb_knn_graph(SF, k=5)
+    u, v = edges["vec_id"].to_numpy(), edges["nbr_id"].to_numpy()
+    ids = np.unique(np.concatenate([u, v]))
+    pos = {n: i for i, n in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    for a, b in zip(u, v):
+        if a != b:
+            A[pos[a], pos[b]] = 1
+            A[pos[b], pos[a]] = 1
+    tri_node = np.diag(A @ A @ A) // 2
+    deg = A.sum(1)
+    denom = deg * (deg - 1)
+    coeff = np.where(denom > 0, 2.0 * tri_node / denom, 0.0)
+    ref = pd.DataFrame({"node": ids, "deg": deg.astype(np.int64),
+                        "t": tri_node.astype(np.int64), "coeff": coeff})
+    mg = got.merge(ref, on="node", suffixes=("", "_ref"))
+    assert len(mg) == len(ref)
+    assert (mg["deg"] == mg["deg_ref"]).all()
+    assert (mg["t"] == mg["t_ref"]).all()
+    np.testing.assert_allclose(mg["coeff"], mg["coeff_ref"], rtol=0, atol=0)
+    # global triangle count reconciles with the scalar operator
+    assert mg["t"].sum() // 3 == int(td.emb_triangle_count(SF, k=5)["n_triangles"].iloc[0])
