@@ -6804,9 +6804,16 @@ def doc_export_partitioned(sf_dir: str, read_lang: str = "en") -> pd.DataFrame:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         )
         ds.write_parquet(tmp, partition_cols=["lang"])
-        os.replace(tmp, out_root)
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.replace(tmp, out_root)
+            with open(done, "w") as f:
+                f.write("ok")
+        except OSError:
+            # concurrent exporter won the rename; its output is equivalent
+            # (same corpus fingerprint) — use it if committed, else re-raise
+            if not os.path.exists(done):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
 
     part = ray.data.read_parquet(os.path.join(out_root, f"lang={read_lang}"))
     out = part.to_pandas()
