@@ -1570,6 +1570,12 @@ def events_markov(path: str, num_buckets: int = 32) -> pd.DataFrame:
     ds = _read_events(path, ["event_id", "ts", "user_id", "event_type"])
     parts = partition_map_groups(ds, per_bucket, key="user_id",
                                  num_buckets=num_buckets).to_pandas()
+    if parts.empty:  # no user has two events — an all-empty result loses
+        # its schema on the way back, so rebuild the typed empty frame
+        return pd.DataFrame({"cur": pd.Series(dtype=str),
+                             "nxt": pd.Series(dtype=str),
+                             "cnt": pd.Series(dtype=np.int64),
+                             "p_next": pd.Series(dtype=np.float64)})
     out = parts.groupby(["cur", "nxt"], as_index=False).agg(cnt=("cnt", "sum"))
     row_tot = out.groupby("cur")["cnt"].transform("sum")
     out["p_next"] = out["cnt"].astype(np.float64) / row_tot.astype(np.float64)
