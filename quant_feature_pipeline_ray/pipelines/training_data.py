@@ -6251,6 +6251,12 @@ def doc_bpe_train(
         "w",
         {"cnt": ("cnt", "sum")},
     ).to_pandas()
+    if vocab.empty:  # word-less corpus: the all-empty aggregate loses its
+        # schema on the way back — nothing to merge
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int64),
+                             "left": pd.Series(dtype=str),
+                             "right": pd.Series(dtype=str),
+                             "cnt": pd.Series(dtype=np.int64)})
     vocab = vocab.sort_values("w", ignore_index=True)  # deterministic layout
     merges = _bpe_merge_loop(
         vocab["w"].tolist(), vocab["cnt"].to_numpy(), n_merges

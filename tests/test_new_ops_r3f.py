@@ -627,3 +627,41 @@ def test_clustering_coeff_parity(ray_session):
     np.testing.assert_allclose(mg["coeff"], mg["coeff_ref"], rtol=0, atol=0)
     # global triangle count reconciles with the scalar operator
     assert mg["t"].sum() // 3 == int(td.emb_triangle_count(SF, k=5)["n_triangles"].iloc[0])
+
+
+def test_bpe_train_fuzz(ray_session, tmp_path):
+    # adversarial corpora from a 3-letter alphabet: runs like "aaaa" force
+    # overlapping candidate merges, where left-to-right non-overlap greedy
+    # (run-offset parity in the vectorized loop) must match sequential BPE
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    case = [0]
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(
+        st.text(alphabet="aab ", min_size=0, max_size=40), min_size=1, max_size=12
+    ))
+    def run(texts):
+        case[0] += 1
+        d = tmp_path / f"c{case[0]}"
+        d.mkdir()
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+                "lang": ["x"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        docs.to_parquet(d / "documents.parquet", index=False)
+        got = td.doc_bpe_train(str(d), n_merges=12, batch_size=3)
+        words = [w for t in texts for w in t.split(" ") if w]
+        wc = pd.Series(words).value_counts().sort_index() if words else pd.Series(dtype=np.int64)
+        ref = _bpe_ref(list(wc.index), wc.to_numpy(), 12)
+        pd.testing.assert_frame_equal(got, ref)
+
+    run()
