@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_logreg_cv"] = td.emb_logreg_cv
     q["emb_mmr_diversify"] = td.emb_mmr_diversify
     q["doc_export_partitioned"] = td.doc_export_partitioned
+    q["doc_checksum"] = td.doc_checksum
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
@@ -776,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "e_markov": ev.events_markov_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
+        "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),

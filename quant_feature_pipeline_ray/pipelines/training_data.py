@@ -6954,3 +6954,51 @@ def emb_clustering_coeff(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values("node", ignore_index=True).astype(
         {"node": np.int64, "deg": np.int64}
     )
+
+
+_CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: sum stays in int64 on both sides
+
+
+def doc_checksum(sf_dir: str, batch_size: int = 4096) -> pd.DataFrame:
+    """Order-independent content checksum of the corpus — the anti-entropy
+    primitive: verify that a migrated / backfilled / re-partitioned copy is
+    IDENTICAL to the source by exchanging one integer instead of the data
+    (commutative sum of per-row digests — any row order, any partitioning,
+    same checksum; any changed/missing/extra row changes it).
+
+    Per row: v = little-endian uint64 of md5(doc_id|text) bytes 8..16
+    (what DuckDB's md5_number_lower computes), reduced mod 2^61−1;
+    checksum = Σv mod 2^61−1. Per-batch partials are single Python-int
+    sums, the driver combines block partials — nothing row-scaled moves.
+    md5 (not an engine hash) so the DuckDB oracle computes the identical
+    digests."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        s = 0
+        for i, t in zip(ids, texts):
+            d = hashlib.md5(f"{i}|{t}".encode()).digest()
+            s += int.from_bytes(d[8:16], "little") % _CHECKSUM_MOD
+        return pd.DataFrame({"partial": [s % _CHECKSUM_MOD], "n": [len(ids)]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    # combine in arbitrary-precision Python ints: an int64 sum of partials
+    # (each up to 2^61) silently wraps past four batches
+    total = sum(int(x) for x in parts["partial"]) % _CHECKSUM_MOD
+    return pd.DataFrame(
+        {
+            "checksum": [np.int64(total)],
+            "n_rows": [np.int64(parts["n"].sum())],
+        }
+    )
+
+
+def doc_checksum_sql(sf_dir: str) -> str:
+    return f"""
+SELECT CAST(SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || text) % {_CHECKSUM_MOD} AS HUGEINT)) % {_CHECKSUM_MOD} AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents"""

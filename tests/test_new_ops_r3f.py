@@ -665,3 +665,23 @@ def test_bpe_train_fuzz(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, ref)
 
     run()
+
+
+def test_checksum_oracle_and_sensitivity(ray_session, tmp_path):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_checksum(SF)
+    con = _con({"documents": f"{SF}/documents.parquet"})
+    odf = con.sql(td.doc_checksum_sql(SF)).df()
+    _cmp(got, odf)
+    # order/partitioning independence
+    pd.testing.assert_frame_equal(td.doc_checksum(SF, batch_size=7), got)
+    # a single changed character changes the checksum
+    df = pd.read_parquet(f"{SF}/documents.parquet")
+    df.loc[0, "text"] = df.loc[0, "text"] + "!"
+    d = tmp_path / "mut"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    assert int(td.doc_checksum(str(d))["checksum"].iloc[0]) != int(
+        got["checksum"].iloc[0]
+    )
