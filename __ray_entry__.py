@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_triangle_count"] = td.emb_triangle_count
     q["emb_clustering_coeff"] = td.emb_clustering_coeff
     q["emb_logreg_cv"] = td.emb_logreg_cv
+    q["emb_logreg_per_source"] = td.emb_logreg_per_source
     q["emb_mmr_diversify"] = td.emb_mmr_diversify
     q["doc_export_partitioned"] = td.doc_export_partitioned
     q["doc_checksum"] = td.doc_checksum

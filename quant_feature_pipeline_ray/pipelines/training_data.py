@@ -7002,3 +7002,104 @@ def doc_checksum_sql(sf_dir: str) -> str:
 SELECT CAST(SUM(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || text) % {_CHECKSUM_MOD} AS HUGEINT)) % {_CHECKSUM_MOD} AS BIGINT) AS checksum,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM documents"""
+
+
+def emb_logreg_per_source(
+    sf_dir: str, epochs: int = 30, lr: float = 5.0, num_buckets: int = 16
+) -> pd.DataFrame:
+    """Per-SOURCE logistic regression — the "many small models" pattern
+    (one independent model per group, fit INSIDE map_groups), the
+    complement of emb_logreg_train's "one big model over all data" BSP:
+    when each group fits on a worker, a grouped fit needs ONE exchange per
+    join key and ZERO driver round-trips per epoch.
+
+    Dataflow: documents(doc_id, source) and embeddings(vec_id, X, label)
+    meet in a doc_id-keyed tagged-union exchange (nothing broadcast —
+    the doc→source map is corpus-scale); the joined rows re-key by source
+    and each source's group runs the same per-row-quantized GD as
+    emb_logreg_train straight-line (bitwise deterministic; group order
+    irrelevant). Embeddings travel as packed float32 BYTES — a plain
+    Arrow binary column — because object columns of ndarrays round-trip
+    through Ray's tensor extension and break pandas hops."""
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    C = 10
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "xb": [b""] * len(b),
+                "label": np.full(len(b), -1, dtype=np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pack(b: pa.Table) -> pd.DataFrame:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        X = np.asarray(col.flatten(), dtype=np.float32).reshape(len(b), -1)
+        return pd.DataFrame(
+            {
+                "doc_id": b["vec_id"].to_numpy(),
+                "source": [""] * len(b),
+                "xb": [row.tobytes() for row in X],
+                "label": b["label"].to_numpy().astype(np.int64),
+            }
+        )
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).map_batches(pack, batch_format="pyarrow")
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[g["label"] < 0].set_index("doc_id")["source"]
+        d = g[g["label"] >= 0]
+        return pd.DataFrame(
+            {
+                "source": d["doc_id"].map(src).to_numpy(),
+                "xb": d["xb"].to_numpy(),
+                "label": d["label"].to_numpy(),
+            }
+        )
+
+    joined = partition_map_groups(
+        docs.union(embs), join, key="doc_id", num_buckets=num_buckets
+    )
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, gg in g.groupby("source"):
+            X = np.stack(
+                [np.frombuffer(b, dtype=np.float32) for b in gg["xb"]]
+            ).astype(np.float64)
+            Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+            y = gg["label"].to_numpy()
+            n = len(y)
+            scale = float(2 ** min(24, 61 - int(np.ceil(np.log2(n + 1)))))
+            W = np.zeros((Xb.shape[1], C))
+            for _ in range(epochs):
+                Z = np.zeros((n, C))
+                for j in range(Xb.shape[1]):
+                    Z += Xb[:, j : j + 1] * W[j]
+                Z -= Z.max(axis=1, keepdims=True)
+                P = np.exp(Z)
+                P /= P.sum(axis=1, keepdims=True)
+                P[np.arange(n), y] -= 1.0
+                G = np.rint(scale * np.einsum("ni,nj->nij", Xb, P)).astype(
+                    np.int64
+                ).sum(axis=0)
+                W = W - lr * (G.astype(np.float64) / scale) / n
+            Z = np.zeros((n, C))
+            for j in range(Xb.shape[1]):
+                Z += Xb[:, j : j + 1] * W[j]
+            acc = float((np.argmax(Z, axis=1) == y).mean())
+            rows.append((src, np.int64(n), acc, float(np.sqrt((W * W).sum()))))
+        return pd.DataFrame(rows, columns=["source", "n", "train_acc", "w_norm"])
+
+    out = partition_map_groups(joined, fit, key="source", num_buckets=8).to_pandas()
+    return out.sort_values("source", ignore_index=True)

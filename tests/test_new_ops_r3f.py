@@ -685,3 +685,43 @@ def test_checksum_oracle_and_sensitivity(ray_session, tmp_path):
     assert int(td.doc_checksum(str(d))["checksum"].iloc[0]) != int(
         got["checksum"].iloc[0]
     )
+
+
+def test_logreg_per_source_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_logreg_per_source(SF, epochs=5, lr=1.0)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    j = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+    C = 10
+    rows = []
+    for src, g in j.groupby("source"):
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float32).astype(np.float64)
+        Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        y = g["label"].to_numpy().astype(np.int64)
+        n = len(y)
+        scale = float(2 ** min(24, 61 - int(np.ceil(np.log2(n + 1)))))
+        W = np.zeros((Xb.shape[1], C))
+        for _ in range(5):
+            Z = np.zeros((n, C))
+            for k in range(Xb.shape[1]):
+                Z += Xb[:, k : k + 1] * W[k]
+            Z -= Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            P[np.arange(n), y] -= 1.0
+            G = np.rint(scale * np.einsum("ni,nj->nij", Xb, P)).astype(np.int64
+                        ).sum(axis=0)
+            W = W - 1.0 * (G.astype(np.float64) / scale) / n
+        Z = np.zeros((n, C))
+        for k in range(Xb.shape[1]):
+            Z += Xb[:, k : k + 1] * W[k]
+        rows.append((src, n, (np.argmax(Z, 1) == y).mean(),
+                     float(np.sqrt((W * W).sum()))))
+    ref = pd.DataFrame(rows, columns=["source", "n", "train_acc", "w_norm"]).astype(
+        {"n": np.int64}
+    ).sort_values("source", ignore_index=True)
+    pd.testing.assert_frame_equal(got, ref)
+    assert got["n"].sum() == len(emb)
