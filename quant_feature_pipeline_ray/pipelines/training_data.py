@@ -32,6 +32,38 @@ from quant_feature_pipeline_ray.hashing import content_hash
 DOC_COLS = ["doc_id", "text", "lang", "n_chars"]
 
 
+def _label_n_classes(path: str, column: str = "label") -> int:
+    """Number of classes = max(label)+1, derived from parquet row-group
+    statistics (a footer-only read — no data scan, cheap at any corpus
+    size). Falls back to a single-column read only when a writer omitted
+    stats. Raises on negative labels rather than mis-indexing a gradient
+    tensor deep inside a worker."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index(column)
+    lo, hi, have_stats = None, None, True
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            have_stats = False
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if not have_stats or lo is None:
+        col = pq.read_table(path, columns=[column])[column]
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(col).as_py()
+        lo, hi = mm["min"], mm["max"]
+    if lo is None or int(lo) < 0:
+        raise ValueError(
+            f"{path}:{column} has negative/null labels (min={lo}); "
+            "class labels must be dense non-negative integers"
+        )
+    return int(hi) + 1
+
+
 # ---------------------------------------------------------------- text stats
 def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-doc token counting + quality ratios (exact integer arithmetic)."""
@@ -377,8 +409,10 @@ def lsh_verified_pairs(
     import os as _os
     import shutil as _shutil
 
-    ck = _os.path.join(
-        "/tmp/graft_lsh_pairs",
+    from quant_feature_pipeline_ray.ckpt import ckpt_path
+
+    ck = ckpt_path(
+        "graft_lsh_pairs",
         f"pid{_os.getpid()}_{_corpus_ck_key(sf_dir)}_t{threshold}"
         f"_p{num_perm}_b{num_bands}_k{shingle_k}",
     )
@@ -2660,10 +2694,12 @@ def dup_cluster_labels(
     from quant_feature_pipeline_ray.sources.transcripts import cluster_cpus
     from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
+    from quant_feature_pipeline_ray.ckpt import ckpt_path
+
     # per-process checkpoint path: shared by every caller in this driver
     # process, auto-invalidated across processes/rounds (code may change)
-    ck = os.path.join(
-        "/tmp/graft_cc_labels",
+    ck = ckpt_path(
+        "graft_cc_labels",
         f"pid{os.getpid()}_{_corpus_ck_key(sf_dir)}_t{threshold}_p{max_passes}",
     )
     if os.path.exists(ck + "._SUCCESS"):
@@ -3761,7 +3797,7 @@ GROUP BY 1 ORDER BY 1"""
 # -------------------------------------------------------- partitioned export
 
 
-def doc_export_shards(sf_dir: str, root: str = "/tmp/graft_doc_shards") -> pd.DataFrame:
+def doc_export_shards(sf_dir: str, root: str | None = None) -> pd.DataFrame:
     """Partitioned training-shard export + read-back verification: write the
     documents table as hive-partitioned parquet (one directory per lang —
     the resumable-output layout: a failed run re-lists the partition dirs
@@ -3775,6 +3811,10 @@ def doc_export_shards(sf_dir: str, root: str = "/tmp/graft_doc_shards") -> pd.Da
     import os
     import shutil
 
+    from quant_feature_pipeline_ray.ckpt import ckpt_path
+
+    if root is None:
+        root = ckpt_path("graft_doc_shards")
     out_dir = os.path.join(root, os.path.basename(sf_dir))
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -4005,7 +4045,11 @@ def doc_dedup_incremental_run(sf_dir: str) -> pd.DataFrame:
     import os
     import shutil
 
-    state = f"/tmp/graft_dedup_state/pid{os.getpid()}_{os.path.basename(sf_dir)}"
+    from quant_feature_pipeline_ray.ckpt import ckpt_path
+
+    state = ckpt_path(
+        "graft_dedup_state", f"pid{os.getpid()}_{os.path.basename(sf_dir)}"
+    )
     shutil.rmtree(state, ignore_errors=True)
 
     from quant_feature_pipeline_ray.stages.normalize import approx_quantiles
@@ -5619,6 +5663,14 @@ def doc_source_overlap(sf_dir: str, batch_size: int = 4096) -> pd.DataFrame:
     sources = sorted(
         grouped_aggregate(pairs, "source", {"n": ("one", "size")}).to_pandas()["source"]
     )
+    if len(sources) > 62:
+        # bits 0..62 of a signed int64; bit 63 flips the sign and breaks
+        # the arithmetic shifts below. A 63+-source corpus needs the
+        # sketch variant (doc_source_overlap_sketch) or a multi-word mask.
+        raise ValueError(
+            f"doc_source_overlap supports at most 62 distinct sources "
+            f"(got {len(sources)}); use doc_source_overlap_sketch instead"
+        )
     src_id = {s: i for i, s in enumerate(sources)}
 
     def to_mask(df: pd.DataFrame) -> pd.DataFrame:
@@ -5818,6 +5870,8 @@ def emb_kcenter_sample(sf_dir: str, k: int = 8) -> pd.DataFrame:
             return pd.DataFrame({"vec_id": [int(vid)], "dist": [float(mx)]})
 
         parts = work.map_batches(argmax_partial, batch_format="pandas").to_pandas()
+        if parts.empty or parts["dist"].isna().all():
+            break  # k exceeds the number of vectors: every point is chosen
         mx = parts["dist"].max()
         nxt = int(parts.loc[parts["dist"] == mx, "vec_id"].min())
         chosen.append((order_idx, nxt, float(mx)))
@@ -6307,7 +6361,7 @@ def emb_logreg_train(
         d = len(b["embedding"][0])
         break
     ds = ray.data.read_parquet(path, columns=["embedding", "label"]).materialize()
-    n_classes = 10
+    n_classes = _label_n_classes(path)  # footer-stats pass, no data scan
     scale_bits = min(24, 61 - int(np.ceil(np.log2(n_rows + 1))))
     scale = float(2**scale_bits)
 
@@ -6603,7 +6657,7 @@ def emb_logreg_cv(
     ds = ray.data.read_parquet(
         path, columns=["vec_id", "embedding", "label"]
     ).materialize()
-    C = 10
+    C = _label_n_classes(path)  # footer-stats pass, no data scan
     K = n_folds
     scale_bits = min(24, 61 - int(np.ceil(np.log2(n_rows + 1))))
     scale = float(2**scale_bits)
@@ -6637,7 +6691,9 @@ def emb_logreg_cv(
         ),
         axis=0,
     )
-    n_train = n_rows - cnts  # rows each model trains on
+    n_train = np.maximum(n_rows - cnts, 1)  # rows each model trains on
+    # (clamped to 1: a fold holding ALL rows leaves its model untrained —
+    # zero gradient mass — rather than dividing by zero)
 
     Ws = np.zeros((K, d + 1, C))
     for _ in range(epochs):
@@ -6798,9 +6854,9 @@ def doc_export_partitioned(sf_dir: str, read_lang: str = "en") -> pd.DataFrame:
     import os
     import shutil
 
-    out_root = os.path.join(
-        "/tmp", "graft_part_export", _corpus_ck_key(sf_dir)
-    )
+    from quant_feature_pipeline_ray.ckpt import ckpt_path
+
+    out_root = ckpt_path("graft_part_export", _corpus_ck_key(sf_dir))
     done = os.path.join(out_root, "_SUCCESS")
     if not os.path.exists(done):
         shutil.rmtree(out_root, ignore_errors=True)
@@ -7023,7 +7079,7 @@ def emb_logreg_per_source(
     through Ray's tensor extension and break pandas hops."""
     from quant_feature_pipeline_ray.stages.partition import partition_map_groups
 
-    C = 10
+    C = _label_n_classes(f"{sf_dir}/embeddings.parquet")
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     ).map_batches(
