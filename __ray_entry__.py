@@ -769,7 +769,9 @@ def oracle_sql() -> dict[str, str]:
         "e_stream_join": ev.events_stream_join_sql(),
         "e_retention": ev.events_retention_sql(),
         "e_unpivot": ev.events_unpivot_sql(),
-        # e_distinct_users_hll: probabilistic estimate → rows-only (pytest ≤5% gate)
+        # e_distinct_users_hll promoted to an exact oracle round 4: md5-based
+        # registers + exact-integer sums make the estimate itself bit-exact
+        "e_distinct_users_hll": ev.events_distinct_users_hll_sql(),
         "e_streaming_windows": ev.events_streaming_windows_sql(),
         "e_streaming_sessions": ev.events_streaming_sessions_sql(),
         "e_hopping_windows": ev.events_hopping_windows_sql(),
@@ -827,8 +829,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_rrf_fusion": td.doc_rrf_fusion_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
-        # doc_minhash_lsh / doc_simhash / doc_fingerprint: probabilistic /
-        # mod-2^64 arithmetic → rows-only (pytest-pinned)
+        # doc_minhash_lsh / doc_simhash: engine-hash-keyed (SipHash) →
+        # rows-only (pytest-pinned); doc_fingerprint promoted round 4
+        # (list_reduce FNV-1a mirror, exact)
+        "doc_fingerprint": td.doc_fingerprint_sql(_SQL_SF_DIR),
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
         "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),
@@ -850,6 +854,9 @@ def oracle_sql() -> dict[str, str]:
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),
+        # doc_distinct_tokens_hll promoted to an exact oracle round 4:
+        # md5-lower-64 registers + exact-integer sum → bit-exact estimate
+        "doc_distinct_tokens_hll": td.doc_distinct_tokens_hll_sql(_SQL_SF_DIR),
         "doc_tfidf_topk": td.doc_tfidf_topk_sql(_SQL_SF_DIR),
         "doc_lm_stats": td.doc_lm_stats_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),

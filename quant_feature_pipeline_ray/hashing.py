@@ -34,3 +34,16 @@ def content_hash(values) -> np.ndarray:
     """
     arr = np.asarray(values, dtype=object)
     return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+def md5_lower64(strings) -> np.ndarray:
+    """Little-endian uint64 of md5(s) digest bytes 8..16 — bit-identical to
+    DuckDB's ``md5_number_lower``, so sketches keyed on it get EXACT SQL
+    oracles (the doc_checksum discipline). Python-loop md5: reserve for
+    cardinality-bounded inputs (per-batch distinct keys), not raw rows."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    return out

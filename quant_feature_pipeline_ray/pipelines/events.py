@@ -835,11 +835,20 @@ def events_distinct_users_hll(path: str, num_buckets: int = 32) -> pd.DataFrame:
     (group, idx) IS the HLL merge (register max is associative /
     idempotent), and the driver folds 2^p rows per group into one
     estimate. The exchange is bounded by groups x 2^p regardless of row
-    count."""
-    from quant_feature_pipeline_ray.functions.sketches import hll_estimate
+    count.
+
+    The user hash is md5-lower-64 of the DECIMAL user_id string
+    (DuckDB md5_number_lower parity — the doc_checksum discipline), and
+    the per-group estimate keeps the register sum as an exact integer, so
+    the SQL oracle reproduces every estimate bit-for-bit (md5 runs once
+    per DISTINCT user per batch, not per row)."""
+    import math
+
+    from quant_feature_pipeline_ray.hashing import md5_lower64
     from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     P = 12
+    M, REST = 1 << P, 64 - P
     ds = _read_events(path, ["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -853,7 +862,8 @@ def events_distinct_users_hll(path: str, num_buckets: int = 32) -> pd.DataFrame:
         )
         rows = []
         for t, g in df.groupby("t"):
-            h = pd.util.hash_array(g["u"].to_numpy(), categorize=False).astype(np.uint64)
+            users = np.unique(g["u"].to_numpy())
+            h = md5_lower64([str(int(u)) for u in users])
             reg = hll_registers(h, p=P)
             nz = np.flatnonzero(reg)
             rows.append(pd.DataFrame({"event_type": t, "idx": nz.astype(np.int64),
@@ -870,12 +880,56 @@ def events_distinct_users_hll(path: str, num_buckets: int = 32) -> pd.DataFrame:
         num_partitions=num_buckets,
     ).to_pandas()
 
+    alpha = 0.7213 / (1.0 + 1.079 / M)
     out_rows = []
     for t, g in merged.groupby("event_type"):
-        reg = np.zeros(1 << P, dtype=np.uint8)
+        reg = np.zeros(M, dtype=np.uint8)
         reg[g["idx"].to_numpy()] = g["rho"].to_numpy().astype(np.uint8)
-        out_rows.append({"event_type": t, "n_users_est": int(round(hll_estimate(reg)))})
+        s_int = sum((1 << (REST - int(r))) for r in reg)  # exact integer
+        zeros = int(np.count_nonzero(reg == 0))
+        est = alpha * M * M * float(1 << REST) / float(s_int)
+        if est <= 2.5 * M and zeros > 0:
+            est = M * math.log(M / zeros)  # linear counting
+        out_rows.append({"event_type": t, "n_users_est": est})
     return pd.DataFrame(out_rows).sort_values("event_type", ignore_index=True)
+
+
+def events_distinct_users_hll_sql() -> str:
+    """Bit-exact SQL mirror of the per-group HLL estimate (same md5 hash,
+    exact HUGEINT register sums, identical IEEE float tail)."""
+    p = 12
+    m, rest = 1 << p, 64 - p
+    return f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT event_type, md5_number_lower(CAST(user_id AS VARCHAR)) AS h FROM u
+), reg AS (
+  SELECT event_type, CAST(h >> {rest} AS BIGINT) AS register,
+         CAST(h & ((CAST(1 AS UBIGINT) << {rest}) - 1) AS UBIGINT) AS w
+  FROM h
+), rho AS (
+  SELECT event_type, register,
+         MAX(CASE WHEN w = 0 THEN {rest + 1}
+                  ELSE {rest} - length(bin(w)) + 1 END) AS rho
+  FROM reg GROUP BY event_type, register
+), s AS (
+  SELECT event_type,
+         SUM(CAST(1 AS HUGEINT) << ({rest} - rho)) AS s_nz, COUNT(*) AS n_nz
+  FROM rho GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)} * {float(1 << rest)}
+           / CAST(s_nz + ({m} - n_nz) * (CAST(1 AS HUGEINT) << {rest}) AS DOUBLE)
+           AS raw,
+         {m} - n_nz AS zeros
+  FROM s
+)
+SELECT event_type,
+       CASE WHEN raw <= {2.5 * m} AND zeros > 0
+            THEN {float(m)} * ln({float(m)} / zeros)
+            ELSE raw END AS n_users_est
+FROM est ORDER BY event_type"""
 
 
 def events_streaming_windows(path: str, window_s: int = 60, num_buckets: int = 32) -> ray.data.Dataset:

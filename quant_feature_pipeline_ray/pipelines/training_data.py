@@ -1676,9 +1676,12 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
     64-bit FNV-1a over the token stream (functions/textstats.fingerprint64)
     — swap two tokens and the fingerprint changes, unlike a token-set hash.
-    Mod-2^64 arithmetic is not ANSI-SQL-expressible → rows-only in the
-    driver; the order-sensitivity and stability properties are pinned in
-    tests/test_training_data.py."""
+    Because every token is followed by the 0x20 separator byte, the rolling
+    hash over tokens is IDENTICAL to FNV-1a over the raw bytes of
+    ``text + ' '`` — which doc_fingerprint_sql reproduces exactly in DuckDB
+    (list_reduce over the byte stream, HUGEINT mod-2^64 arithmetic), so
+    this query carries a full exact oracle. Order-sensitivity and stability
+    are additionally pinned in tests/test_training_data.py."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pd.DataFrame:
@@ -1693,6 +1696,30 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprint_sql(sf_dir: str) -> str:
+    """Exact SQL mirror of the rolling FNV-1a fingerprint: list_reduce over
+    the byte stream of text||' ', each step (h XOR byte) * prime mod 2^64
+    carried through HUGEINT (the 104-bit product fits int128). Uses
+    unicode(char) as the byte value — exact for the ASCII synthetic corpus
+    (the engine itself is UTF-8-correct via str.encode)."""
+    return """
+WITH d AS (SELECT doc_id, text || ' ' AS t FROM documents),
+fp AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(1469598103934665603 AS UBIGINT),
+      list_transform(range(1, octet_length(encode(t)) + 1),
+                     i -> CAST(unicode(t[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                   % 18446744073709551616 AS UBIGINT)
+  ) AS fp FROM d
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808
+                 THEN CAST(fp AS HUGEINT) - 18446744073709551616
+                 ELSE CAST(fp AS HUGEINT) END AS BIGINT) AS fp64
+FROM fp"""
 
 
 # ------------------------------------------- random-hyperplane LSH near-dup
@@ -2189,12 +2216,20 @@ def doc_distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
     estimate. The sketch is the scale path for unbounded keyspaces where
     the exact value-counts histogram (bounded-cardinality tool) cannot
     fit; accuracy vs the exact count is pytest-gated at 5% (sketch std
-    error ~1.6% at m=4096)."""
-    from quant_feature_pipeline_ray.functions.sketches import (
-        HLL_M,
-        hll_estimate,
-        hll_registers,
-    )
+    error ~1.6% at m=4096).
+
+    The token hash is md5-lower-64 (the doc_checksum discipline) so the
+    DuckDB oracle reproduces the registers — and therefore the ESTIMATE —
+    bit-for-bit: the register sum is carried as an exact Python/HUGEINT
+    integer (Σ 2^(52−rho), never a float accumulation whose order could
+    differ), the final α·m²·2^52/S division and the linear-counting
+    ln() are single IEEE ops identical across numpy-free Python and
+    DuckDB. md5 runs per DISTINCT token per batch (vocabulary-bounded,
+    not row-bounded)."""
+    import math
+
+    from quant_feature_pipeline_ray.functions.sketches import HLL_M, HLL_P, hll_registers
+    from quant_feature_pipeline_ray.hashing import md5_lower64
     from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -2204,8 +2239,8 @@ def doc_distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
 
         flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
         keep = pc.not_equal(flat, "")
-        toks = flat.filter(keep).to_numpy(zero_copy_only=False)
-        reg = hll_registers(content_hash(toks))
+        toks = np.unique(flat.filter(keep).to_numpy(zero_copy_only=False))
+        reg = hll_registers(md5_lower64(toks))
         nz = np.flatnonzero(reg)
         return pd.DataFrame({"register": nz.astype(np.int64), "rho": reg[nz].astype(np.int64)})
 
@@ -2216,7 +2251,53 @@ def doc_distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()  # <= m = 4096 rows, never row-scaled
     reg = np.zeros(HLL_M, dtype=np.uint8)
     reg[merged["register"].to_numpy()] = merged["rho"].to_numpy().astype(np.uint8)
-    return pd.DataFrame({"distinct_tokens_est": [hll_estimate(reg)]})
+    rest = 64 - HLL_P
+    # exact integer register sum: S = Σ 2^(rest − rho) over all m registers
+    s_int = sum((1 << (rest - int(r))) for r in reg)
+    zeros = int(np.count_nonzero(reg == 0))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    est = alpha * HLL_M * HLL_M * float(1 << rest) / float(s_int)
+    if est <= 2.5 * HLL_M and zeros > 0:
+        est = HLL_M * math.log(HLL_M / zeros)  # linear counting
+    return pd.DataFrame({"distinct_tokens_est": [est]})
+
+
+def doc_distinct_tokens_hll_sql(sf_dir: str) -> str:
+    """Bit-exact SQL mirror of the HLL estimate: same md5-lower-64 hash
+    (md5_number_lower), same exact-integer register sum in HUGEINT, same
+    single-division / ln() float tail."""
+    from quant_feature_pipeline_ray.functions.sketches import HLL_M, HLL_P
+
+    m, rest = HLL_M, 64 - HLL_P
+    two_rest = float(1 << rest)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+), h AS (
+  SELECT md5_number_lower(token) AS h FROM toks WHERE token <> ''
+), reg AS (
+  SELECT CAST(h >> {rest} AS BIGINT) AS register,
+         CAST(h & ((CAST(1 AS UBIGINT) << {rest}) - 1) AS UBIGINT) AS w
+  FROM h
+), rho AS (
+  SELECT register,
+         MAX(CASE WHEN w = 0 THEN {rest + 1}
+                  ELSE {rest} - length(bin(w)) + 1 END) AS rho
+  FROM reg GROUP BY register
+), s AS (
+  SELECT SUM(CAST(1 AS HUGEINT) << ({rest} - rho)) AS s_nz, COUNT(*) AS n_nz
+  FROM rho
+), est AS (
+  SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)} * {two_rest}
+           / CAST(s_nz + ({m} - n_nz) * (CAST(1 AS HUGEINT) << {rest}) AS DOUBLE)
+           AS raw,
+         {m} - n_nz AS zeros
+  FROM s
+)
+SELECT CASE WHEN raw <= {2.5 * m} AND zeros > 0
+            THEN {float(m)} * ln({float(m)} / zeros)
+            ELSE raw END AS distinct_tokens_est
+FROM est"""
 
 
 def lsh_victims(
