@@ -5,8 +5,10 @@ Reference: the daily cron loop re-runs Step1 per symbol with retries
 rebuilds a micro-batch window every poll (unified_feature_pipeline.py:311-531).
 Here the unit of streaming is an arriving transcript parquet file: each new
 file under --input is fed through run_incremental_append (exact, state-
-checkpointed), and consumed inputs are recorded in the output's
-consumed_inputs.jsonl so restarts are idempotent.
+checkpointed) by scheduler.backfill_entity, and consumed inputs are recorded
+in the output's consumed_inputs.jsonl so restarts are idempotent. The
+multi-corpus cron analogue (per-entity retry/isolation) is
+scripts/backfill_all.py over the same primitive.
 
     python scripts/watch_append.py --input <dir> --out <dir> [--once] [--poll 5]
 """
@@ -20,21 +22,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def consumed_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "consumed_inputs.jsonl")
-
-
-def load_consumed(out_dir: str) -> set[str]:
-    seen = set()
-    p = consumed_path(out_dir)
-    if os.path.exists(p):
-        with open(p) as f:
-            for line in f:
-                if line.strip():
-                    seen.add(json.loads(line)["input"])
-    return seen
 
 
 def main() -> int:
@@ -59,29 +46,17 @@ def main() -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from quant_feature_pipeline_ray.manifest import (
-        load_manifest,
-        run_incremental_append,
-        run_streaming_backfill,
-    )
+    from quant_feature_pipeline_ray.scheduler import backfill_entity
 
-    os.makedirs(args.out, exist_ok=True)
     while True:
-        seen = load_consumed(args.out)
-        new = sorted(
-            os.path.join(args.input, f)
-            for f in os.listdir(args.input)
-            if f.endswith(".parquet") and os.path.join(args.input, f) not in seen
+        backfill_entity(
+            args.input,
+            args.out,
+            num_buckets=args.buckets,
+            on_applied=lambda path, res: print(
+                json.dumps({"input": os.path.basename(path), **res}), flush=True
+            ),
         )
-        for path in new:
-            bootstrap = not load_manifest(args.out)
-            if bootstrap:
-                res = run_streaming_backfill(path, args.out, num_buckets=args.buckets)
-            else:
-                res = run_incremental_append(path, args.out, num_buckets=args.buckets)
-            with open(consumed_path(args.out), "a") as f:
-                f.write(json.dumps({"input": path, "ts": time.time(), **res}) + "\n")
-            print(json.dumps({"input": os.path.basename(path), **res}), flush=True)
         if args.once:
             break
         time.sleep(args.poll)
