@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["market_share"] = tpch.market_share
     q["profit_by_nation_year"] = tpch.profit_by_nation_year
     q["priority_linestatus_mix"] = tpch.priority_linestatus_mix
+    q["priority_revenue_shuffle_join"] = tpch.priority_revenue_shuffle_join
 
     # --- training-data ops (documents / embeddings)
     q["doc_token_stats"] = td.doc_token_stats
@@ -779,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": tpch.market_share_sql(_SQL_SF_DIR),
         "profit_by_nation_year": tpch.profit_by_nation_year_sql(_SQL_SF_DIR),
         "priority_linestatus_mix": tpch.priority_linestatus_mix_sql(_SQL_SF_DIR),
+        "priority_revenue_shuffle_join": tpch.priority_revenue_shuffle_join_sql(_SQL_SF_DIR),
         "doc_bm25_topk": td.doc_bm25_topk_sql(_SQL_SF_DIR),
         "doc_perplexity": td.doc_perplexity_sql(_SQL_SF_DIR),
         "doc_model_score": td.doc_model_score_sql(_SQL_SF_DIR),

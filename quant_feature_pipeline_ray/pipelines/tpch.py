@@ -15,6 +15,8 @@ demonstrate the scale patterns SURVEY.md §4.2 calls for:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -653,7 +655,9 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{date_lo}' AND l_shipdate < TIMESTAMP '{date_hi}'"""
 
 
-def tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100) -> pd.DataFrame:
+def tpch_q18(
+    sf_dir: str, qty_threshold: int = 300, k: int = 100, broadcast_cap: int | None = None
+) -> pd.DataFrame:
     """Large-volume customers (TPC-H Q18 shape): grouped HAVING filter that
     feeds a join-back.
 
@@ -667,7 +671,15 @@ def tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100) -> pd.DataFram
                  (no shuffle); the k·dim-sized result joins customer names
                  driver-side.
     Quantities in integer centi-units so partial sums are associative and
-    the DuckDB comparison is bitwise."""
+    the DuckDB comparison is bitwise.
+
+    Guard: the driver-side collect is capped at `broadcast_cap` heavy keys
+    (default GRAFT_Q18_BROADCAST_CAP or 2M ≈ 32 MB of int64+qty on the
+    driver). An adversarially low threshold that qualifies more orders
+    flips the plan to the distributed path — stages.equi_join.hash_equi_join
+    (one hash exchange, nothing corpus-sized on the driver) + per-block
+    top-k — instead of OOMing the driver; the capped collect uses
+    limit(cap+1) so overflow detection never materializes the full set."""
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
 
     def qty_partial(batch: pa.Table) -> pd.DataFrame:
@@ -686,13 +698,51 @@ def tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100) -> pd.DataFram
         "o_orderkey",
         {"qty_c": ("qty_c", "sum")},
     )
-    heavy = per_order.filter(expr=f"qty_c > {qty_threshold * 100}").to_pandas()
-    key_ref = ray.put(np.sort(heavy["o_orderkey"].to_numpy(np.int64)))
+    heavy_ds = per_order.filter(expr=f"qty_c > {qty_threshold * 100}")
+    cap = (
+        broadcast_cap
+        if broadcast_cap is not None
+        else int(os.environ.get("GRAFT_Q18_BROADCAST_CAP", 2_000_000))
+    )
+    heavy = heavy_ds.limit(cap + 1).to_pandas()
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    if len(heavy) > cap:
+        # heavy set exceeds the driver budget: distributed hash join +
+        # per-block top-k (blocks × k rows reach the driver, never the set)
+        from quant_feature_pipeline_ray.stages.equi_join import hash_equi_join
+
+        joined = hash_equi_join(orders, heavy_ds, on="o_orderkey", how="inner")
+        picked = _topk(
+            joined.map_batches(
+                lambda b: _topk(b.to_pandas()), batch_format="pyarrow"
+            ).to_pandas()
+        ).reset_index(drop=True)
+        import pyarrow.parquet as _pq
+
+        cust = _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", picked["o_custkey"].unique().tolist())],
+        ).to_pandas()
+        out = picked.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        out["sum_qty"] = out["qty_c"] / 100.0
+        out = _topk(out).reset_index(drop=True)
+        out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+        return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+
+    key_ref = ray.put(np.sort(heavy["o_orderkey"].to_numpy(np.int64)))
 
     def pick(batch: pa.Table) -> pa.Table:
         ks = ray.get(key_ref) if isinstance(key_ref, ray.ObjectRef) else key_ref
@@ -728,6 +778,87 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > {qty_threshold * 100}
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT {k}"""
+
+
+def priority_revenue_shuffle_join(sf_dir: str) -> pd.DataFrame:
+    """Order-priority revenue via the DISTRIBUTED fact×fact hash join —
+    the one TPC-H shape where neither side fits a broadcast at 100 TB.
+
+    Plan: lineitem → per-batch combiner to (l_orderkey, l_linestatus)
+    partials (integer e4 cents so sums are associative and the DuckDB
+    comparison is bitwise) → grouped_aggregate → hash_equi_join
+    (stages/equi_join.py: ONE tagged-union hash exchange, per-partition
+    C-level merge) against pruned orders → tiny final groupby
+    (priority × linestatus ≈ 15 groups) driver-side.
+
+    Reference analogue: the reference joins per-symbol frames in ONE
+    process (unified_feature_pipeline.py merge steps); this is the same
+    logical join re-expressed so both sides stream through the exchange."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pd.DataFrame:
+        e4 = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64) * (
+            100 - np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        )
+        p = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+                "rev_e4": e4,
+                "n_items": np.int64(1),
+            }
+        )
+        return p.groupby(["o_orderkey", "l_linestatus"], as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.equi_join import hash_equi_join
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    per_order = grouped_aggregate(
+        li.map_batches(rev_partial, batch_format="pyarrow", batch_size=65536),
+        ["o_orderkey", "l_linestatus"],
+        {"rev_e4": ("rev_e4", "sum"), "n_items": ("n_items", "sum")},
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_equi_join(per_order, orders, on="o_orderkey", how="inner")
+
+    # priority×linestatus is ~15 groups: per-block partials, driver reduce.
+    # n_keys: the join emits each (orderkey, linestatus) exactly once and an
+    # orderkey has one priority, so a row COUNT per group equals
+    # COUNT(DISTINCT l_orderkey) — mergeable across blocks where nunique
+    # would not be.
+    def final_partial_exact(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_rows"] = np.int64(1)
+        return df.groupby(["o_orderpriority", "l_linestatus"], as_index=False).agg(
+            revenue_e4=("rev_e4", "sum"),
+            n_items=("n_items", "sum"),
+            n_keys=("n_rows", "sum"),
+        )
+
+    parts = joined.map_batches(final_partial_exact, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["o_orderpriority", "l_linestatus"], as_index=False).agg(
+        revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum"), n_keys=("n_keys", "sum")
+    )
+    out["revenue"] = out["revenue_e4"] / 10000.0
+    out = out.sort_values(["o_orderpriority", "l_linestatus"], ignore_index=True)
+    return out[["o_orderpriority", "l_linestatus", "revenue", "n_items", "n_keys"]]
+
+
+def priority_revenue_shuffle_join_sql(sf_dir: str) -> str:
+    e4 = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    return f"""
+SELECT o_orderpriority, l_linestatus,
+       CAST(SUM({e4}) AS BIGINT) / 10000.0 AS revenue,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT l_orderkey) AS n_keys
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_linestatus
+ORDER BY o_orderpriority, l_linestatus"""
 
 
 def tpch_q10(

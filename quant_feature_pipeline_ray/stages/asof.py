@@ -129,17 +129,14 @@ def asof_join(
 
     pd_dtype = dict(pa.schema(list(types.items())).empty_table().to_pandas().dtypes)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        side = g[_SIDE_COL].to_numpy()
-        lf = g.loc[side == 0, left_cols].reset_index(drop=True)
-        rf = g.loc[side == 1, right_cols].reset_index(drop=True)
-        # restore dtypes promoted by the union's null padding
-        for c in left_only:
-            if lf[c].dtype != pd_dtype[c]:
-                lf[c] = lf[c].astype(pd_dtype[c], copy=False)
-        for c in right_only:
-            if rf[c].dtype != pd_dtype[c]:
-                rf[c] = rf[c].astype(pd_dtype[c], copy=False)
+    def join_bucket(tbl: pa.Table) -> pd.DataFrame:
+        # split sides IN ARROW before the pandas hop: each side's own
+        # columns carry no padding nulls after the row filter, so int64
+        # keys survive without the float64 promotion (and the group never
+        # materializes as one wide object block)
+        side = tbl[_SIDE_COL].to_numpy(zero_copy_only=False)
+        lf = tbl.filter(pa.array(side == 0)).select(left_cols).to_pandas()
+        rf = tbl.filter(pa.array(side == 1)).select(right_cols).to_pandas()
         if len(lf) == 0:
             return lf
         if len(rf) == 0:
@@ -161,4 +158,4 @@ def asof_join(
                     out[name] = out[name].astype(np.int64)
         return out.drop(columns=[BUCKET_COL, _SIDE_COL], errors="ignore")
 
-    return unioned.groupby(BUCKET_COL).map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby(BUCKET_COL).map_groups(join_bucket, batch_format="pyarrow")
