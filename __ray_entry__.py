@@ -892,11 +892,11 @@ ORDER BY conv_id, turn_idx""",
         "t_role_counts": oracle.sql_role_counts(p),
         "t_session_stats": oracle.sql_session_stats(p),
         "t_conv_rollup": oracle.sql_conv_rollup(p),
-        "t_conv_fingerprint": oracle.base_cte(p) + """
+        "t_conv_fingerprint": oracle.base_cte(p, with_text=True) + """
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fingerprint
 FROM t GROUP BY conv_id ORDER BY conv_id""",
-        "t_regex_tokens": oracle.base_cte(p)
+        "t_regex_tokens": oracle.base_cte(p, with_text=True)
         + r"""
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re

@@ -16,20 +16,30 @@ from __future__ import annotations
 from quant_feature_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
 
 
-def base_cte(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+def base_cte(
+    path: str, cfg: FeatureConfig = DEFAULT_CONFIG, *, with_text: bool = False
+) -> str:
+    """`with_text=False` (default) computes `text_len` before the dedup and
+    drops the raw `text` column so DuckDB never carries document bytes
+    through the three window passes — ~3x faster on every oracle that only
+    needs lengths. Oracles that emit or regex the text itself pass
+    `with_text=True`; the keep-last dedup semantics are identical either
+    way (same partition/order keys)."""
     import os
 
     if os.path.isdir(path):
         path = os.path.join(path, "*.parquet")
     gap_us = int(cfg.session_gap_s * 1e6)
+    text_raw = "text, " if with_text else ""
+    text_t0 = "text, " if with_text else ""
     return f"""
 WITH raw AS (
-  SELECT conv_id, turn_idx, role, text, tool, ts
+  SELECT conv_id, turn_idx, role, {text_raw}length(text) AS text_len, tool, ts
   FROM read_parquet('{path}')
   QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC) = 1
 ), t0 AS (
-  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, role, tool, text,
-         length(text) AS text_len,
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, role, tool, {text_t0}
+         text_len,
          CAST(CASE WHEN tool <> '' THEN 1 ELSE 0 END AS BIGINT) AS is_tool,
          COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS dt_us,
          CAST(CASE WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS BIGINT) AS role_change,
@@ -50,7 +60,7 @@ WITH raw AS (
 
 def sql_turn_base(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
     """dedup + latency + sessionize + cumulative counters (M4/M8/W10)."""
-    return base_cte(path, cfg) + """
+    return base_cte(path, cfg, with_text=True) + """
 SELECT conv_id, turn_idx, ts_us, role, tool, text, text_len, is_tool,
        role_change, cum_turns, dt_us / 1000000.0 AS dt_secs, session_id,
        CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) AS BIGINT) AS session_turn
@@ -322,7 +332,7 @@ def sql_asof_features(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
             f"ASOF LEFT JOIN w{ws} ON t.conv_id = w{ws}.conv_id AND t.ts_us >= w{ws}.w_end_us"
         )
     return (
-        base_cte(path, cfg)
+        base_cte(path, cfg, with_text=True)
         + ", "
         + ", ".join(ctes)
         + "\nSELECT t.conv_id, t.turn_idx, t.ts_us, t.text, "
