@@ -616,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_simhash"] = td.doc_simhash
     q["doc_simhash_pairs"] = td.doc_simhash_pairs
     q["doc_fingerprint"] = td.doc_fingerprint
+    # winnowing (MOSS) local fingerprints: window-min of k-gram hashes
+    q["doc_winnow"] = td.doc_winnow
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
@@ -808,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (pytest-pinned); doc_fingerprint promoted round 4
         # (list_reduce FNV-1a mirror, exact)
         "doc_fingerprint": td.doc_fingerprint_sql(_SQL_SF_DIR),
+        "doc_winnow": td.doc_winnow_sql(_SQL_SF_DIR),
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
         "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),

@@ -74,6 +74,29 @@ def lang_scores(texts: pd.Series) -> pd.DataFrame:
     return df
 
 
+def token_fnv64(
+    tokens: list[str], prime: int = 1099511628211, offset: int = 1469598103934665603
+) -> np.ndarray:
+    """Per-TOKEN FNV-1a 64-bit hash (token bytes + the 0x20 separator —
+    one step of fingerprint64's stream), vectorized across the whole
+    token list: the loop runs over byte POSITIONS (max token length,
+    ~10-20 iterations), each iteration a numpy op over every token at
+    once. uint64 multiply wraps mod 2^64 natively."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    encs = [t.encode() for t in tokens]
+    lengths = np.fromiter((len(e) + 1 for e in encs), dtype=np.int64, count=len(encs))
+    buf = np.frombuffer(b" ".join(encs) + b" ", dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
+    h = np.full(len(encs), offset, dtype=np.uint64)
+    p = np.uint64(prime)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        b = buf[starts[m] + j].astype(np.uint64)
+        h[m] = (h[m] ^ b) * p
+    return h
+
+
 def fingerprint64(texts: pd.Series, prime: int = 1099511628211, offset: int = 1469598103934665603) -> np.ndarray:
     """FNV-1a-style rolling 64-bit fingerprint over the token stream —
     order-sensitive document fingerprint (reference analogue: schema_sha

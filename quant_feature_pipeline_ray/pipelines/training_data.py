@@ -1722,6 +1722,148 @@ SELECT doc_id,
 FROM fp"""
 
 
+# ----------------------------------------------- winnowing fingerprints
+_WIN_PRIME = 1099511628211  # FNV prime — doubles as the Horner base
+_WIN_OFFSET = 1469598103934665603
+_WIN_MOD = 1 << 64
+
+
+def doc_winnow(sf_dir: str, k: int = 4, w: int = 5) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-token gram, slide a
+    w-gram window, record the window minimum (rightmost on ties). The
+    guarantee: any shared token run of >= w+k-1 tokens between two
+    documents shares at least one fingerprint, while only ~2/(w+1) of
+    gram hashes are kept — the classic local fingerprinting scheme next
+    to minhash (set-level) and simhash (vector-level).
+
+    Exactness chain (both sides bit-identical):
+      token hash = FNV-1a over token bytes + 0x20 (one step of the
+      fingerprint64 stream; textstats.token_fnv64, vectorized over byte
+      positions), k-gram hash = Horner fold g = g*FNV_PRIME + th mod 2^64
+      (numpy uint64 wrap == the oracle's stepwise-%% HUGEINT chain), and
+      the rightmost-tie argmin == the oracle's MIN over the composite
+      key g*2^20 + (2^20-1 - pos).
+
+    Scale: a STATELESS linear map — no exchange, text never leaves the
+    scan task, output is ~2/(w+1) of gram positions. Positions are
+    capped at 2^20 grams/doc only by the ORACLE's key packing; the
+    engine itself has no cap."""
+    from quant_feature_pipeline_ray.functions.textstats import token_fnv64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = np.uint64(_WIN_PRIME)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        tok_lists = [t.split(" ") for t in texts]
+        n_t = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=doc_ids.dtype),
+                "pos": np.empty(0, dtype=np.int64),
+                "fp64": np.empty(0, dtype=np.int64),
+            }
+        )
+        if len(texts) == 0 or int(n_t.sum()) == 0:
+            return empty
+        th = token_fnv64([t for toks in tok_lists for t in toks])
+        # per-doc gram counts; docs shorter than k tokens emit nothing
+        n_g = np.maximum(n_t - (k - 1), 0)
+        keep_doc = n_g > 0
+        if not keep_doc.any():
+            return empty
+        tok_start = np.concatenate(([0], np.cumsum(n_t[:-1])))
+        # flat gram table: doc row index + gram index within doc
+        doc_of = np.repeat(np.arange(len(texts)), n_g)
+        e = np.concatenate([np.arange(int(c)) for c in n_g[keep_doc]])
+        base = tok_start[doc_of] + e  # flat index of the gram's first token
+        # Horner fold over the k member tokens (wrapping uint64)
+        g = th[base].copy()
+        for j in range(1, k):
+            g = g * A + th[base + j]
+        # windowed min, RIGHTMOST tie: scan backwards, strictly-less wins
+        best = g.copy()
+        best_e = e.copy()
+        for j in range(1, min(w, len(g))):
+            better = np.zeros(len(g), dtype=bool)
+            better[j:] = g[:-j] < best[j:]
+            better &= e >= j  # window never crosses the doc start
+            best[better] = g[np.flatnonzero(better) - j]
+            best_e[better] = e[better] - j
+        ng_of = n_g[doc_of]
+        sel = (e >= w - 1) | (e == ng_of - 1)  # full windows; one partial if n_g < w
+        sel_doc, sel_e = doc_of[sel], best_e[sel]
+        # dedup (doc, pos): consecutive windows reselect the same gram
+        key = sel_doc.astype(np.int64) * (1 << 32) + sel_e
+        _, first = np.unique(key, return_index=True)
+        sel_doc, sel_e = sel_doc[first], sel_e[first]
+        flat = tok_start[sel_doc] + sel_e
+        fp = th[flat].copy()
+        for j in range(1, k):
+            fp = fp * A + th[flat + j]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[sel_doc],
+                "pos": sel_e.astype(np.int64),
+                "fp64": fp.view(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_winnow_sql(sf_dir: str, k: int = 4, w: int = 5) -> str:
+    """Exact DuckDB mirror: per-token FNV via list_reduce (HUGEINT
+    mod-2^64, the doc_fingerprint discipline — exact for the ASCII
+    corpus), k-gram Horner with stepwise %% (congruent to the engine's
+    wrap-every-op), window MIN over the composite key g*2^20 +
+    (2^20-1-e) whose tie direction IS rightmost-pos."""
+    M = _WIN_MOD
+    horner = "CAST(th0 AS HUGEINT)"
+    for j in range(1, k):
+        horner = f"((({horner} * {_WIN_PRIME}) % {M}) + CAST(th{j} AS HUGEINT))"
+    leads = ",\n         ".join(
+        f"lead(th0, {j}) OVER (PARTITION BY doc_id ORDER BY tpos) AS th{j}"
+        for j in range(1, k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tl) || ' ' AS tok,
+         CAST(unnest(range(len(tl))) AS BIGINT) AS tpos
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+), th AS (
+  SELECT doc_id, tpos, list_reduce(
+    list_prepend(CAST({_WIN_OFFSET} AS UBIGINT),
+      list_transform(range(1, octet_length(encode(tok)) + 1),
+                     i -> CAST(unicode(tok[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * {_WIN_PRIME}) % {M} AS UBIGINT)
+  ) AS th0 FROM toks
+), lagged AS (
+  SELECT doc_id, tpos AS e, th0,
+         {leads}
+  FROM th
+), grams AS (
+  SELECT doc_id, e, ({horner}) % {M} AS g
+  FROM lagged WHERE th{k - 1} IS NOT NULL
+), win AS (
+  SELECT doc_id, e,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+         MIN(g * 1048576 + (1048575 - e))
+           OVER (PARTITION BY doc_id ORDER BY e
+                 ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mk
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - (mk % 1048576) AS BIGINT) AS pos,
+       CAST(CASE WHEN (mk // 1048576) >= 9223372036854775808
+                 THEN (mk // 1048576) - {M}
+                 ELSE (mk // 1048576) END AS BIGINT) AS fp64
+FROM win WHERE e >= {w - 1} OR e = ng - 1
+ORDER BY doc_id, pos"""
+
+
 # ------------------------------------------- random-hyperplane LSH near-dup
 def emb_hyperplane_lsh(
     sf_dir: str,
