@@ -1864,6 +1864,156 @@ FROM win WHERE e >= {w - 1} OR e = ng - 1
 ORDER BY doc_id, pos"""
 
 
+# ---------------------------------------- duplicated-span removal (rewrite)
+def doc_strip_dup_spans(
+    sf_dir: str, n: int = 5, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """REMOVE duplicated spans from the corpus (the Lee-et-al
+    "Deduplicating Training Data Makes LMs Better" ExactSubstr rewrite —
+    not just the dup-fraction score that doc_ngram_dup_frac reports):
+    every token covered by an n-gram occurring >= 2 times anywhere in the
+    corpus (cross-doc OR self-repetition) is dropped, and the document is
+    re-emitted as cleaned text plus a removed-token count.
+
+    Dataflow (TWO fixed-width exchanges + one doc_id equi-join; the text
+    column crosses the wire exactly once, inside the join):
+      map        → tokenize, per-token FNV (textstats.token_fnv64), n-gram
+                   Horner hash mod 2^64 — the winnowing hash chain, so the
+                   oracle groups by the IDENTICAL 64-bit value and even
+                   hash collisions reproduce (no string/hash grouping bias)
+      exchange 1 (by gram hash) → groups with total count >= 2 emit their
+                   (doc_id, pos) members — output is dup positions only
+      exchange 2 (by doc_id)    → dup starts packed into ONE comma-joined
+                   string row per doc (fixed small rows; pandas-merge-safe
+                   through the tagged-union join, unlike a list column)
+      join       → hash_equi_join(documents, packed, how='left') — both
+                   sides can be corpus-scale, no broadcast
+      map        → coverage via diff-array cumsum (np.add.at), rebuild
+                   text from kept tokens.
+    """
+    from quant_feature_pipeline_ray.functions.textstats import token_fnv64
+    from quant_feature_pipeline_ray.stages.equi_join import hash_equi_join
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = np.uint64(_WIN_PRIME)
+
+    def gram_stage(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        tok_lists = [t.split(" ") for t in texts]
+        n_t = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        n_g = np.maximum(n_t - (n - 1), 0)
+        if len(texts) == 0 or int(n_g.sum()) == 0:
+            return pd.DataFrame(
+                {
+                    "g": np.empty(0, dtype=np.int64),
+                    "doc_id": np.empty(0, dtype=doc_ids.dtype),
+                    "pos": np.empty(0, dtype=np.int64),
+                }
+            )
+        th = token_fnv64([t for toks in tok_lists for t in toks])
+        tok_start = np.concatenate(([0], np.cumsum(n_t[:-1])))
+        doc_of = np.repeat(np.arange(len(texts)), n_g)
+        e = np.concatenate([np.arange(int(c)) for c in n_g[n_g > 0]])
+        base = tok_start[doc_of] + e
+        g = th[base].copy()
+        for j in range(1, n):
+            g = g * A + th[base + j]
+        return pd.DataFrame(
+            {"g": g.view(np.int64), "doc_id": doc_ids[doc_of], "pos": e}
+        )
+
+    grams = ds.map_batches(gram_stage, batch_format="pyarrow")
+
+    def dup_members(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("g")["g"].transform("size")
+        return df.loc[c.to_numpy() >= 2, ["doc_id", "pos"]]
+
+    dups = partition_map_groups(grams, dup_members, key="g", num_buckets=num_partitions)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["doc_id", "pos"]).groupby("doc_id")["pos"]
+        out = s.agg(lambda v: ",".join(map(str, v))).reset_index()
+        return out.rename(columns={"pos": "dup_pos"})
+
+    packed = partition_map_groups(dups, pack, key="doc_id", num_buckets=num_partitions)
+    joined = hash_equi_join(ds, packed, on="doc_id", how="left", num_partitions=num_partitions)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        dup_pos = df["dup_pos"].to_numpy()
+        clean = np.empty(len(df), dtype=object)
+        removed = np.zeros(len(df), dtype=np.int64)
+        for i, (t, ps) in enumerate(zip(texts, dup_pos)):
+            if not isinstance(ps, str) or ps == "":
+                clean[i] = t  # no dup spans: ' '.join(split) is identity
+                continue
+            toks = t.split(" ")
+            starts = np.array(ps.split(","), dtype=np.int64)
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + n, len(toks)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            removed[i] = int(covered.sum())
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            clean[i] = " ".join(kept)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "text_clean": clean, "n_removed": removed}
+        )
+
+    return joined.map_batches(rebuild, batch_format="pandas")
+
+
+def doc_strip_dup_spans_sql(sf_dir: str, n: int = 5) -> str:
+    """Exact DuckDB mirror: the winnowing FNV/Horner hash chain, dup = any
+    gram-hash with global COUNT >= 2, coverage = dup starts exploded over
+    range(n), rebuild = ordered string_agg over uncovered tokens."""
+    M = _WIN_MOD
+    horner = "CAST(th0 AS HUGEINT)"
+    for j in range(1, n):
+        horner = f"((({horner} * {_WIN_PRIME}) % {M}) + CAST(th{j} AS HUGEINT))"
+    leads = ",\n         ".join(
+        f"lead(th0, {j}) OVER (PARTITION BY doc_id ORDER BY tpos) AS th{j}"
+        for j in range(1, n)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tl) AS tok,
+         CAST(unnest(range(len(tl))) AS BIGINT) AS tpos
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+), th AS (
+  SELECT doc_id, tok, tpos, list_reduce(
+    list_prepend(CAST({_WIN_OFFSET} AS UBIGINT),
+      list_transform(range(1, octet_length(encode(tok || ' ')) + 1),
+                     i -> CAST(unicode((tok || ' ')[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * {_WIN_PRIME}) % {M} AS UBIGINT)
+  ) AS th0 FROM toks
+), lagged AS (
+  SELECT doc_id, tpos AS e, th0,
+         {leads}
+  FROM th
+), grams AS (
+  SELECT doc_id, e, ({horner}) % {M} AS g
+  FROM lagged WHERE th{n - 1} IS NOT NULL
+), dup AS (
+  SELECT doc_id, e FROM (
+    SELECT doc_id, e, COUNT(*) OVER (PARTITION BY g) AS c FROM grams
+  ) WHERE c >= 2
+), cov AS (
+  SELECT DISTINCT dup.doc_id, dup.e + u.u AS tpos
+  FROM dup, (SELECT unnest(range({n})) AS u) u
+), rebuilt AS (
+  SELECT t.doc_id,
+         COALESCE(string_agg(CASE WHEN c.tpos IS NULL THEN t.tok END,
+                             ' ' ORDER BY t.tpos), '') AS text_clean,
+         CAST(COUNT(c.tpos) AS BIGINT) AS n_removed
+  FROM th t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  GROUP BY t.doc_id
+)
+SELECT doc_id, text_clean, n_removed FROM rebuilt ORDER BY doc_id"""
+
+
 # ------------------------------------------- random-hyperplane LSH near-dup
 def emb_hyperplane_lsh(
     sf_dir: str,
