@@ -621,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Lee-et-al ExactSubstr REWRITE: drop tokens covered by any n-gram
     # occurring >= 2 times corpus-wide, re-emit cleaned text
     q["doc_strip_dup_spans"] = td.doc_strip_dup_spans
+    # Achlioptas ±1 JL projection over fixed-point embeddings (hash-derived
+    # sign matrix — nothing to broadcast, integer-exact)
+    q["emb_jl_project"] = td.emb_jl_project
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
@@ -815,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": td.doc_fingerprint_sql(_SQL_SF_DIR),
         "doc_winnow": td.doc_winnow_sql(_SQL_SF_DIR),
         "doc_strip_dup_spans": td.doc_strip_dup_spans_sql(_SQL_SF_DIR),
+        "emb_jl_project": td.emb_jl_project_sql(_SQL_SF_DIR),
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
         "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),

@@ -6168,6 +6168,72 @@ FROM ex e JOIN sc USING (dim)
 ORDER BY vec_id, dim"""
 
 
+# --------------------------------- Johnson-Lindenstrauss sign projection
+_JL_GOLD = 0x9E3779B97F4A7C15
+_JL_SCALE = 65536.0  # 2^16 fixed-point quantization
+
+
+def emb_jl_project(sf_dir: str, m: int = 16, batch_size: int = 2048) -> ray.data.Dataset:
+    """Dimensionality reduction by a ±1 sign projection (Achlioptas JCSS'03
+    database-friendly Johnson-Lindenstrauss): y_j = Σ_i sign(j,i)·q_i over
+    the 2^16-fixed-point embedding — the cheap pre-pass that shrinks
+    vectors before dedup/clustering at corpus scale.
+
+    There is no projection matrix to ship at all: sign(j,i) is derived
+    from the multiplicative hash ((j-1)·D + i)·GOLDEN mod 2^64 (top bit),
+    so every task — and the SQL oracle — regenerates the identical matrix
+    from two integers. Quantization makes the reduction an INTEGER sum
+    (order-free, D·2^17 << 2^63), which is what lets the oracle replay the
+    projection exactly; the float rounding step floor(v·2^16 + 0.5) is the
+    single shared IEEE expression.
+
+    Scale: stateless linear map, no exchange, no broadcast; output m
+    numbers per vector."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        q = np.floor(mat * _JL_SCALE + 0.5).astype(np.int64)
+        idx = (
+            np.arange(1, m * d + 1, dtype=np.uint64).reshape(m, d)
+            * np.uint64(_JL_GOLD)
+        )
+        signs = np.where(idx < np.uint64(1 << 63), 1, -1).astype(np.int64)
+        y = q @ signs.T  # exact int64: |q| <= ~2^17, d = 64
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), m),
+                "jdim": np.tile(np.arange(1, m + 1, dtype=np.int64), n),
+                "y": y.ravel(),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=batch_size)
+
+
+def emb_jl_project_sql(sf_dir: str, m: int = 16) -> str:
+    return f"""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_JL_SCALE} + 0.5) AS BIGINT) AS q,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         len(embedding) AS d
+  FROM embeddings
+), terms AS (
+  SELECT vec_id, j.j, q,
+         CASE WHEN CAST(((CAST((j.j - 1) AS HUGEINT) * d + i) * {_JL_GOLD})
+                        % 18446744073709551616 AS UBIGINT)
+                   < CAST(9223372036854775808 AS UBIGINT)
+              THEN 1 ELSE -1 END AS sgn
+  FROM ex, (SELECT unnest(range(1, {m} + 1)) AS j) j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS jdim, CAST(SUM(sgn * q) AS BIGINT) AS y
+FROM terms GROUP BY vec_id, j
+ORDER BY vec_id, jdim"""
+
+
 # ------------------------------------------------- greedy k-center coreset
 def emb_kcenter_sample(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """Greedy k-center (Gonzalez'85) coreset selection over the embedding
