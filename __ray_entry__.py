@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_byte_features"] = mm.media_byte_features
     q["media_frame_sample"] = mm.media_frame_sample
     q["media_resize"] = mm.media_resize
+    # perceptual average-hash dedup key over the binary payload
+    q["media_ahash"] = mm.media_ahash
     q["customers_without_orders"] = tpch.customers_without_orders
     q["waiting_suppliers"] = tpch.waiting_suppliers
 
@@ -920,7 +922,10 @@ FROM t ORDER BY conv_id, turn_idx""",
         "media_frame_sample": _mm.media_frame_sample_sql(_SQL_SF_DIR),
         "media_resize": _mm.media_resize_sql(_SQL_SF_DIR),
         "customers_without_orders": tpch.customers_without_orders_sql(_SQL_SF_DIR),
-        # media_byte_features: binary histogram not ANSI-SQL-expressible → rows-only
+        # round 4: byte-level blob access cracked via hex(payload) → both
+        # binary-payload aggregates now carry exact oracles
+        "media_byte_features": _mm.media_byte_features_sql(_SQL_SF_DIR),
+        "media_ahash": _mm.media_ahash_sql(_SQL_SF_DIR),
     }
 
 

@@ -145,6 +145,134 @@ def media_byte_features(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(ByteHistogram, batch_format="pyarrow", batch_size=256, concurrency=2)
 
 
+class AHash:
+    """Perceptual average-hash over the payload body (the aHash
+    near-duplicate key every image-dedup pipeline computes): split the
+    body into `cells` contiguous ranges, set bit c iff the cell's mean
+    byte exceeds the global mean. ALL-INTEGER comparison
+    (cell_sum·L > total_sum·cell_len — no division, so the SQL oracle is
+    bit-exact), cell sums via one prefix-sum per batch (no per-cell
+    scans). The pixel DECODE is the honest stub (no PIL in this
+    container); a real deployment hashes the decoded luma grid instead of
+    raw body bytes — the dataflow (actor pool, small binary batches, one
+    int64 key out) is identical."""
+
+    def __init__(self, cells: int = 64):
+        self.cells = cells
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        C = self.cells
+        payloads = batch["payload"].to_pylist()
+        bodies = [p[8:] for p in payloads]
+        lens = np.asarray([len(b) for b in bodies], dtype=np.int64)
+        buf = np.frombuffer(b"".join(bodies), dtype=np.uint8)
+        starts = np.zeros(len(bodies), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        pref = np.zeros(len(buf) + 1, dtype=np.int64)
+        pref[1:] = np.cumsum(buf, dtype=np.int64)
+        # per-media cell boundaries: off[m, c] = ceil(c * L_m / C) — the
+        # boundary vector whose cells equal the per-byte floor(i*C/L)
+        # assignment the oracle uses (identity checked in tests)
+        c_idx = np.arange(C + 1, dtype=np.int64)
+        off = -((-(lens[:, None] * c_idx[None, :])) // C)  # (M, C+1)
+        abs_off = starts[:, None] + off
+        cell_sum = pref[abs_off[:, 1:]] - pref[abs_off[:, :-1]]
+        cell_len = off[:, 1:] - off[:, :-1]
+        total = pref[starts + lens] - pref[starts]
+        bits = (cell_sum * lens[:, None]) > (total[:, None] * cell_len)
+        weights = (np.uint64(1) << np.arange(C, dtype=np.uint64))[None, :]
+        ahash = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "ahash64": ahash.view(np.int64),
+                "body_bytes": lens,
+            }
+        )
+
+
+def media_ahash(sf_dir: str, cells: int = 64) -> ray.data.Dataset:
+    """Perceptual-dup key per media row (group equal ahash64 downstream for
+    exact perceptual dedup; hamming-ball pairs reuse the simhash banding)."""
+    ds = ray.data.read_parquet(ensure_media(sf_dir), columns=["media_id", "payload"])
+    return ds.map_batches(AHash(cells), batch_format="pyarrow", batch_size=256, concurrency=2)
+
+
+_SQL_BYTES = """
+  SELECT media_id, body_len, unnest(bts) AS v,
+         CAST(unnest(range(body_len)) AS BIGINT) AS i
+  FROM (
+    SELECT media_id, octet_length(payload) - 8 AS body_len,
+           [16*(instr('0123456789ABCDEF', substr(hex(payload), 2*j+1, 1))-1)
+              + (instr('0123456789ABCDEF', substr(hex(payload), 2*j+2, 1))-1)
+            for j in range(8, octet_length(payload))] AS bts
+    FROM read_parquet('{path}')
+  )"""
+
+
+def media_ahash_sql(sf_dir: str, cells: int = 64) -> str:
+    """Exact mirror: body bytes recovered from hex(payload) (2 hex chars
+    per byte, body starts at byte 8), identical integer cell boundaries
+    floor(c·L/C) and the division-free threshold; the 64-bit key assembled
+    in HUGEINT then wrapped to the engine's signed view."""
+    return f"""
+WITH b AS ({_SQL_BYTES.format(path=media_path(sf_dir))}
+), bytes AS (
+  SELECT media_id, body_len, i, v,
+         (i * {cells}) // NULLIF(body_len, 0) AS cell
+  FROM b
+), cells AS (
+  SELECT media_id, body_len, cell,
+         SUM(v) AS cell_sum, COUNT(*) AS cell_len,
+         SUM(SUM(v)) OVER (PARTITION BY media_id) AS total
+  FROM bytes GROUP BY media_id, body_len, cell
+), bits AS (
+  SELECT media_id,
+         SUM(CASE WHEN cell_sum * body_len > total * cell_len
+                  THEN {"[" + ",".join(str(1 << c) for c in range(cells)) + "]"}[CAST(cell AS INT) + 1]
+                  ELSE CAST(0 AS HUGEINT) END) AS h
+  FROM cells GROUP BY media_id
+), allm AS (
+  SELECT media_id, octet_length(payload) - 8 AS body_bytes
+  FROM read_parquet('{media_path(sf_dir)}')
+)
+SELECT a.media_id,
+       CAST(CASE WHEN COALESCE(h, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN COALESCE(h, 0) - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE COALESCE(h, 0) END AS BIGINT) AS ahash64,
+       CAST(a.body_bytes AS BIGINT) AS body_bytes
+FROM allm a LEFT JOIN bits USING (media_id)
+ORDER BY media_id"""
+
+
+def media_byte_features_sql(sf_dir: str) -> str:
+    """Exact mirror of ByteHistogram (promoted from rows-only round 4 by
+    the hex(payload) byte recovery): 16-bin high-nibble histogram + byte
+    sum per media."""
+    hist_cols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN v // 16 = {b} THEN 1 END), 0) AS BIGINT) AS hist_{b:02d}"
+        for b in range(16)
+    )
+    return f"""
+WITH b AS ({_SQL_BYTES.format(path=media_path(sf_dir))}
+), bytes AS (
+  SELECT media_id, body_len, v FROM b
+), agg AS (
+  SELECT media_id,
+       {hist_cols},
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS byte_sum
+  FROM bytes GROUP BY media_id
+), allm AS (
+  SELECT media_id, CAST(octet_length(payload) - 8 AS BIGINT) AS body_bytes
+  FROM read_parquet('{media_path(sf_dir)}')
+)
+SELECT a.media_id, a.body_bytes AS body_bytes,
+       {", ".join(f"COALESCE(hist_{b:02d}, 0) AS hist_{b:02d}" for b in range(16))},
+       COALESCE(byte_sum, 0) AS byte_sum
+FROM allm a LEFT JOIN agg USING (media_id)
+ORDER BY media_id"""
+
+
 class ResizeStub:
     """Actor-pool resize stage (codec STUBBED — deterministic downsample).
 
