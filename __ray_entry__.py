@@ -531,6 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_rank_topn"] = lambda sf: ev.events_rank_topn(f"{sf}/events.parquet")
     q["e_distinct_users"] = lambda sf: ev.events_distinct_users(f"{sf}/events.parquet")
     q["e_grouped_quantiles"] = lambda sf: ev.events_grouped_quantiles(f"{sf}/events.parquet")
+    # exact weighted quantiles (no DuckDB builtin — oracle spells out the
+    # cumulative-weight definition; integer comparisons only)
+    q["e_weighted_quantiles"] = lambda sf: ev.events_weighted_quantiles(f"{sf}/events.parquet")
     q["e_funnel"] = lambda sf: ev.events_funnel(f"{sf}/events.parquet")
     q["e_attribution"] = lambda sf: ev.events_attribution(f"{sf}/events.parquet")
     # m:n time-bounded stream-stream join (Flink intervalJoin shape)
@@ -752,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "e_rank_topn": ev.events_rank_topn_sql(),
         "e_distinct_users": ev.events_distinct_users_sql(),
         "e_grouped_quantiles": ev.events_grouped_quantiles_sql(),
+        "e_weighted_quantiles": ev.events_weighted_quantiles_sql(),
         "e_funnel": ev.events_funnel_sql(),
         "e_attribution": ev.events_attribution_sql(),
         "e_stream_join": ev.events_stream_join_sql(),

@@ -606,6 +606,77 @@ def events_grouped_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9)) -> str:
     return f"SELECT event_type, {cols} FROM events GROUP BY event_type ORDER BY event_type"
 
 
+_WQ = ((1, 2), (9, 10))  # rational quantiles: exact integer comparisons
+
+
+def events_weighted_quantiles(path: str, qs=_WQ) -> pd.DataFrame:
+    """Exact per-group WEIGHTED quantiles (lower weighted quantile: the
+    smallest value whose cumulative weight reaches q·W) — the primitive
+    DuckDB has no builtin for, so the oracle spells out the same
+    cumulative-weight definition. Weight = user_id % 10 + 1 (an integer
+    importance stand-in), quantiles given as rationals so the pick is an
+    INTEGER comparison cw·den >= W·num on both sides — no float
+    interpolation anywhere.
+
+    Scale shape = events_grouped_quantiles: per-batch (group, value)
+    weight partials (combiner collapses duplicates), ONE composite-key
+    grouped_aggregate, driver walks each group's cardinality-bounded
+    histogram."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "v": batch["value"].to_numpy(),
+                "w": batch["user_id"].to_numpy() % 10 + 1,
+            }
+        )
+        return df.groupby(["event_type", "v"], as_index=False)["w"].sum()
+
+    hist = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "v"],
+            {"w": ("w", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "v"], ignore_index=True)
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["v"].to_numpy()
+        cw = np.cumsum(g["w"].to_numpy(dtype=np.int64))
+        W = int(cw[-1])
+        row = {"event_type": et}
+        for num, den in qs:
+            row[f"wq{num * 100 // den}"] = float(vals[np.searchsorted(cw * den, W * num)])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def events_weighted_quantiles_sql(qs=_WQ) -> str:
+    picks = ",\n  ".join(
+        f"MIN(value) FILTER (WHERE cw * {den} >= tw * {num}) AS wq{num * 100 // den}"
+        for num, den in qs
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type, value, SUM(user_id % 10 + 1) AS w
+  FROM events GROUP BY event_type, value
+), c AS (
+  SELECT event_type, value,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM g
+)
+SELECT event_type,
+  {picks}
+FROM c GROUP BY event_type ORDER BY event_type"""
+
+
 def events_funnel(path: str, num_buckets: int = 32) -> ray.data.Dataset:
     """Ordered conversion funnel per user: first 'view', then the first
     'click' strictly after it, then the first 'purchase' strictly after
