@@ -5431,6 +5431,82 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
+def doc_ccnet_buckets(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """CCNet head/middle/tail quality routing (Wenzek et al. 2020 — the
+    bucketing LLaMA-style data recipes train from): per LANGUAGE, rank
+    documents by bigram-LM perplexity and cut into terciles; 'head' is the
+    most-fluent third.
+
+    Rank-based terciles with a deterministic (ppl, doc_id) tie-break make
+    the assignment exact (no float quantile interpolation), so the oracle
+    replays it with one window pass. Dataflow: the doc_perplexity scan
+    (one bounded-vocab LM exchange + stateless scoring), one doc_id
+    equi-join to pick up `lang`, one lang-keyed exchange for the
+    per-language rank. At open-corpus scale the rank exchange is the
+    documented trade: per-lang partitions sort only their own language —
+    swap to two-pass q-digest THRESHOLDS (then a stateless compare) when a
+    single language exceeds a partition, same recipe as
+    stages/normalize.py's calibration."""
+    from quant_feature_pipeline_ray.stages.equi_join import hash_equi_join
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    ppl = doc_perplexity(sf_dir)
+    langs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = hash_equi_join(ppl, langs, on="doc_id", how="inner", num_partitions=num_partitions)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["ppl", "doc_id"], ignore_index=True)
+            rn = np.arange(len(g), dtype=np.int64)
+            idx = rn * 3 // len(g)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"],
+                        "lang": lang,
+                        "ppl": g["ppl"],
+                        "bucket": np.array(["head", "middle", "tail"], dtype=object)[idx],
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "lang": pd.Series(dtype=object),
+                    "ppl": pd.Series(dtype=np.float64),
+                    "bucket": pd.Series(dtype=object),
+                }
+            )
+        )
+
+    return partition_map_groups(
+        joined.select_columns(["doc_id", "lang", "ppl"]),
+        bucketize,
+        key="lang",
+        num_buckets=num_partitions,
+    )
+
+
+def doc_ccnet_buckets_sql(sf_dir: str) -> str:
+    return f"""
+WITH p AS ({doc_perplexity_sql(sf_dir)}
+), j AS (
+  SELECT p.doc_id, d.lang, p.ppl
+  FROM p JOIN documents d USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM j
+)
+SELECT doc_id, lang, ppl,
+       ['head', 'middle', 'tail'][CAST((rn * 3) // cnt AS INT) + 1] AS bucket
+FROM r ORDER BY doc_id"""
+
+
 # ------------------------------------------- model-scoring actor pool
 def doc_model_score(
     sf_dir: str, n_buckets: int = 64, scale: int = 8, concurrency: int = 2
