@@ -629,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_jl_project"] = td.emb_jl_project
     # CCNet head/middle/tail perplexity terciles per language
     q["doc_ccnet_buckets"] = td.doc_ccnet_buckets
+    # stupid-backoff trigram LM scoring (Brants et al. 2007)
+    q["doc_backoff_trigram"] = td.doc_backoff_trigram
     q["doc_quality_filter"] = td.doc_quality_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
@@ -832,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_strip_dup_spans": td.doc_strip_dup_spans_sql(_SQL_SF_DIR),
         "emb_jl_project": td.emb_jl_project_sql(_SQL_SF_DIR),
         "doc_ccnet_buckets": td.doc_ccnet_buckets_sql(_SQL_SF_DIR),
+        "doc_backoff_trigram": td.doc_backoff_trigram_sql(_SQL_SF_DIR),
         "doc_ngram_dup_frac": td.doc_ngram_dup_frac_sql(_SQL_SF_DIR),
         "doc_heavy_hitters": td.doc_heavy_hitters_sql(_SQL_SF_DIR),
         "doc_chunk": td.doc_chunk_sql(_SQL_SF_DIR),

@@ -5431,6 +5431,195 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
+def doc_backoff_trigram(sf_dir: str, alpha: float = 0.4) -> ray.data.Dataset:
+    """Per-document mean log-score under a STUPID BACKOFF trigram LM
+    (Brants et al. EMNLP'07 "Large Language Models in Machine Translation"
+    — the canonical distributed count-based LM, built exactly this way:
+    distributed n-gram counts, then stateless scoring):
+
+        S(w3|w1 w2) = c123/c12                if c123 > 0
+                    = α · c23/c2              elif c23 > 0
+                    = α² · (c3+1)/(N+V)       else  (add-one floor: OOV w3
+                                                     must not hit ln 0)
+        score(doc)  = round(mean over the doc's trigrams of ln S, 6)
+
+    The LM is trained on the REFERENCE HALF of the corpus (md5(doc_id)
+    even — the doc_stratified_sample hash discipline) and scores ALL
+    docs: scoring a corpus against counts from the same corpus would make
+    every trigram "seen" and the backoff branches dead code.
+
+    Scale shape = doc_perplexity: the 1/2/3-gram count tables are built by
+    per-batch combiners through ONE hash exchange each (vocabulary-bounded
+    here; count-pruned before broadcast at open vocabulary — Brants'
+    own recipe), then scoring is a stateless vectorized scan, no second
+    exchange. Docs with < 3 tokens have no trigrams and are excluded on
+    both sides. round(...,6) absorbs the ln ulp (the doc_perplexity
+    discipline, driver-green in round 3)."""
+    import hashlib
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _ref_mask(doc_ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 2 == 0 for d in doc_ids),
+            dtype=bool,
+            count=len(doc_ids),
+        )
+
+    def ngram_partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        keep = _ref_mask(batch["doc_id"].to_numpy())
+        batch = batch.filter(pa.array(keep))
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        frames = []
+        for n in (1, 2, 3):
+            if len(flat) < n:
+                continue
+            ok = np.ones(len(flat) - n + 1, dtype=bool)
+            for j in range(1, n):
+                ok &= parent[: len(flat) - n + 1] == parent[j : len(flat) - n + 1 + j]
+            if not ok.any():
+                continue
+            key = pd.Series(flat[: len(flat) - n + 1][ok])
+            for j in range(1, n):
+                key = key + " " + pd.Series(flat[j : len(flat) - n + 1 + j][ok])
+            g = pd.DataFrame({"gram": key, "n": np.int64(1)})
+            out = g.groupby("gram", as_index=False)["n"].sum()
+            out["order"] = np.int64(n)
+            frames.append(out)
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series(dtype=object),
+                    "order": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)[["gram", "order", "n"]]
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(ngram_partial, batch_format="pyarrow"),
+            ["gram", "order"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # vocabulary-bounded (count-prune at open vocabulary)
+    )
+    tabs = {
+        n: dict(zip(g["gram"], g["n"].astype(np.int64)))
+        for n, g in counts.groupby("order")
+    }
+    big_n = int(sum(tabs.get(1, {}).values()))
+    vocab_v = int(len(tabs.get(1, {})))
+    refs = ray.put((tabs.get(1, {}), tabs.get(2, {}), tabs.get(3, {}), big_n, vocab_v))
+
+    class Score:
+        def __init__(self, r):
+            self.uni, self.bi, self.tri, self.N, self.V = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            split = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(split).to_numpy()
+            if len(flat) < 3:
+                return pd.DataFrame(
+                    {
+                        "doc_id": np.empty(0, dtype=batch["doc_id"].to_numpy().dtype),
+                        "n_trigrams": np.empty(0, dtype=np.int64),
+                        "backoff_score": np.empty(0, dtype=np.float64),
+                    }
+                )
+            m = len(flat) - 2
+            ok = (parent[:m] == parent[1 : m + 1]) & (parent[:m] == parent[2 : m + 2])
+            d = parent[:m][ok]
+            w1 = pd.Series(flat[:m][ok])
+            w2 = pd.Series(flat[1 : m + 1][ok])
+            w3 = pd.Series(flat[2 : m + 2][ok])
+            c123 = (w1 + " " + w2 + " " + w3).map(self.tri).fillna(0).to_numpy(np.int64)
+            c12 = (w1 + " " + w2).map(self.bi).fillna(0).to_numpy(np.int64)
+            c23 = (w2 + " " + w3).map(self.bi).fillna(0).to_numpy(np.int64)
+            c2 = w2.map(self.uni).fillna(0).to_numpy(np.int64)
+            c3 = w3.map(self.uni).fillna(0).to_numpy(np.int64)
+            s = np.where(
+                c123 > 0,
+                c123 / np.maximum(c12, 1),
+                np.where(
+                    c23 > 0,
+                    alpha * (c23 / np.maximum(c2, 1)),
+                    alpha * alpha * ((c3 + 1.0) / (self.N + self.V)),
+                ),
+            )
+            ll = np.log(s)
+            n_rows = len(batch)
+            cnt = np.bincount(d, minlength=n_rows)
+            tot = np.bincount(d, weights=ll, minlength=n_rows)
+            keep = cnt > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy()[keep],
+                    "n_trigrams": cnt[keep].astype(np.int64),
+                    "backoff_score": np.round(tot[keep] / cnt[keep], 6),
+                }
+            )
+
+    return ds.map_batches(
+        Score, fn_constructor_args=(refs,), batch_format="pyarrow", concurrency=2
+    )
+
+
+def doc_backoff_trigram_sql(sf_dir: str, alpha: float = 0.4) -> str:
+    return f"""
+WITH s_all AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT * FROM s_all
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(toks) AS tok FROM s) GROUP BY tok),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uc),
+bg AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+         SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS g FROM s
+       ) GROUP BY g),
+tg AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+         SELECT unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g FROM s
+       ) GROUP BY g),
+doc_tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 1])) AS w2,
+         unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 2])) AS w3
+  FROM s_all
+), scored AS (
+  SELECT d.doc_id,
+         CASE WHEN COALESCE(t.c, 0) > 0
+              THEN ln(t.c / CAST(greatest(b12.c, 1) AS DOUBLE))
+              WHEN COALESCE(b23.c, 0) > 0
+              THEN ln({alpha} * (b23.c / CAST(greatest(u2.c, 1) AS DOUBLE)))
+              ELSE ln({alpha} * {alpha} *
+                      ((COALESCE(u3.c, 0) + 1.0) / CAST(nn.n + nn.v AS DOUBLE)))
+         END AS ll
+  FROM doc_tri d
+  LEFT JOIN tg t ON t.g = d.w1 || ' ' || d.w2 || ' ' || d.w3
+  LEFT JOIN bg b12 ON b12.g = d.w1 || ' ' || d.w2
+  LEFT JOIN bg b23 ON b23.g = d.w2 || ' ' || d.w3
+  LEFT JOIN uc u2 ON u2.tok = d.w2
+  LEFT JOIN uc u3 ON u3.tok = d.w3
+  CROSS JOIN nn
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(SUM(ll) / count(*), 6) AS backoff_score
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
 def doc_ccnet_buckets(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
     """CCNet head/middle/tail quality routing (Wenzek et al. 2020 — the
     bucketing LLaMA-style data recipes train from): per LANGUAGE, rank
