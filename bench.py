@@ -201,6 +201,10 @@ def run_bench() -> dict:
     timed("doc_bpe_pairs", lambda: len(td.doc_bpe_pairs(sf_dir)))
     timed("doc_source_overlap", lambda: len(td.doc_source_overlap(sf_dir)))
     timed("emb_quantize_int8", lambda: td.emb_quantize_int8(sf_dir).count())
+    timed("doc_winnow", lambda: td.doc_winnow(sf_dir).count())
+    timed("doc_strip_dup_spans", lambda: td.doc_strip_dup_spans(sf_dir).count())
+    timed("doc_backoff_trigram", lambda: td.doc_backoff_trigram(sf_dir).count())
+    timed("emb_jl_project", lambda: td.emb_jl_project(sf_dir).count())
 
     # Execution-mode variants at the current column width (round-3 verdict
     # #5): batch-checkpointed backfill vs streaming-state backfill vs
