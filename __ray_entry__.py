@@ -517,6 +517,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_conv_fingerprint"] = t_conv_fingerprint
 
+    def t_conv_export(sf):
+        # transcripts → documents bridge: flatten each conversation into a
+        # role-tagged training document, the input shape for every doc_*
+        # curation operator (dedup, quality, packing, export) downstream
+        import numpy as np
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)  # canonical dedup + (conv, turn) order
+            t = t.assign(line=t["role"] + ": " + t["text"])
+            agg = t.groupby("conv_id", as_index=False).agg(
+                n_turns=("turn_idx", "size"),
+                n_chars=("text", lambda s: np.int64(s.str.len().sum())),
+                text=("line", lambda s: "\n".join(s)),
+            )
+            agg["n_turns"] = agg["n_turns"].astype("int64")
+            return agg[["conv_id", "n_turns", "n_chars", "text"]]
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_conv_export"] = t_conv_export
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -922,6 +944,11 @@ ORDER BY conv_id, turn_idx""",
         "t_conv_fingerprint": oracle.base_cte(p, with_text=True) + """
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fingerprint
+FROM t GROUP BY conv_id ORDER BY conv_id""",
+        "t_conv_export": oracle.base_cte(p, with_text=True) + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
 FROM t GROUP BY conv_id ORDER BY conv_id""",
         "t_regex_tokens": oracle.base_cte(p, with_text=True)
         + r"""
