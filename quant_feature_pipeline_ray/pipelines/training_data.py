@@ -1941,6 +1941,10 @@ def doc_strip_dup_spans(
     joined = hash_equi_join(ds, packed, on="doc_id", how="left", num_partitions=num_partitions)
 
     def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        # per-DOC loop (not per-token): docs without dup spans short-circuit
+        # to pass-through; for the rest, coverage is a vectorized diff-array
+        # cumsum and the only per-element work is the unavoidable string
+        # reassembly (same accepted shape as fingerprint64's per-doc join)
         texts = df["text"].to_numpy()
         dup_pos = df["dup_pos"].to_numpy()
         clean = np.empty(len(df), dtype=object)
