@@ -718,11 +718,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (doc_bpe_train, emb_logreg_train, emb_triangle_count). Everything
     # rotated out stays in the builder contract run,
     # scripts/check_contract.py, which executes ALL queries. After this
-    # window the never-driver-verified queries are 7 exact
+    # window the never-driver-verified queries are 12 exact
     # (doc_export_partitioned, doc_stratified_sample, doc_weighted_sample,
-    # doc_zipf, doc_chunk, doc_heavy_hitters, media_resize — the last
-    # exact-green in round 1's harness) + 20 rows-only — a round-5 window
-    # covers all of them with room for 23 canaries.
+    # doc_zipf, doc_chunk, doc_heavy_hitters, media_resize — exact-green in
+    # round 1's harness — plus the five displaced battery siblings
+    # t_roc_cmo/t_keltner/t_trix/t_kama/t_chaikin) + 20 rows-only — a
+    # round-5 window covers all of them with room for 18 canaries.
     first = [
         # round-4 session-2 additions (winnowing fingerprints, ExactSubstr
         # span removal, JL sign projection): exact oracles, never
@@ -736,8 +737,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver window before (contract-exact since they landed)
         "t_atr", "t_stochastic", "t_cci", "t_mfi", "t_obv", "t_volatility",
         "t_linreg", "t_ultimate", "t_vortex", "t_donchian", "t_ichimoku",
-        "t_roc_cmo", "t_keltner", "t_trix", "t_kama", "t_adx", "t_wma",
-        "t_chaikin", "t_force", "t_elder", "t_coppock",
+        "t_adx", "t_wma", "t_force", "t_elder", "t_coppock",
+        # round-4 session-3/4 additions (grouped weighted quantiles, CCNet
+        # perplexity terciles, stupid-backoff trigram LM, transcripts→docs
+        # export, perceptual aHash): exact oracles, never driver-verified.
+        # They take the slots of t_roc_cmo/t_keltner/t_trix/t_kama/t_chaikin,
+        # whose battery family keeps 15 in-window representatives sharing the
+        # same base CTE + rolling kernels; the displaced five stay
+        # contract-exact and roll into the round-5 window.
+        "e_weighted_quantiles", "doc_ccnet_buckets", "doc_backoff_trigram",
+        "t_conv_export", "media_ahash",
         # events family never driver-verified
         "e_cube", "e_stream_join", "e_streaming_sessions", "e_hopping_windows",
         "e_ntile", "e_max_concurrency", "e_window_distinct_users",
