@@ -646,6 +646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Lee-et-al ExactSubstr REWRITE: drop tokens covered by any n-gram
     # occurring >= 2 times corpus-wide, re-emit cleaned text
     q["doc_strip_dup_spans"] = td.doc_strip_dup_spans
+    # content-defined chunking (Rabin/FastCDC): rolling-hash chunk table and
+    # the chunk-level (shift-robust) storage-dedup byte fraction per doc
+    q["doc_cdc_chunks"] = td.doc_cdc_chunks
+    q["doc_cdc_dedup"] = td.doc_cdc_dedup
     # Achlioptas ±1 JL projection over fixed-point embeddings (hash-derived
     # sign matrix — nothing to broadcast, integer-exact)
     q["emb_jl_project"] = td.emb_jl_project
@@ -863,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": td.doc_fingerprint_sql(_SQL_SF_DIR),
         "doc_winnow": td.doc_winnow_sql(_SQL_SF_DIR),
         "doc_strip_dup_spans": td.doc_strip_dup_spans_sql(_SQL_SF_DIR),
+        "doc_cdc_chunks": td.doc_cdc_chunks_sql(_SQL_SF_DIR),
+        "doc_cdc_dedup": td.doc_cdc_dedup_sql(_SQL_SF_DIR),
         "emb_jl_project": td.emb_jl_project_sql(_SQL_SF_DIR),
         "doc_ccnet_buckets": td.doc_ccnet_buckets_sql(_SQL_SF_DIR),
         "doc_backoff_trigram": td.doc_backoff_trigram_sql(_SQL_SF_DIR),

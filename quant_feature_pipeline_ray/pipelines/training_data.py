@@ -2018,6 +2018,245 @@ WITH toks AS (
 SELECT doc_id, text_clean, n_removed FROM rebuilt ORDER BY doc_id"""
 
 
+# ------------------------------------- content-defined chunking (CDC) dedup
+def doc_cdc_chunks(
+    sf_dir: str, k: int = 8, div: int = 64, max_len: int = 256
+) -> ray.data.Dataset:
+    """Content-defined chunking (the Rabin/FastCDC family — LBFS, Muthitacharoen
+    et al. SOSP'01; FastCDC, Xia et al. ATC'16): cut each document into
+    variable-size chunks at positions chosen by a rolling hash of the LAST
+    k bytes, so an insertion early in a document shifts only the chunks it
+    touches — byte-shifted near-duplicates still share every downstream
+    chunk, which fixed-size blocking destroys. This is the chunk-level
+    granularity used by storage dedup and by corpus-level near-dup passes
+    between exact (doc_exact_dedup) and n-gram (doc_ngram_dup_frac) scope.
+
+    Boundary rule: cut AFTER byte i when Horner(gear(b[i-k+1..i])) % div == 0
+    (gear(b) = one FNV-1a step over the byte — table lookup), plus a forced
+    cut at the document end; segments longer than max_len split at max_len
+    multiples FROM THE SEGMENT START (FastCDC's max-size cut — deterministic
+    given the natural cuts, so no recursion). The classic min-size skip is
+    deliberately omitted: it makes boundary eligibility depend on the
+    previous boundary (a recursion SQL cannot mirror) and only tunes the
+    chunk-size distribution, not the content-defined property.
+
+    Exactness chain (engine == oracle bit-for-bit): gear = ((OFFSET ^ b) *
+    FNV_PRIME) mod 2^64, window hash = k-term Horner fold mod 2^64 (numpy
+    uint64 wrap == stepwise-% HUGEINT), chunk hash = FNV-1a over the chunk
+    bytes (ASCII corpus: SQL text[i] == the byte).
+
+    Scale: a STATELESS linear map — no exchange, text never leaves the scan
+    task, output is ~n_bytes/div fixed-width rows; the per-chunk hash loop
+    is bounded by max_len iterations regardless of document length."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = np.uint64(_WIN_PRIME)
+    lut = (np.uint64(_WIN_OFFSET) ^ np.arange(256, dtype=np.uint64)) * A
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "chunk_idx": np.empty(0, dtype=np.int64),
+                "pos": np.empty(0, dtype=np.int64),
+                "n_bytes": np.empty(0, dtype=np.int64),
+                "chash": np.empty(0, dtype=np.int64),
+            }
+        )
+        total = int(lens.sum())
+        if len(texts) == 0 or total == 0:
+            return empty
+        buf = np.frombuffer("".join(texts).encode(), dtype=np.uint8)
+        assert len(buf) == total  # ASCII corpus: 1 char == 1 byte
+        doc_of = np.repeat(np.arange(len(texts)), lens)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        g = lut[buf]
+        # rolling window hash: Horner over gear values of the last k bytes;
+        # hv[t] is the window ENDING at flat position t + k - 1
+        cut = np.zeros(total, dtype=bool)
+        if total >= k:
+            hv = g[: total - k + 1].copy()
+            for j in range(1, k):
+                hv = hv * A + g[j : total - k + 1 + j]
+            ok = doc_of[: total - k + 1] == doc_of[k - 1 :]  # window inside one doc
+            nat = ok & (hv % np.uint64(div) == np.uint64(0))
+            cut[k - 1 + np.flatnonzero(nat)] = True
+        ends = starts + lens - 1
+        cut[ends[lens > 0]] = True  # document end always cuts
+        cuts = np.flatnonzero(cut)
+        cdoc = doc_of[cuts]
+        same = np.concatenate(([False], cdoc[1:] == cdoc[:-1]))
+        prev = np.concatenate(([0], cuts[:-1]))
+        seg_start = np.where(same, prev + 1, starts[cdoc])
+        seg_len = cuts - seg_start + 1
+        # FastCDC max-size cut: split each natural segment at max_len steps
+        n_pieces = (seg_len + max_len - 1) // max_len
+        rep = np.repeat(np.arange(len(cuts)), n_pieces)
+        off = np.concatenate(([0], np.cumsum(n_pieces[:-1])))
+        jj = np.arange(int(n_pieces.sum())) - off[rep]
+        p_start = seg_start[rep] + jj * max_len
+        p_len = np.minimum(max_len, seg_len[rep] - jj * max_len)
+        p_doc = cdoc[rep]
+        newdoc = np.concatenate(([True], p_doc[1:] != p_doc[:-1]))
+        ar = np.arange(len(p_doc))
+        chunk_idx = ar - np.maximum.accumulate(np.where(newdoc, ar, 0))
+        # FNV-1a over each chunk's bytes (≤ max_len vectorized iterations)
+        h = np.full(len(p_doc), _WIN_OFFSET, dtype=np.uint64)
+        for j in range(int(p_len.max())):
+            m = p_len > j
+            h[m] = (h[m] ^ buf[p_start[m] + j]) * A
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[p_doc].astype(np.int64),
+                "chunk_idx": chunk_idx.astype(np.int64),
+                "pos": (p_start - starts[p_doc]).astype(np.int64),
+                "n_bytes": p_len.astype(np.int64),
+                "chash": h.view(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cdc_chunks_cte(k: int, div: int, max_len: int) -> str:
+    """Shared CTE chain producing the exact chunk table (doc_id, pos,
+    n_bytes, chash) — the SQL mirror of doc_cdc_chunks' kernel."""
+    M = _WIN_MOD
+    horner = f"CAST(g{k - 1} AS HUGEINT)"
+    for j in range(k - 2, -1, -1):
+        horner = f"((({horner} * {_WIN_PRIME}) % {M}) + CAST(g{j} AS HUGEINT))"
+    lags = ",\n         ".join(
+        f"lag(g0, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS g{j}"
+        for j in range(1, k)
+    )
+    return f"""
+docs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         FROM documents WHERE length(text) > 0),
+bytes AS (
+  SELECT doc_id, n, CAST(unnest(range(1, n + 1)) AS BIGINT) AS i FROM docs
+), gear AS (
+  SELECT b.doc_id, b.n, b.i,
+         CAST((CAST(xor(CAST({_WIN_OFFSET} AS UBIGINT),
+                        CAST(unicode(d.text[b.i]) AS UBIGINT)) AS HUGEINT)
+               * {_WIN_PRIME}) % {M} AS UBIGINT) AS g0
+  FROM bytes b JOIN docs d USING (doc_id)
+), lagged AS (
+  SELECT doc_id, n, i, g0,
+         {lags}
+  FROM gear
+), bounds AS (
+  SELECT doc_id, n, i
+  FROM lagged
+  WHERE (i >= {k} AND ({horner}) % {M} % {div} = 0) OR i = n
+), segs AS (
+  SELECT doc_id, i AS e,
+         COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s
+  FROM bounds
+), pieces AS (
+  SELECT doc_id, s + j * {max_len} AS p1,
+         least(CAST({max_len} AS BIGINT), e - (s + j * {max_len}) + 1) AS n_bytes
+  FROM (SELECT doc_id, s, e,
+               CAST(unnest(range((e - s + {max_len}) // {max_len})) AS BIGINT) AS j
+        FROM segs)
+), chunks AS (
+  SELECT p.doc_id, p.p1 - 1 AS pos, p.n_bytes,
+         list_reduce(
+           list_prepend(CAST({_WIN_OFFSET} AS UBIGINT),
+             list_transform(range(1, p.n_bytes + 1),
+               x -> CAST(unicode(substring(d.text, p.p1, p.n_bytes)[x]) AS UBIGINT))),
+           (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * {_WIN_PRIME}) % {M} AS UBIGINT)
+         ) AS ch
+  FROM pieces p JOIN docs d USING (doc_id)
+)"""
+
+
+def doc_cdc_chunks_sql(sf_dir: str, k: int = 8, div: int = 64, max_len: int = 256) -> str:
+    M = _WIN_MOD
+    return f"""
+WITH {_cdc_chunks_cte(k, div, max_len)}
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_idx,
+       pos, n_bytes,
+       CAST(CASE WHEN ch >= 9223372036854775808 THEN CAST(ch AS HUGEINT) - {M}
+                 ELSE CAST(ch AS HUGEINT) END AS BIGINT) AS chash
+FROM chunks ORDER BY doc_id, pos"""
+
+
+def doc_cdc_dedup(
+    sf_dir: str,
+    k: int = 8,
+    div: int = 64,
+    max_len: int = 256,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Chunk-level duplication profile over the CDC chunk table: for every
+    document, the byte fraction covered by chunks whose content hash occurs
+    >= 2 times anywhere in the corpus (cross-doc or self-repeat) — the
+    storage-dedup ratio, and the shift-robust sibling of
+    doc_ngram_dup_frac's token-window measure.
+
+    Dataflow (the doc_ngram_dup_frac backbone): stateless CDC scan (text
+    never leaves it) → exchange 1 by chash (24 B/row: doc_id, chash,
+    n_bytes) marks instances whose hash partition holds >= 2 of that hash →
+    exchange 2 by doc_id sums bytes. Both exchanges move one fixed-width
+    row per chunk (~n_bytes/div of the corpus byte count)."""
+    chunks = doc_cdc_chunks(sf_dir, k=k, div=div, max_len=max_len)
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        dup = part.groupby("chash")["doc_id"].transform("size").to_numpy() > 1
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"],
+                "n_bytes": part["n_bytes"],
+                "dup_bytes": np.where(dup, part["n_bytes"].to_numpy(), 0).astype(np.int64),
+                "one": np.ones(len(part), dtype=np.int64),
+            }
+        )
+
+    marked = partition_map_groups(
+        chunks.select_columns(["doc_id", "n_bytes", "chash"]),
+        mark,
+        key="chash",
+        num_buckets=num_partitions,
+    )
+    agg = grouped_aggregate(
+        marked,
+        "doc_id",
+        {
+            "n_chunks": ("one", "sum"),
+            "total_bytes": ("n_bytes", "sum"),
+            "dup_bytes": ("dup_bytes", "sum"),
+        },
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["dup_frac"] = df["dup_bytes"].to_numpy() / df["total_bytes"].to_numpy()
+        return df
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_cdc_dedup_sql(sf_dir: str, k: int = 8, div: int = 64, max_len: int = 256) -> str:
+    return f"""
+WITH {_cdc_chunks_cte(k, div, max_len)},
+cnt AS (SELECT ch, count(*) AS c FROM chunks GROUP BY ch)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(c.n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN cnt.c >= 2 THEN c.n_bytes ELSE 0 END) AS BIGINT) AS dup_bytes,
+       CAST(sum(CASE WHEN cnt.c >= 2 THEN c.n_bytes ELSE 0 END) AS BIGINT)
+         / CAST(sum(c.n_bytes) AS BIGINT) AS dup_frac
+FROM chunks c JOIN cnt USING (ch)
+GROUP BY c.doc_id
+ORDER BY c.doc_id"""
+
+
 # ------------------------------------------- random-hyperplane LSH near-dup
 def emb_hyperplane_lsh(
     sf_dir: str,
