@@ -650,6 +650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the chunk-level (shift-robust) storage-dedup byte fraction per doc
     q["doc_cdc_chunks"] = td.doc_cdc_chunks
     q["doc_cdc_dedup"] = td.doc_cdc_dedup
+    # hashing-trick signed bag-of-unigram+bigram features (vocabulary-free)
+    q["doc_hash_vectorizer"] = td.doc_hash_vectorizer
     # Achlioptas ±1 JL projection over fixed-point embeddings (hash-derived
     # sign matrix — nothing to broadcast, integer-exact)
     q["emb_jl_project"] = td.emb_jl_project
@@ -869,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_strip_dup_spans": td.doc_strip_dup_spans_sql(_SQL_SF_DIR),
         "doc_cdc_chunks": td.doc_cdc_chunks_sql(_SQL_SF_DIR),
         "doc_cdc_dedup": td.doc_cdc_dedup_sql(_SQL_SF_DIR),
+        "doc_hash_vectorizer": td.doc_hash_vectorizer_sql(_SQL_SF_DIR),
         "emb_jl_project": td.emb_jl_project_sql(_SQL_SF_DIR),
         "doc_ccnet_buckets": td.doc_ccnet_buckets_sql(_SQL_SF_DIR),
         "doc_backoff_trigram": td.doc_backoff_trigram_sql(_SQL_SF_DIR),

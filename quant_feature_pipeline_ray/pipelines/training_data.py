@@ -2257,6 +2257,97 @@ GROUP BY c.doc_id
 ORDER BY c.doc_id"""
 
 
+# --------------------------------------------- feature hashing (the trick)
+def doc_hash_vectorizer(sf_dir: str, n_dims: int = 64) -> ray.data.Dataset:
+    """Hashing-trick bag-of-features vectorizer (Weinberger et al.,
+    ICML'09 — sklearn's HashingVectorizer shape): every unigram and
+    bigram hashes to a dimension h % n_dims with a ±1 sign from the
+    hash's top bit (the signed variant that makes collisions unbiased),
+    emitted as sparse (doc_id, dim, weight) triplets. This is the
+    vocabulary-free featurizer for corpus-scale quality/language
+    classifiers: no vocabulary build, no broadcast state, memory O(1)
+    in corpus size — the standard complement to doc_vocab/doc_tfidf_topk
+    when the model must train while the corpus streams.
+
+    Exactness: unigram hash = FNV-1a(token + 0x20) (token_fnv64 ==
+    oracle's list_reduce), bigram hash = Horner fold h1*P + h2 mod 2^64
+    (the doc_winnow gram discipline), sign = 1 - 2·bit63.
+
+    Scale: a STATELESS linear map, zero exchanges — each document's
+    triplets are computed entirely inside its scan batch (≤ n_dims rows
+    out per doc); downstream trainers consume the triplets with one
+    doc_id-keyed exchange."""
+    from quant_feature_pipeline_ray.functions.textstats import token_fnv64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = np.uint64(_WIN_PRIME)
+    D = np.uint64(n_dims)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        tok_lists = [t.split(" ") for t in texts]
+        n_t = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        if len(texts) == 0 or int(n_t.sum()) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "dim": np.empty(0, dtype=np.int64),
+                    "weight": np.empty(0, dtype=np.int64),
+                }
+            )
+        th = token_fnv64([t for toks in tok_lists for t in toks])
+        doc_of_tok = np.repeat(np.arange(len(texts)), n_t)
+        # bigrams: adjacent token pairs within one document
+        ok = doc_of_tok[:-1] == doc_of_tok[1:] if len(th) > 1 else np.empty(0, dtype=bool)
+        bi = th[:-1][ok] * A + th[1:][ok]
+        h = np.concatenate([th, bi])
+        d_of = np.concatenate([doc_of_tok, doc_of_tok[:-1][ok]])
+        sign = 1 - 2 * (h >> np.uint64(63)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids[d_of].astype(np.int64),
+                "dim": (h % D).astype(np.int64),
+                "weight": sign,
+            }
+        )
+        return out.groupby(["doc_id", "dim"], as_index=False)["weight"].sum()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_hash_vectorizer_sql(sf_dir: str, n_dims: int = 64) -> str:
+    M = _WIN_MOD
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tl) || ' ' AS tok,
+         CAST(unnest(range(len(tl))) AS BIGINT) AS tpos
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+), th AS (
+  SELECT doc_id, tpos, list_reduce(
+    list_prepend(CAST({_WIN_OFFSET} AS UBIGINT),
+      list_transform(range(1, octet_length(encode(tok)) + 1),
+                     i -> CAST(unicode(tok[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * {_WIN_PRIME}) % {M} AS UBIGINT)
+  ) AS h FROM toks
+), uni AS (
+  SELECT doc_id, CAST(h AS HUGEINT) AS h FROM th
+), bi AS (
+  SELECT doc_id,
+         ((CAST(h AS HUGEINT) * {_WIN_PRIME}) % {M}
+          + CAST(lead(h) OVER (PARTITION BY doc_id ORDER BY tpos) AS HUGEINT)) % {M} AS h
+  FROM th
+  QUALIFY lead(h) OVER (PARTITION BY doc_id ORDER BY tpos) IS NOT NULL
+), feats AS (
+  SELECT doc_id, h FROM uni UNION ALL SELECT doc_id, h FROM bi
+)
+SELECT doc_id, CAST(h % {n_dims} AS BIGINT) AS dim,
+       CAST(SUM(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END) AS BIGINT)
+         AS weight
+FROM feats GROUP BY doc_id, dim
+ORDER BY doc_id, dim"""
+
+
 # ------------------------------------------- random-hyperplane LSH near-dup
 def emb_hyperplane_lsh(
     sf_dir: str,
