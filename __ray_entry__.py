@@ -435,6 +435,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_role_counts"] = t_role_counts
 
+    def t_loop_detect(sf, min_run: int = 3):
+        # agent tool-loop detection: a "loop" is a run of >= min_run
+        # consecutive turns with the SAME (role, tool) step — the classic
+        # stuck-agent signature (tool retry loops, assistant self-repeats)
+        # that a transcript-curation pass filters before training. Pruned
+        # plan: 5 narrow columns, dedup per conv-hash bucket, vectorized
+        # run-length encoding per bucket, one conv-sized output row.
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+        from quant_feature_pipeline_ray.stages.partition import sort_partition
+        from quant_feature_pipeline_ray.stages.turn_features import dedup_keep_last
+
+        ds = read_transcripts(
+            ensure_transcripts(sf), columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+        )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = sort_partition(g)
+            if len(g) > 1:
+                eq = (
+                    (g["conv_id"].to_numpy()[:-1] == g["conv_id"].to_numpy()[1:])
+                    & (g["turn_idx"].to_numpy()[:-1] == g["turn_idx"].to_numpy()[1:])
+                    & (g["ts"].to_numpy()[:-1] == g["ts"].to_numpy()[1:])
+                )
+                st = (g["role"] + "|" + g["tool"]).to_numpy()
+                if (eq & (st[:-1] != st[1:])).any():
+                    raise ValueError("equal-ts duplicate rows disagree on role/tool")
+            kept = dedup_keep_last(g)
+            n = len(kept)
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        "conv_id": pd.Series(dtype=g["conv_id"].dtype),
+                        "turns": pd.Series(dtype="int64"),
+                        "max_run": pd.Series(dtype="int64"),
+                        "n_loops": pd.Series(dtype="int64"),
+                        "looped_turns": pd.Series(dtype="int64"),
+                        "loop_frac": pd.Series(dtype="float64"),
+                    }
+                )
+            conv = kept["conv_id"].to_numpy()
+            step = (kept["role"] + "|" + kept["tool"]).to_numpy()
+            new = np.ones(n, dtype=bool)
+            new[1:] = (conv[1:] != conv[:-1]) | (step[1:] != step[:-1])
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.append(starts, n)).astype(np.int64)
+            runs = pd.DataFrame({"conv_id": conv[starts], "rl": lens})
+            runs["loop1"] = (runs["rl"] >= min_run).astype(np.int64)
+            runs["lt"] = np.where(runs["rl"] >= min_run, runs["rl"], 0).astype(np.int64)
+            out = runs.groupby("conv_id", as_index=False).agg(
+                turns=("rl", "sum"),
+                max_run=("rl", "max"),
+                n_loops=("loop1", "sum"),
+                looped_turns=("lt", "sum"),
+            )
+            out["loop_frac"] = out["looped_turns"].to_numpy() / out["turns"].to_numpy()
+            return out
+
+        return partition_map_groups(ds, per_bucket, key="conv_id", num_buckets=64)
+
+    q["t_loop_detect"] = t_loop_detect
+
     def t_session_stats(sf):
         import pandas as pd
 
@@ -957,6 +1021,7 @@ ORDER BY conv_id, turn_idx""",
         "t_time_windows": oracle.sql_time_windows(p),
         "t_continuity": oracle.sql_continuity(p),
         "t_role_counts": oracle.sql_role_counts(p),
+        "t_loop_detect": oracle.sql_loop_detect(p),
         "t_session_stats": oracle.sql_session_stats(p),
         "t_conv_rollup": oracle.sql_conv_rollup(p),
         "t_conv_fingerprint": oracle.base_cte(p, with_text=True) + """

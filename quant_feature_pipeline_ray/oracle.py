@@ -213,6 +213,39 @@ SELECT role, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY role ORDER BY role"""
 
 
+def sql_loop_detect(
+    path: str, cfg: FeatureConfig = DEFAULT_CONFIG, min_run: int = 3
+) -> str:
+    """Stuck-agent loop detection: gaps-and-islands run-length encoding of
+    the (role, tool) step sequence; a loop is a run of >= min_run equal
+    steps. Exact: run ids are integer cumsums, loop_frac is one IEEE
+    int/int divide on both sides."""
+    return base_cte(path, cfg) + f""",
+s AS (
+  SELECT conv_id, turn_idx, role || '|' || tool AS step FROM t
+), flags AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN step = lag(step)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 0 ELSE 1 END AS new_run
+  FROM s
+), r AS (
+  SELECT conv_id,
+         SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM flags
+), rl AS (
+  SELECT conv_id, run_id, COUNT(*) AS rl FROM r GROUP BY conv_id, run_id
+)
+SELECT conv_id,
+       CAST(SUM(rl) AS BIGINT) AS turns,
+       CAST(MAX(rl) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN rl >= {min_run} THEN 1 ELSE 0 END) AS BIGINT) AS n_loops,
+       CAST(SUM(CASE WHEN rl >= {min_run} THEN rl ELSE 0 END) AS BIGINT) AS looped_turns,
+       CAST(SUM(CASE WHEN rl >= {min_run} THEN rl ELSE 0 END) AS BIGINT)
+         / CAST(SUM(rl) AS BIGINT) AS loop_frac
+FROM rl GROUP BY conv_id ORDER BY conv_id"""
+
+
 def sql_session_stats(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
     """Per-session rollup (sessionize product table)."""
     return base_cte(path, cfg) + """
