@@ -2257,6 +2257,60 @@ GROUP BY c.doc_id
 ORDER BY c.doc_id"""
 
 
+# ----------------------------------------- dedup-aware train/val splitting
+def doc_dedup_aware_split(sf_dir: str, val_pct: int = 10) -> ray.data.Dataset:
+    """Contamination-safe train/validation split: the split is assigned to
+    the NORMALIZATION CLASS, not the document — every doc whose normalized
+    text (the CCNet lower/strip/collapse chain of doc_normalized_dedup)
+    matches lands in the same split, so an exact or normalized duplicate of
+    a training document can never leak into the eval set (the train/test
+    contamination failure mode that motivates dedup-before-split; cf. Lee
+    et al. 2022 §6, Dodge et al. 2021 C4 audit).
+
+    bucket = md5_lower64(normalized_text) % 100 (the doc_checksum md5
+    discipline — bit-identical to DuckDB's md5_number_lower, so the
+    assignment itself is oracle-checkable); split = 'val' iff bucket <
+    val_pct. Deterministic, seed-free, and stable under re-runs and
+    re-partitioning.
+
+    Scale: a STATELESS linear map, zero exchanges — the class key is
+    content-derived so co-assignment needs no groupby. md5 runs once per
+    batch-distinct normalized text (Python loop, cardinality-bounded per
+    batch); swap in a vectorized md5 kernel if a profile ever shows it."""
+    from quant_feature_pipeline_ray.hashing import md5_lower64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        norm = _normalize_text_series(batch["text"].to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(norm.to_numpy(), return_inverse=True)
+        bucket = (md5_lower64(uniq) % np.uint64(100)).astype(np.int64)[inv]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "bucket": bucket,
+                "split": np.where(bucket < val_pct, "val", "train"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_dedup_aware_split_sql(sf_dir: str, val_pct: int = 10) -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(md5_number_lower(norm) % 100 AS BIGINT) AS bucket,
+       CASE WHEN md5_number_lower(norm) % 100 < {val_pct}
+            THEN 'val' ELSE 'train' END AS split
+FROM n ORDER BY doc_id"""
+
+
 # --------------------------------------------- feature hashing (the trick)
 def doc_hash_vectorizer(sf_dir: str, n_dims: int = 64) -> ray.data.Dataset:
     """Hashing-trick bag-of-features vectorizer (Weinberger et al.,
