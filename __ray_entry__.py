@@ -633,6 +633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_ntile"] = lambda sf: ev.events_ntile(f"{sf}/events.parquet")
     q["e_time_weighted_avg"] = lambda sf: ev.events_time_weighted_avg(f"{sf}/events.parquet")
     q["e_markov"] = lambda sf: ev.events_markov(f"{sf}/events.parquet")
+    # top-k full session paths (sequence-pattern mining lite)
+    q["e_session_path_topk"] = lambda sf: ev.events_session_path_topk(
+        f"{sf}/events.parquet"
+    )
     q["e_grouped_quantiles_sketch"] = lambda sf: ev.events_grouped_quantiles_sketch(f"{sf}/events.parquet")
     q["e_max_concurrency"] = lambda sf: ev.events_max_concurrency(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
@@ -877,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "e_ntile": ev.events_ntile_sql(),
         "e_time_weighted_avg": ev.events_time_weighted_avg_sql(),
         "e_markov": ev.events_markov_sql(),
+        "e_session_path_topk": ev.events_session_path_topk_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),

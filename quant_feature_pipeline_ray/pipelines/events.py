@@ -1723,6 +1723,92 @@ SELECT cur, nxt, cnt,
 FROM pairs ORDER BY cur, nxt"""
 
 
+def events_session_path_topk(
+    path: str, gap_s: float = 1800.0, k: int = 20, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Top-k full session PATHS (sequence-pattern mining lite): sessionize
+    each user by inactivity gap (the e_sessionize rule), join the session's
+    event types in order into one '>'-delimited path string, count path
+    frequencies corpus-wide and keep the k most common under the
+    deterministic (count desc, path asc) total order — the navigation-flow
+    complement of e_markov's one-step transition matrix.
+
+    Dataflow: one user_id hash partition (sessions are user-local, so the
+    whole sessionize+join runs inside the bucket), per-bucket path counts
+    (combiner), ONE path-keyed exchange, per-batch partial top-k, driver
+    merges <= blocks x k rows. The path string rides the exchange bounded
+    by session length x distinct-path count; at 100 TB ship a 64-bit path
+    hash instead and resolve the winning strings by hash afterward (the
+    doc_crossdoc_ngrams note)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                            ignore_index=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=str), "n": pd.Series(dtype=np.int64)}
+            )
+        user = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(user[1:], user[:-1], out=new_user[1:])
+        dt_us = np.diff(ts_us, prepend=ts_us[:1])
+        dt_us[new_user] = 0
+        sid = np.cumsum(new_user | (dt_us > np.int64(gap_s * 1e6)))
+        paths = (
+            pd.DataFrame({"sid": sid, "et": df["event_type"].to_numpy()})
+            .groupby("sid", sort=False)["et"]
+            .agg(">".join)
+        )
+        out = paths.value_counts().rename_axis("path").reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["event_id", "ts", "user_id", "event_type"])
+    parts = partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets)
+    agg = grouped_aggregate(parts, "path", {"n": ("n", "sum")})
+
+    def partial_topk(batch) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.sort_values(["n", "path"], ascending=[False, True]).head(k)
+
+    top = agg.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if top.empty:
+        return pd.DataFrame({"path": pd.Series(dtype=str), "n": pd.Series(dtype=np.int64)})
+    return (
+        top.sort_values(["n", "path"], ascending=[False, True], ignore_index=True)
+        .head(k)
+        .astype({"n": np.int64})
+    )
+
+
+def events_session_path_topk_sql(gap_s: float = 1800.0, k: int = 20) -> str:
+    gap_us = int(gap_s * 1e6)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         SUM(CASE WHEN dt_us > {gap_us} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+  FROM e
+), p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path
+ORDER BY n DESC, path LIMIT {k}"""
+
+
 def events_grouped_quantiles_sketch(
     path: str,
     qs: tuple[float, ...] = (0.5, 0.9),
