@@ -722,6 +722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_hash_vectorizer"] = td.doc_hash_vectorizer
     # contamination-safe split: normalized-dup classes share one split
     q["doc_dedup_aware_split"] = td.doc_dedup_aware_split
+    # T5 span-corruption (corrupted, target) training pairs
+    q["doc_span_corrupt"] = td.doc_span_corrupt
     # Achlioptas ±1 JL projection over fixed-point embeddings (hash-derived
     # sign matrix — nothing to broadcast, integer-exact)
     q["emb_jl_project"] = td.emb_jl_project
@@ -944,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cdc_dedup": td.doc_cdc_dedup_sql(_SQL_SF_DIR),
         "doc_hash_vectorizer": td.doc_hash_vectorizer_sql(_SQL_SF_DIR),
         "doc_dedup_aware_split": td.doc_dedup_aware_split_sql(_SQL_SF_DIR),
+        "doc_span_corrupt": td.doc_span_corrupt_sql(_SQL_SF_DIR),
         "emb_jl_project": td.emb_jl_project_sql(_SQL_SF_DIR),
         "doc_ccnet_buckets": td.doc_ccnet_buckets_sql(_SQL_SF_DIR),
         "doc_backoff_trigram": td.doc_backoff_trigram_sql(_SQL_SF_DIR),

@@ -2311,6 +2311,136 @@ SELECT doc_id,
 FROM n ORDER BY doc_id"""
 
 
+# ------------------------------------------------ T5-style span corruption
+def doc_span_corrupt(sf_dir: str, mask_num: int = 3, mask_den: int = 20) -> ray.data.Dataset:
+    """Span-corruption training-pair builder (the T5 denoising objective,
+    Raffel et al. JMLR 2020 §3.1.4): mask ~mask_num/mask_den of each
+    document's tokens, collapse each RUN of adjacent masked tokens into one
+    `<extra_id_k>` sentinel (k counts spans per doc in order), and emit the
+    (corrupted input, target) pair where the target replays the sentinels
+    followed by the tokens they hid. Deviation from T5 noted: masking is
+    i.i.d. per token (spans emerge from adjacency) rather than Poisson
+    mean-3 span sampling — the deterministic, seed-free variant; the
+    sentinel/relabel dataflow is identical.
+
+    Mask decision = pure integer hash ((doc_id·P + tpos)·P mod 2^64) %
+    mask_den < mask_num — reproducible in SQL HUGEINT, stable across runs
+    and re-partitioning (no RNG state to ship).
+
+    Scale: a STATELESS linear map, zero exchanges; the per-doc string
+    reassembly is output-bounded (same shape as t_conv_export)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    A = np.uint64(_WIN_PRIME)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        tok_lists = [t.split(" ") for t in texts]
+        n_t = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "corrupted": np.empty(0, dtype=object),
+                "target": np.empty(0, dtype=object),
+                "n_spans": np.empty(0, dtype=np.int64),
+                "n_masked": np.empty(0, dtype=np.int64),
+            }
+        )
+        if len(texts) == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+        doc_of = np.repeat(np.arange(len(texts)), n_t)
+        starts = np.concatenate(([0], np.cumsum(n_t[:-1])))
+        tpos = np.arange(len(flat)) - starts[doc_of]
+        h = (
+            doc_ids[doc_of].astype(np.uint64) * A + tpos.astype(np.uint64)
+        ) * A
+        masked = (h % np.uint64(mask_den)) < np.uint64(mask_num)
+        prev_masked = np.zeros(len(flat), dtype=bool)
+        prev_masked[1:] = masked[:-1] & (doc_of[1:] == doc_of[:-1])
+        first_of_span = masked & ~prev_masked
+        # span index within doc: cumulative count of span starts per doc
+        cum = np.cumsum(first_of_span.astype(np.int64))
+        first_flat_cum = cum - first_of_span.astype(np.int64)  # count BEFORE row
+        doc_base = first_flat_cum[starts]
+        span_idx = first_flat_cum - doc_base[doc_of]
+        sent = np.where(
+            first_of_span,
+            np.char.add(
+                np.char.add("<extra_id_", span_idx.astype("U20")), ">"
+            ).astype(object),
+            None,
+        )
+        corrupt_tok = np.where(masked, sent, flat)
+        target_tok = np.where(
+            first_of_span, np.char.add(np.asarray(sent, dtype="U32"), " ").astype(object), ""
+        )
+        target_tok = np.where(masked, np.asarray(target_tok, dtype=object) + flat, None)
+        dfl = pd.DataFrame(
+            {
+                "d": doc_of,
+                "c": corrupt_tok,
+                "t": target_tok,
+            }
+        )
+        g = dfl.groupby("d", sort=True)
+        corrupted = g["c"].agg(lambda s: " ".join(x for x in s if x is not None))
+        target = g["t"].agg(lambda s: " ".join(x for x in s if x is not None))
+        n_spans = pd.Series(first_of_span).groupby(doc_of).sum()
+        n_masked = pd.Series(masked).groupby(doc_of).sum()
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids.astype(np.int64),
+                "corrupted": corrupted.reindex(range(len(texts)), fill_value="").to_numpy(),
+                "target": target.reindex(range(len(texts)), fill_value="").to_numpy(),
+                "n_spans": n_spans.reindex(range(len(texts)), fill_value=0).to_numpy().astype(np.int64),
+                "n_masked": n_masked.reindex(range(len(texts)), fill_value=0).to_numpy().astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_span_corrupt_sql(sf_dir: str, mask_num: int = 3, mask_den: int = 20) -> str:
+    M = _WIN_MOD
+    P = _WIN_PRIME
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tl) AS tok,
+         CAST(unnest(range(len(tl))) AS BIGINT) AS tpos
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+), m AS (
+  SELECT doc_id, tok, tpos,
+         ((((CAST(doc_id AS HUGEINT) * {P}) % {M} + tpos) * {P}) % {M})
+           % {mask_den} < {mask_num} AS masked
+  FROM toks
+), runs AS (
+  SELECT *,
+         masked AND NOT COALESCE(
+           lag(masked) OVER (PARTITION BY doc_id ORDER BY tpos), FALSE
+         ) AS first_of_span
+  FROM m
+), idx AS (
+  SELECT *,
+         SUM(CASE WHEN first_of_span THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY tpos) - 1 AS span_idx
+  FROM runs
+)
+SELECT doc_id,
+       COALESCE(string_agg(
+         CASE WHEN NOT masked THEN tok
+              WHEN first_of_span THEN '<extra_id_' || span_idx || '>' END,
+         ' ' ORDER BY tpos), '') AS corrupted,
+       COALESCE(string_agg(
+         CASE WHEN masked AND first_of_span
+                THEN '<extra_id_' || span_idx || '> ' || tok
+              WHEN masked THEN tok END,
+         ' ' ORDER BY tpos), '') AS target,
+       CAST(SUM(CASE WHEN first_of_span THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+FROM idx GROUP BY doc_id ORDER BY doc_id"""
+
+
 # --------------------------------------------- feature hashing (the trick)
 def doc_hash_vectorizer(sf_dir: str, n_dims: int = 64) -> ray.data.Dataset:
     """Hashing-trick bag-of-features vectorizer (Weinberger et al.,
