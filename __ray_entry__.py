@@ -603,6 +603,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_conv_export"] = t_conv_export
 
+    def t_context_suffix(sf, budget: int = 4096):
+        # context-window assembly: the largest SUFFIX of each conversation's
+        # turns whose role-tagged rendering ("role: text" joined by \n) fits
+        # a character budget — the trimming every agent harness performs
+        # before each model call (drop oldest turns first, never split a
+        # turn). Emits per conversation the kept-turn count, the first kept
+        # turn_idx (-1 when even the last turn alone exceeds the budget),
+        # kept chars, and the assembled context. Scale: one conv_id-keyed
+        # exchange (shared with every t_* op); the suffix scan is a reversed
+        # grouped cumsum — vectorized, no per-turn Python loop.
+        import numpy as np
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)  # canonical dedup + (conv, turn) order
+            line = (t["role"] + ": " + t["text"]).to_numpy()
+            llen = t["role"].str.len().to_numpy() + 2 + t["text"].str.len().to_numpy()
+            conv = t["conv_id"].to_numpy()
+            # suffix cost incl. one joining \n per turn except the last:
+            # reversed grouped cumsum of (len+1), minus the trailing +1
+            cost_rev = pd.Series(llen[::-1] + 1)
+            suffix = cost_rev.groupby(pd.Series(conv[::-1])).cumsum().to_numpy()[::-1] - 1
+            kept = suffix <= budget
+            df = pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": t["turn_idx"].to_numpy(),
+                    "line": line,
+                    "llen": llen,
+                    "kept": kept,
+                }
+            )
+            base = df.groupby("conv_id", sort=True).agg(
+                n_turns_kept=("kept", "sum")
+            )
+            kd = df[df["kept"]]
+            kagg = kd.groupby("conv_id", sort=True).agg(
+                start_turn_idx=("turn_idx", "min"),
+                n_chars_kept=("llen", "sum"),
+                context=("line", lambda s: "\n".join(s)),
+            )
+            out = base.join(kagg)
+            out["n_turns_kept"] = out["n_turns_kept"].astype("int64")
+            out["start_turn_idx"] = out["start_turn_idx"].fillna(-1).astype("int64")
+            out["n_chars_kept"] = out["n_chars_kept"].fillna(0).astype("int64")
+            out["context"] = out["context"].fillna("")
+            return out.reset_index()
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_context_suffix"] = t_context_suffix
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -1044,6 +1096,21 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
 FROM t GROUP BY conv_id ORDER BY conv_id""",
+        "t_context_suffix": oracle.base_cte(p, with_text=True) + """
+, c AS (
+  SELECT conv_id, turn_idx, role || ': ' || text AS line,
+         SUM(length(role || ': ' || text) + 1) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS suffix_chars
+  FROM t
+)
+SELECT conv_id,
+       CAST(count(*) FILTER (WHERE suffix_chars <= 4096) AS BIGINT) AS n_turns_kept,
+       CAST(COALESCE(MIN(turn_idx) FILTER (WHERE suffix_chars <= 4096), -1) AS BIGINT) AS start_turn_idx,
+       CAST(COALESCE(SUM(length(line)) FILTER (WHERE suffix_chars <= 4096), 0) AS BIGINT) AS n_chars_kept,
+       COALESCE(string_agg(line, chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE suffix_chars <= 4096), '') AS context
+FROM c GROUP BY conv_id ORDER BY conv_id""",
         "t_regex_tokens": oracle.base_cte(p, with_text=True)
         + r"""
 SELECT conv_id, turn_idx,
