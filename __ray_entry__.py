@@ -655,6 +655,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_context_suffix"] = t_context_suffix
 
+    def t_sft_pairs(sf, budget: int = 1024):
+        # SFT training-pair extraction: ONE example per assistant turn —
+        # (context, target) where context is the largest suffix of PRIOR
+        # turns whose "role: text" rendering fits the char budget (the
+        # t_context_suffix trimming applied at every assistant position)
+        # and target is the assistant turn's text. Vectorized: within-conv
+        # prefix-cost cumsum + one searchsorted over a conv-offset-monotonic
+        # key finds every pair's context start without a per-turn scan; the
+        # string assembly is output-bounded (the contexts ARE the training
+        # set). Scale: same single conv_id exchange; output size = corpus
+        # assistant turns × ≤budget chars, the actual SFT dataset size.
+        import numpy as np
+        import pandas as pd
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            t = compute_turn_features(g)  # canonical dedup + (conv, turn) order
+            line = (t["role"] + ": " + t["text"]).to_numpy()
+            llen = t["role"].str.len().to_numpy() + 2 + t["text"].str.len().to_numpy()
+            cost = llen.astype(np.int64) + 1
+            codes, _ = pd.factorize(t["conv_id"].to_numpy())
+            P = np.cumsum(cost)
+            pb_global = P - cost  # prefix cost BEFORE each row, global
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            conv_base = np.concatenate(([0], P[starts[1:] - 1]))
+            p_before = pb_global - conv_base[codes]  # within-conv
+            LARGE = np.int64(1) << np.int64(42)
+            Q = codes.astype(np.int64) * LARGE + p_before
+            ai = np.flatnonzero(t["role"].to_numpy() == "assistant")
+            tgt_key = codes[ai].astype(np.int64) * LARGE + np.maximum(
+                p_before[ai] - budget - 1, 0
+            )
+            s = np.searchsorted(Q, tgt_key, side="left")
+            n_ctx = ai - s
+            ctx_cost = p_before[ai] - p_before[s]
+            return pd.DataFrame(
+                {
+                    "conv_id": t["conv_id"].to_numpy()[ai],
+                    "turn_idx": t["turn_idx"].to_numpy()[ai].astype(np.int64),
+                    "n_ctx_turns": n_ctx.astype(np.int64),
+                    "ctx_chars": (ctx_cost - n_ctx).astype(np.int64),
+                    "context": ["\n".join(line[a:b]) for a, b in zip(s, ai)],
+                    "target": t["text"].to_numpy()[ai],
+                }
+            )
+
+        return partition_map_groups(_read_raw(sf), per_bucket, num_buckets=64)
+
+    q["t_sft_pairs"] = t_sft_pairs
+
     # --- event-stream operators (events table)
     q["e_window_agg"] = lambda sf: ev.events_window_agg(f"{sf}/events.parquet")
     q["e_sessionize"] = lambda sf: ev.events_sessionize(f"{sf}/events.parquet")
@@ -1111,6 +1160,26 @@ SELECT conv_id,
        COALESCE(string_agg(line, chr(10) ORDER BY turn_idx)
                   FILTER (WHERE suffix_chars <= 4096), '') AS context
 FROM c GROUP BY conv_id ORDER BY conv_id""",
+        "t_sft_pairs": oracle.base_cte(p, with_text=True) + """
+, l AS (
+  SELECT conv_id, turn_idx, role, text, role || ': ' || text AS line,
+         SUM(length(role || ': ' || text) + 1) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx)
+           - (length(role || ': ' || text) + 1) AS pbefore
+  FROM t
+), a AS (
+  SELECT conv_id, turn_idx, text AS target, pbefore FROM l
+  WHERE role = 'assistant'
+)
+SELECT a.conv_id, a.turn_idx,
+       CAST(count(p.turn_idx) AS BIGINT) AS n_ctx_turns,
+       CAST(COALESCE(SUM(length(p.line)), 0) AS BIGINT) AS ctx_chars,
+       COALESCE(string_agg(p.line, chr(10) ORDER BY p.turn_idx), '') AS context,
+       any_value(a.target) AS target
+FROM a LEFT JOIN l p
+  ON p.conv_id = a.conv_id AND p.turn_idx < a.turn_idx
+ AND a.pbefore - p.pbefore - 1 <= 1024
+GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
         "t_regex_tokens": oracle.base_cte(p, with_text=True)
         + r"""
 SELECT conv_id, turn_idx,
