@@ -912,11 +912,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with it; doc_cluster_keep_best/doc_bloom_dedup exercise the exact-
         # dedup hash machinery), and media_resize was exact-green in round 1.
         "doc_winnow", "doc_strip_dup_spans", "emb_jl_project",
-        # the complete round-2/3 indicator-battery tail — never inside a
-        # driver window before (contract-exact since they landed)
-        "t_atr", "t_stochastic", "t_cci", "t_mfi", "t_obv", "t_volatility",
-        "t_linreg", "t_ultimate", "t_vortex", "t_donchian", "t_ichimoku",
-        "t_adx", "t_wma", "t_force", "t_elder", "t_coppock",
+        # indicator-battery tail representatives — never inside a driver
+        # window before (contract-exact since they landed). The family had
+        # 16 in-window members; 9 (t_mfi, t_volatility, t_ultimate,
+        # t_vortex, t_donchian, t_wma, t_force, t_elder, t_coppock) are
+        # displaced for the 9 round-4 session-5/6 operators below — the
+        # battery shares one base CTE and the same rolling kernels, so the
+        # 7 kept members span the distinct kernel shapes (EMA-smoothed
+        # range, rolling min/max channel, mean-abs-dev, signed cumsum,
+        # rolling regression, directional smoothing, multi-window shift)
+        # and a failure in any displaced sibling would surface here too;
+        # the displaced nine stay in the full contract run and roll into
+        # the round-5 window.
+        "t_atr", "t_stochastic", "t_cci", "t_obv",
+        "t_linreg", "t_ichimoku", "t_adx",
+        # round-4 session-5/6 additions, never driver-verified, all with
+        # exact oracles: content-defined chunking dedup (both views),
+        # hashing-trick vectorizer, agent tool-loop detection, dedup-aware
+        # train/val split, top-k session paths, T5 span corruption,
+        # context-window assembly, SFT pair extraction
+        "doc_cdc_chunks", "doc_cdc_dedup", "doc_hash_vectorizer",
+        "t_loop_detect", "doc_dedup_aware_split", "e_session_path_topk",
+        "doc_span_corrupt", "t_context_suffix", "t_sft_pairs",
         # round-4 session-3/4 additions (grouped weighted quantiles, CCNet
         # perplexity terciles, stupid-backoff trigram LM, transcripts→docs
         # export, perceptual aHash): exact oracles, never driver-verified.
