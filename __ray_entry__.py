@@ -862,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_distinct_tokens_hll"] = td.doc_distinct_tokens_hll
     q["emb_norms"] = td.emb_norms
     q["emb_ann_topk"] = td.emb_ann_topk
+    # binary sign-quantized Hamming first-stage retrieval (32x compression)
+    q["emb_hamming_topk"] = td.emb_hamming_topk
     q["emb_ann_filtered"] = td.emb_ann_filtered
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
@@ -1097,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+        "emb_hamming_topk": td.emb_hamming_topk_sql(_SQL_SF_DIR),
         "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         "emb_range_search": td.emb_range_search_sql(_SQL_SF_DIR),

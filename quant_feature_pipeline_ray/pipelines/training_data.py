@@ -1571,6 +1571,123 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {
 ORDER BY query_id, rank"""
 
 
+# ----------------------------------------- binary-quantized (Hamming) ANN
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (numpy <2.0 has no
+    bitwise_count) — constant per-element work, no unpackbits memory blowup."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _sign_codes(mat: np.ndarray) -> np.ndarray:
+    """Pack sign bits (v > 0, strict — ties at 0.0 map to bit 0, same rule
+    both engine- and SQL-side) of a (n, d≤64) float matrix into one uint64
+    code per row."""
+    d = mat.shape[1]
+    if d > 64:
+        raise ValueError(
+            f"sign-quantized Hamming path packs into one 64-bit word; got d={d} "
+            "— project down first (emb_jl_project) or extend to multi-word codes"
+        )
+    bits = (mat > 0).astype(np.uint64)
+    return (bits << np.arange(d, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def emb_hamming_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    """Binary-sign-quantized nearest neighbours: quantize every embedding to
+    its sign-bit code (1 bit/dim — 32x smaller than float32) and rank
+    candidates by POPCNT Hamming distance to each query's code. This is the
+    standard first-stage retrieval path at corpus scale (binary quantization
+    + exact rerank on the shortlist; see e.g. Charikar STOC'02 simhash —
+    Hamming distance on sign bits estimates angular distance): the whole
+    100 TB index fits in 1/32 the memory and each distance is two CPU ops.
+    `emb_ann_topk` (exact cosine) is the rerank/verify stage to compose
+    downstream.
+
+    Scale pattern: query CODES broadcast once (ray.put — 8 bytes/query);
+    each batch quantizes itself zero-copy from arrow, XORs against the
+    query codes, SWAR-popcounts, and emits only its per-query top-k partial;
+    the driver merge sees blocks x k x n_queries rows. Deterministic
+    tie-break (hamming, vec_id) so the ranking is reproducible across
+    engines and partitionings.
+
+    Exactness: sign bits are float comparisons (> 0), not arithmetic —
+    bit-identical in SQL; the oracle packs the same bits into two 32-bit
+    BIGINT words and ranks by bit_count(xor(lo))+bit_count(xor(hi))."""
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < n_queries]
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qcodes = _sign_codes(qmat)
+    qids = qdf["vec_id"].to_numpy()
+    qref = ray.put((qids, qcodes))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Scorer:
+        def __init__(self, qref):
+            self.qids, self.qcodes = (
+                ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            vids = batch["vec_id"].to_numpy()
+            codes = _sign_codes(mat)
+            ham = _popcount64(codes[:, None] ^ self.qcodes[None, :]).astype(np.int64)
+            nq = len(self.qids)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(self.qids, len(vids)),
+                    "vec_id": np.tile(vids, nq),
+                    "hamming": ham.T.reshape(-1),
+                }
+            )
+            out = out[out["query_id"] != out["vec_id"]]
+            out = out.sort_values(["query_id", "hamming", "vec_id"])
+            return out.groupby("query_id", as_index=False).head(k)
+
+    partials = ds.map_batches(
+        Scorer, fn_constructor_args=(qref,), batch_format="pyarrow", concurrency=2
+    )
+    allp = partials.to_pandas()
+    allp = allp.sort_values(["query_id", "hamming", "vec_id"])
+    top = allp.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    for c in ("query_id", "vec_id", "hamming", "rank"):
+        top[c] = top[c].astype(np.int64)
+    return top
+
+
+def emb_hamming_topk_sql(sf_dir: str, n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH pos AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS d
+  FROM embeddings
+), code AS (
+  SELECT vec_id,
+         SUM(CASE WHEN v > 0 AND d < 32 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END) AS lo,
+         SUM(CASE WHEN v > 0 AND d >= 32 THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE 0 END) AS hi
+  FROM pos GROUP BY vec_id
+), q AS (SELECT * FROM code WHERE vec_id < {n_queries}),
+ dist AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming
+  FROM q JOIN code c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rank
+FROM dist
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) <= {k}
+ORDER BY query_id, rank"""
+
+
 # ------------------------------------------------------- global vocabulary
 def doc_vocab(sf_dir: str, min_count: int = 10, batch_size: int = 4096) -> ray.data.Dataset:
     """Global vocabulary build (wordcount) with PARTIAL aggregation.
