@@ -833,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stupid-backoff trigram LM scoring (Brants et al. 2007)
     q["doc_backoff_trigram"] = td.doc_backoff_trigram
     q["doc_quality_filter"] = td.doc_quality_filter
+    # C4-style blocklist safety filter (actor-pool compiled lexicon regex)
+    q["doc_blocklist_filter"] = td.doc_blocklist_filter
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -918,16 +920,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window before (contract-exact since they landed). The family had
         # 16 in-window members; 9 (t_mfi, t_volatility, t_ultimate,
         # t_vortex, t_donchian, t_wma, t_force, t_elder, t_coppock) are
-        # displaced for the 9 round-4 session-5/6 operators below — the
-        # battery shares one base CTE and the same rolling kernels, so the
-        # 7 kept members span the distinct kernel shapes (EMA-smoothed
-        # range, rolling min/max channel, mean-abs-dev, signed cumsum,
-        # rolling regression, directional smoothing, multi-window shift)
-        # and a failure in any displaced sibling would surface here too;
-        # the displaced nine stay in the full contract run and roll into
-        # the round-5 window.
-        "t_atr", "t_stochastic", "t_cci", "t_obv",
-        "t_linreg", "t_ichimoku", "t_adx",
+        # displaced for the 9 round-4 session-5/6 operators below, and 2
+        # more (t_adx — Wilder smoothing overlaps t_atr's; t_ichimoku —
+        # rolling min/max overlaps t_stochastic's channel) for the
+        # session-7 operators (emb_hamming_topk, doc_blocklist_filter) —
+        # the battery shares one base CTE and the same rolling kernels, so
+        # the 5 kept members still span the distinct kernel shapes
+        # (EMA-smoothed range, rolling min/max channel, mean-abs-dev,
+        # signed cumsum, rolling regression) and a failure in any
+        # displaced sibling would surface here too; the displaced eleven
+        # stay in the full contract run and roll into the round-5 window.
+        "t_atr", "t_stochastic", "t_cci", "t_obv", "t_linreg",
+        # round-4 session-7 additions, exact oracles, never
+        # driver-verified: binary sign-quantized Hamming top-k retrieval,
+        # C4-style blocklist safety filter (actor-pool compiled lexicon)
+        "emb_hamming_topk", "doc_blocklist_filter",
         # round-4 session-5/6 additions, never driver-verified, all with
         # exact oracles: content-defined chunking dedup (both views),
         # hashing-trick vectorizer, agent tool-loop detection, dedup-aware
@@ -1087,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         # kmeans-seeded threshold → rows-only (straight-line parity pytests)
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
+        "doc_blocklist_filter": td.doc_blocklist_filter_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)

@@ -2817,6 +2817,66 @@ WHERE n_tokens >= {min_tokens}
 ORDER BY doc_id"""
 
 
+_BLOCKLIST = ("slow", "dup", "leak", "spark")
+
+
+def doc_blocklist_filter(sf_dir: str, words: tuple = _BLOCKLIST) -> ray.data.Dataset:
+    """Lexicon/blocklist safety filter — the C4 "bad words" curation stage
+    (Raffel et al. 2020 §2.2 dropped any page containing a blocklist word;
+    reference analogue: the reference has no safety stage, this is part of
+    the LLM-curation surface): count word-boundary blocklist matches in
+    each document and emit the per-doc verdict (strict C4 rule: keep only
+    zero-match docs) plus the match count and rate, so downstream can
+    either hard-drop or threshold.
+
+    Implemented as an ACTOR-POOL stage: the alternation regex
+    \\b(w1|w2|...)\\b is compiled ONCE per actor in __init__ (the lexicon in
+    production is thousands of terms — per-batch recompile would dominate),
+    batches scan vectorized via pandas' C regex loop. The lexicon is tiny
+    and travels in the actor constructor (broadcast once), never per batch.
+
+    Exactness: word-boundary literal alternation agrees between Python re
+    and DuckDB's RE2 (no backtracking constructs); token counting mirrors
+    doc_token_stats' split discipline."""
+    import re
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Scanner:
+        def __init__(self, words):
+            self.pat = re.compile(r"\b(?:" + "|".join(map(re.escape, words)) + r")\b")
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pandas()
+            n_blocked = texts.str.count(self.pat).astype(np.int64)
+            n_tokens = texts.str.count(" ").astype(np.int64) + 1
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                    "n_blocked": n_blocked,
+                    "n_tokens": n_tokens,
+                    "blocked_rate": np.round(n_blocked / n_tokens, 6),
+                    "keep": (n_blocked == 0).to_numpy(),
+                }
+            )
+
+    return ds.map_batches(
+        Scanner, fn_constructor_args=(words,), batch_format="pyarrow", concurrency=2
+    )
+
+
+def doc_blocklist_filter_sql(sf_dir: str, words: tuple = _BLOCKLIST) -> str:
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_blocked,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       round(len(regexp_extract_all(text, '{pat}'))
+             / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS blocked_rate,
+       len(regexp_extract_all(text, '{pat}')) = 0 AS keep
+FROM documents ORDER BY doc_id"""
+
+
 def doc_pack_sequences(
     sf_dir: str, context_len: int = 512, num_partitions: int = 32
 ) -> ray.data.Dataset:
