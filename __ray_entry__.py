@@ -174,6 +174,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_regex_tokens"] = t_regex_tokens
 
+    def t_dialog_acts(sf):
+        # per-turn dialog-act tagging by marker-token hits (the transcript
+        # cousin of lang_scores' strict-argmax rule): question / answer /
+        # action via word-boundary regex counts, 'other' on tie or zero —
+        # the act distribution is what SFT-mix curation balances on
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        pats = {
+            "q_hits": r"\b(?:question|context)\b",
+            "a_hits": r"\b(?:answer|reply|result)\b",
+            "t_hits": r"\b(?:tool|call|plan|agent)\b",
+        }
+
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pandas()
+            hits = np.stack(
+                [texts.str.count(p).to_numpy(dtype=np.int64) for p in pats.values()], axis=1
+            )
+            best = hits.max(axis=1)
+            unique = (hits == best[:, None]).sum(axis=1) == 1
+            acts = np.array(["question", "answer", "action"], dtype=object)
+            out = pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                    "turn_idx": batch["turn_idx"].to_numpy(),
+                }
+            )
+            for k, col in zip(pats, hits.T):
+                out[k] = col
+            out["act"] = np.where(unique, acts[hits.argmax(axis=1)], "other")
+            return out
+
+        return _turns_ds(sf).select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    q["t_dialog_acts"] = t_dialog_acts
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -835,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_quality_filter"] = td.doc_quality_filter
     # C4-style blocklist safety filter (actor-pool compiled lexicon regex)
     q["doc_blocklist_filter"] = td.doc_blocklist_filter
+    # Gopher quality-rule battery with per-rule diagnostic flags
+    q["doc_gopher_rules"] = td.doc_gopher_rules
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -889,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_resize"] = mm.media_resize
     # perceptual average-hash dedup key over the binary payload
     q["media_ahash"] = mm.media_ahash
+    # banded-Hamming perceptual near-dup pairs (multimodal dedup join)
+    q["media_ahash_dups"] = mm.media_ahash_dups
     q["customers_without_orders"] = tpch.customers_without_orders
     q["waiting_suppliers"] = tpch.waiting_suppliers
 
@@ -952,9 +996,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract-exact and roll into the round-5 window.
         "e_weighted_quantiles", "doc_ccnet_buckets", "doc_backoff_trigram",
         "t_conv_export", "media_ahash",
-        # events family never driver-verified
-        "e_cube", "e_stream_join", "e_streaming_sessions", "e_hopping_windows",
-        "e_ntile", "e_max_concurrency", "e_window_distinct_users",
+        # events family never driver-verified (e_ntile /
+        # e_window_distinct_users / e_streaming_sessions displaced for the
+        # session-7 ops below — not verdict-named, simple window/distinct
+        # shapes whose events read + window partitioning machinery the four
+        # kept members exercise; they stay contract-exact and roll into the
+        # round-5 window)
+        "e_cube", "e_stream_join", "e_hopping_windows", "e_max_concurrency",
+        # round-4 session-7 additions, exact oracles, never driver-verified:
+        # Gopher quality-rule battery (per-rule diagnostic flags), banded-
+        # Hamming perceptual near-dup pairs over media aHash, per-turn
+        # dialog-act tagging
+        "doc_gopher_rules", "media_ahash_dups", "t_dialog_acts",
         # relational join shapes never driver-verified
         "part_value_concentration", "nation_trade_volume",
         "profit_by_nation_year", "priority_linestatus_mix",
@@ -1095,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_blocklist_filter": td.doc_blocklist_filter_sql(_SQL_SF_DIR),
+        "doc_gopher_rules": td.doc_gopher_rules_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
@@ -1213,6 +1267,21 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_dialog_acts": oracle.base_cte(p, with_text=True)
+        + r""",
+h AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '\b(?:question|context)\b')) AS BIGINT) AS q_hits,
+         CAST(len(regexp_extract_all(text, '\b(?:answer|reply|result)\b')) AS BIGINT) AS a_hits,
+         CAST(len(regexp_extract_all(text, '\b(?:tool|call|plan|agent)\b')) AS BIGINT) AS t_hits
+  FROM t
+)
+SELECT conv_id, turn_idx, q_hits, a_hits, t_hits,
+       CASE WHEN q_hits > a_hits AND q_hits > t_hits THEN 'question'
+            WHEN a_hits > q_hits AND a_hits > t_hits THEN 'answer'
+            WHEN t_hits > q_hits AND t_hits > a_hits THEN 'action'
+            ELSE 'other' END AS act
+FROM h ORDER BY conv_id, turn_idx""",
         "media_decode": _mm.media_decode_sql(_SQL_SF_DIR),
         "media_frame_sample": _mm.media_frame_sample_sql(_SQL_SF_DIR),
         "media_resize": _mm.media_resize_sql(_SQL_SF_DIR),
@@ -1221,6 +1290,7 @@ FROM t ORDER BY conv_id, turn_idx""",
         # binary-payload aggregates now carry exact oracles
         "media_byte_features": _mm.media_byte_features_sql(_SQL_SF_DIR),
         "media_ahash": _mm.media_ahash_sql(_SQL_SF_DIR),
+        "media_ahash_dups": _mm.media_ahash_dups_sql(_SQL_SF_DIR),
     }
 
 

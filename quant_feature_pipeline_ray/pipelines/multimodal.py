@@ -245,6 +245,159 @@ FROM allm a LEFT JOIN bits USING (media_id)
 ORDER BY media_id"""
 
 
+def media_ahash_dups(
+    sf_dir: str, n_bands: int = 8, max_hamming: int = 26, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Perceptual near-duplicate PAIRS over the media table — the multimodal
+    dedup join every image pipeline runs after aHash/pHash keying: pairs of
+    media rows that (a) share at least one exact 8-bit band of their 64-bit
+    aHash and (b) are within `max_hamming` overall. The band-blocking is
+    PART OF THE CONTRACT (mirrored bit-for-bit in the SQL oracle), i.e. the
+    operator is the standard first-stage blocking + verify with its recall
+    trade stated, not hidden: for true near-dups (hamming < n_bands) recall
+    is 1.0 by pigeonhole — Manku et al. WWW'07, same blocking as
+    doc_simhash_pairs (training_data.py), applied to the binary modality.
+    The generous default threshold exercises the verify path on this
+    synthetic corpus's random-byte payloads, where real perceptual twins
+    don't exist.
+
+    Dataflow (100-TB-safe): aHash actor pool (8 bytes/row out — payload
+    never rides further) → band explode (n_bands tiny rows/media) → ONE
+    hash exchange on the fused band key → per-bucket vectorized
+    XOR-popcount verify → global pair dedup (a pair may collide in several
+    bands)."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    sigs = media_ahash(sf_dir)
+
+    def bands(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy()
+        h = batch["ahash64"].to_numpy().view(np.uint64)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+        vals = ((h[:, None] >> shifts) & mask).astype(np.int64).ravel()
+        b = np.tile(np.arange(n_bands, dtype=np.int64), len(ids))
+        return pd.DataFrame(
+            {
+                "bkey": (b << np.int64(width)) | vals,
+                "media_id": np.repeat(ids, n_bands),
+                "sig": np.repeat(h.view(np.int64), n_bands),
+            }
+        )
+
+    exploded = sigs.map_batches(bands, batch_format="pyarrow")
+
+    def _pairs_of(sub: pd.DataFrame) -> pd.DataFrame | None:
+        n = len(sub)
+        if n < 2:
+            return None
+        ids = sub["media_id"].to_numpy()
+        s = sub["sig"].to_numpy().view(np.uint64)
+        ia = np.repeat(np.arange(n - 1, dtype=np.int64), n - 1 - np.arange(n - 1))
+        ib = np.concatenate([np.arange(i + 1, n, dtype=np.int64) for i in range(n - 1)])
+        v = s[ia] ^ s[ib]
+        ham = np.zeros(len(v), dtype=np.int64)
+        while True:  # Kernighan popcount, vectorized
+            nz = v != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            v[nz] &= v[nz] - np.uint64(1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return None
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if int(hi.max()) >= (1 << 31):
+            raise ValueError("media_ahash_dups pair_key packs two ids into int64")
+        return pd.DataFrame(
+            {
+                "pair_key": (lo.astype(np.int64) << 32) | hi.astype(np.int64),
+                "media_a": lo.astype(np.int64),
+                "media_b": hi.astype(np.int64),
+                "hamming": ham[keep],
+            }
+        )
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            p for _, sub in g.groupby("bkey", sort=False) if (p := _pairs_of(sub)) is not None
+        ]
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "pair_key": pd.Series(dtype="int64"),
+                    "media_a": pd.Series(dtype="int64"),
+                    "media_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = partition_map_groups(exploded, collide, key="bkey", num_buckets=num_partitions)
+    uniq = grouped_aggregate(
+        pairs,
+        "pair_key",
+        {
+            "media_a": ("media_a", "min"),
+            "media_b": ("media_b", "min"),
+            "hamming": ("hamming", "min"),
+        },
+    )
+    return uniq.drop_columns(["pair_key"])
+
+
+def media_ahash_dups_sql(sf_dir: str, n_bands: int = 8, max_hamming: int = 26) -> str:
+    """Exact mirror: the aHash CTE from media_ahash_sql, bands extracted by
+    HUGEINT div/mod (2^(8k) literals), candidate = any-band equality with
+    media_a < media_b, verify = bit_count(xor) on the signed view."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    band_rows = ", ".join(f"({k}, CAST({1 << (width * k)} AS HUGEINT))" for k in range(n_bands))
+    cells = 64
+    return f"""
+WITH b AS ({_SQL_BYTES.format(path=media_path(sf_dir))}
+), bytes AS (
+  SELECT media_id, body_len, i, v,
+         (i * {cells}) // NULLIF(body_len, 0) AS cell
+  FROM b
+), cellagg AS (
+  SELECT media_id, body_len, cell,
+         SUM(v) AS cell_sum, COUNT(*) AS cell_len,
+         SUM(SUM(v)) OVER (PARTITION BY media_id) AS total
+  FROM bytes GROUP BY media_id, body_len, cell
+), bits AS (
+  SELECT media_id,
+         SUM(CASE WHEN cell_sum * body_len > total * cell_len
+                  THEN {"[" + ",".join(str(1 << c) for c in range(cells)) + "]"}[CAST(cell AS INT) + 1]
+                  ELSE CAST(0 AS HUGEINT) END) AS h
+  FROM cellagg GROUP BY media_id
+), hh AS (
+  SELECT a.media_id,
+         COALESCE(h, 0) AS uh,
+         CAST(CASE WHEN COALESCE(h, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN COALESCE(h, 0) - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE COALESCE(h, 0) END AS BIGINT) AS sh
+  FROM read_parquet('{media_path(sf_dir)}') a LEFT JOIN bits USING (media_id)
+), bands AS (
+  SELECT media_id, t.k, (uh // t.p) % {1 << width} AS bv
+  FROM hh, (VALUES {band_rows}) AS t(k, p)
+), cand AS (
+  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+  FROM bands x JOIN bands y ON x.k = y.k AND x.bv = y.bv AND x.media_id < y.media_id
+)
+SELECT c.media_a, c.media_b,
+       CAST(bit_count(xor(ha.sh, hb.sh)) AS BIGINT) AS hamming
+FROM cand c
+JOIN hh ha ON ha.media_id = c.media_a
+JOIN hh hb ON hb.media_id = c.media_b
+WHERE bit_count(xor(ha.sh, hb.sh)) <= {max_hamming}
+ORDER BY media_a, media_b"""
+
+
 def media_byte_features_sql(sf_dir: str) -> str:
     """Exact mirror of ByteHistogram (promoted from rows-only round 4 by
     the hex(payload) byte recovery): 16-bin high-nibble histogram + byte

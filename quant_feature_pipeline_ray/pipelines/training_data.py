@@ -2877,6 +2877,127 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def doc_gopher_rules(
+    sf_dir: str,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 4.5,
+    min_stop_hits: int = 3,
+    min_distinct_ratio: float = 0.45,
+    max_top_word_frac: float = 0.09,
+) -> ray.data.Dataset:
+    """Gopher-style quality-rule battery (Rae et al. 2021 arXiv:2112.11446
+    Appendix A — the canonical pre-training heuristic filter set): per-doc
+    word-count bounds, mean-word-length bounds, stop-word floor, distinct-
+    word-ratio floor (their duplicate-content family) and most-common-word
+    dominance ceiling, each emitted as its OWN boolean flag plus the raw
+    statistic so downstream can audit which rule fired — the difference
+    from doc_quality_filter (a single keep verdict over 3 rules) is the
+    per-rule diagnostic surface, which is what a curation run tunes
+    against. Thresholds are adapted to the synthetic corpus (Gopher's
+    [3,10] mean-length band never fires here) but keep the paper's rule
+    shapes; reference analogue: the reference has no quality stage — this
+    is part of the LLM-curation surface.
+
+    Stateless vectorized map_batches: composes token_counts /
+    stopword_hits (shared with doc_token_stats, exact-integer discipline);
+    the only bounded-python term is the per-doc top-word multiplicity
+    (Counter over that doc's tokens). All ratios are IEEE double divisions
+    of the same integers on both engine and oracle sides — bitwise, no
+    rounding needed."""
+    from collections import Counter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        st = token_counts(texts)
+        sh = stopword_hits(texts)
+        top_c = (
+            texts.str.split(" ")
+            .map(lambda t: max(Counter(t).values()))
+            .to_numpy(dtype=np.int64)
+        )
+        n = st["n_tokens"].to_numpy()
+        mean_len = st["token_chars"].to_numpy() / n
+        dr = st["distinct_tokens"].to_numpy() / n
+        twf = top_c / n
+        r_wordcount = (n >= min_words) & (n <= max_words)
+        r_meanlen = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+        r_stopwords = sh >= min_stop_hits
+        r_distinct = dr >= min_distinct_ratio
+        r_topword = twf <= max_top_word_frac
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "n_words": n,
+                "mean_word_len": mean_len,
+                "stop_hits": sh,
+                "distinct_ratio": dr,
+                "top_word_frac": twf,
+                "r_wordcount": r_wordcount,
+                "r_meanlen": r_meanlen,
+                "r_stopwords": r_stopwords,
+                "r_distinct": r_distinct,
+                "r_topword": r_topword,
+                "keep": r_wordcount & r_meanlen & r_stopwords & r_distinct & r_topword,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_gopher_rules_sql(
+    sf_dir: str,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 4.5,
+    min_stop_hits: int = 3,
+    min_distinct_ratio: float = 0.45,
+    max_top_word_frac: float = 0.09,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), pw AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN w IN ({sw}) THEN c ELSE 0 END) AS BIGINT) AS sh
+  FROM pw GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars
+  FROM documents
+)
+SELECT b.doc_id,
+       b.n_words,
+       b.token_chars / b.n_words AS mean_word_len,
+       a.sh AS stop_hits,
+       a.nd / b.n_words AS distinct_ratio,
+       a.tc / b.n_words AS top_word_frac,
+       (b.n_words >= {min_words} AND b.n_words <= {max_words}) AS r_wordcount,
+       (b.token_chars / b.n_words >= {min_mean_len}
+        AND b.token_chars / b.n_words <= {max_mean_len}) AS r_meanlen,
+       a.sh >= {min_stop_hits} AS r_stopwords,
+       a.nd / b.n_words >= {min_distinct_ratio} AS r_distinct,
+       a.tc / b.n_words <= {max_top_word_frac} AS r_topword,
+       ((b.n_words >= {min_words} AND b.n_words <= {max_words})
+        AND (b.token_chars / b.n_words >= {min_mean_len}
+             AND b.token_chars / b.n_words <= {max_mean_len})
+        AND a.sh >= {min_stop_hits}
+        AND a.nd / b.n_words >= {min_distinct_ratio}
+        AND a.tc / b.n_words <= {max_top_word_frac}) AS keep
+FROM base b JOIN agg a USING (doc_id)
+ORDER BY b.doc_id"""
+
+
 def doc_pack_sequences(
     sf_dir: str, context_len: int = 512, num_partitions: int = 32
 ) -> ray.data.Dataset:
