@@ -877,6 +877,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_blocklist_filter"] = td.doc_blocklist_filter
     # Gopher quality-rule battery with per-rule diagnostic flags
     q["doc_gopher_rules"] = td.doc_gopher_rules
+    # per-source repeated-segment (boilerplate) removal with doc rebuild
+    q["doc_boilerplate_strip"] = td.doc_boilerplate_strip
+    # deterministic hash-shard training shuffle + per-shard source-mix audit
+    q["doc_shuffle_shards"] = td.doc_shuffle_shards
+    # lang-ID eval: confusion matrix + per-true-lang recall
+    q["doc_langid_confusion"] = td.doc_langid_confusion
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -1012,11 +1018,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_value_concentration", "nation_trade_volume",
         "profit_by_nation_year", "priority_linestatus_mix",
         # doc_* exact oracles never driver-verified (incl. the two round-4
-        # HLL/fingerprint oracle promotions)
+        # HLL/fingerprint oracle promotions). doc_source_mix / doc_source_kl
+        # / doc_topk_per_lang displaced for the session-7 trio below — not
+        # verdict-named; their dictionary-exchange + per-lang-group
+        # machinery stays covered by doc_vocab / doc_perplexity here and
+        # the driver-green doc_source_overlap (r3); they remain
+        # contract-exact and roll into the round-5 window.
         "doc_cluster_keep_best", "doc_checksum", "doc_edit_pairs",
         "doc_rrf_fusion", "doc_bloom_dedup", "doc_fingerprint",
-        "doc_source_mix", "doc_source_kl", "doc_perplexity", "doc_vocab",
-        "doc_topk_per_lang", "doc_distinct_tokens_hll",
+        "doc_perplexity", "doc_vocab", "doc_distinct_tokens_hll",
+        # round-4 session-7 additions (cont.): per-source boilerplate strip
+        # with doc rebuild, hash-shard shuffle audit, lang-ID confusion
+        # matrix — all exact oracles
+        "doc_boilerplate_strip", "doc_shuffle_shards", "doc_langid_confusion",
         # verdict-named rows-only ops (BPE trainer, distributed logreg,
         # triangle count): driver records rows+schema for these
         "doc_bpe_train", "emb_logreg_train", "emb_triangle_count",
@@ -1149,6 +1163,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_blocklist_filter": td.doc_blocklist_filter_sql(_SQL_SF_DIR),
         "doc_gopher_rules": td.doc_gopher_rules_sql(_SQL_SF_DIR),
+        "doc_boilerplate_strip": td.doc_boilerplate_strip_sql(_SQL_SF_DIR),
+        "doc_shuffle_shards": td.doc_shuffle_shards_sql(_SQL_SF_DIR),
+        "doc_langid_confusion": td.doc_langid_confusion_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)

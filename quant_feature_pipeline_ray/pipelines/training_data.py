@@ -1839,6 +1839,138 @@ SELECT doc_id,
 FROM fp"""
 
 
+def doc_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID EVALUATION — the confusion matrix of the marker-token
+    classifier (doc_lang_id) against the corpus's labeled `lang` column,
+    with per-true-language recall fractions: the audit table a curation
+    run publishes before trusting a lang filter (mislabeled languages are
+    a top silent data-loss cause at corpus scale). Dataflow: stateless
+    scan with a per-batch (lang, pred) combiner → ONE |langs|²-row
+    exchange; fractions computed inside the per-true-lang group so no
+    second pass. Shares lang_scores' strict-argmax contract (exactly
+    mirrored in SQL) with doc_lang_id."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        pred = lang_scores(batch["text"].to_pandas())["pred_lang"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "pred_lang": pred,
+                "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        return df.groupby(["lang", "pred_lang"], sort=False, as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    def reduce_lang(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "pred_lang"], sort=True, as_index=False)["n_docs"].sum()
+        out["recall_frac"] = out["n_docs"] / out.groupby("lang")["n_docs"].transform("sum")
+        return out
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"), reduce_lang, key="lang", num_buckets=4
+    )
+
+
+def doc_langid_confusion_sql(sf_dir: str) -> str:
+    langs = list(LANG_MARKERS.keys())
+    hit_cols = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ("
+        + ", ".join(f"'{m}'" for m in ms)
+        + f"))) AS BIGINT) AS hits_{l}"
+        for l, ms in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    n_at_max = " + ".join(f"CASE WHEN hits_{l} = {best} THEN 1 ELSE 0 END" for l in langs)
+    first_max = "CASE " + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH h AS (SELECT lang, {hit_cols} FROM documents),
+p AS (
+  SELECT lang,
+         CASE WHEN {best} > 0 AND ({n_at_max}) = 1 THEN {first_max} ELSE 'und' END AS pred_lang
+  FROM h
+), m AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS recall_frac
+FROM m ORDER BY lang, pred_lang"""
+
+
+def doc_shuffle_shards(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
+    """Deterministic hash-shard shuffle audit — HOW a 100-TB corpus is
+    actually shuffled for training: not `random_shuffle` (an all-to-all
+    over the full payload) but a stable hash of the doc id into N shards,
+    each shard written independently (resumable, reproducible across
+    re-runs and cluster sizes). This op emits the audit a shuffle job
+    publishes: per (shard, source) doc and token counts, which is what you
+    check to confirm the shuffle decorrelated source order (every shard
+    should hold ~1/N of every source). Shard key = rolling-FNV of the
+    decimal doc id (fingerprint64 — vectorized, and SQL-mirrorable via the
+    doc_fingerprint list_reduce chain, so the oracle is exact).
+
+    Dataflow: stateless scan with per-batch (shard, source) combiner →
+    ONE dictionary-sized exchange (N·|sources| rows). The text never
+    moves; the real shard WRITE would be write_parquet partitioned by
+    shard on the same key (doc_export_partitioned demonstrates the sink
+    side)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        fp = fingerprint64(pd.Series(ids.astype(str)))
+        shard = (fp % np.uint64(n_shards)).astype(np.int64)
+        texts = batch["text"].to_pandas()
+        n_tokens = (texts.str.count(" ") + 1).to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "shard": shard,
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(ids), dtype=np.int64),
+                "n_tokens": n_tokens,
+            }
+        )
+        return df.groupby(["shard", "source"], sort=False, as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["shard", "source"], sort=True, as_index=False).sum()
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        reduce_shard,
+        key="shard",
+        num_buckets=8,
+    )
+
+
+def doc_shuffle_shards_sql(sf_dir: str, n_shards: int = 16) -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) || ' ' AS t, source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+), fp AS (
+  SELECT source, n_tokens, list_reduce(
+    list_prepend(CAST(1469598103934665603 AS UBIGINT),
+      list_transform(range(1, octet_length(encode(t)) + 1),
+                     i -> CAST(unicode(t[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                   % 18446744073709551616 AS UBIGINT)
+  ) AS fp FROM d
+)
+SELECT CAST(fp % {n_shards} AS BIGINT) AS shard, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM fp GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ----------------------------------------------- winnowing fingerprints
 _WIN_PRIME = 1099511628211  # FNV prime — doubles as the Horner base
 _WIN_OFFSET = 1469598103934665603
@@ -6874,6 +7006,121 @@ SELECT doc_id,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '') AS text_dedup
 FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def doc_boilerplate_strip(
+    sf_dir: str, seg_tokens: int = 4, min_docs: int = 2
+) -> ray.data.Dataset:
+    """Boilerplate removal — strip every segment that repeats across ≥
+    `min_docs` DISTINCT documents of the SAME source (headers, footers,
+    nav chrome: the per-site repeated-content pass every web-corpus
+    pipeline runs — e.g. CCNet's per-shard duplicated-paragraph strip,
+    Wenzek et al. 2019 arXiv:1911.00359 §3.1). Differs from
+    doc_segment_dedup in BOTH directions: the trigger is cross-doc
+    frequency within a source (not any 2nd occurrence corpus-wide), and a
+    triggered segment is removed EVERYWHERE including its first occurrence
+    (boilerplate has no "winner").
+
+    Dataflow (100-TB-safe): segment scan emits per-batch COMBINED
+    (source⊕segment-hash, distinct-doc partial) rows — 16 bytes per
+    distinct (doc, segment), text never rides → ONE small exchange sums
+    distinct-doc counts → the boilerplate key set (HAVING ≥ min_docs) is
+    dictionary-sized (a source's repeated-chrome lexicon, output-bounded)
+    → broadcast once via ray.put, np.isin lookup inside the rebuild scan
+    (no second all-to-all). Each doc rebuilds locally from its own row.
+    Oracle keys on (source, seg_text) itself; the engine's 64-bit key is
+    the doc_exact_dedup collision discipline."""
+    c = seg_tokens
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def _segments(text: str) -> list[str]:
+        tk = text.split(" ")
+        n = (len(tk) + c - 1) // c
+        return [" ".join(tk[j * c : (j + 1) * c]) for j in range(n)]
+
+    def _keys(source: str, segs: list[str]) -> np.ndarray:
+        joined = np.asarray([source + "\x00" + s for s in segs], dtype=object)
+        return content_hash(joined).view(np.int64)
+
+    def seg_partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        ks, ds = [], []
+        for did, src, text in zip(ids, srcs, texts):
+            segs = _segments(text)
+            ks.append(_keys(src, segs))
+            ds.append(np.full(len(segs), did, dtype=np.int64))
+        df = pd.DataFrame({"k": np.concatenate(ks), "d": np.concatenate(ds)})
+        # a doc lives wholly in one batch row → within-batch (k, d) dedup
+        # makes the partial an exact distinct-doc count contribution
+        part = df.drop_duplicates().groupby("k", sort=False).size()
+        return pd.DataFrame({"k": part.index.to_numpy(), "nd": part.to_numpy()})
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    counts = grouped_aggregate(
+        docs.map_batches(seg_partials, batch_format="pyarrow"), "k", {"nd": ("nd", "sum")}
+    )
+    boiler = counts.filter(expr=f"nd >= {min_docs}").select_columns(["k"]).to_pandas()
+    # dictionary-sized by construction (see docstring) — broadcast once
+    bkeys_ref = ray.put(np.sort(boiler["k"].to_numpy()))
+
+    class Rebuild:
+        def __init__(self, ref):
+            self.bkeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            out_id, out_ns, out_nk, out_tx = [], [], [], []
+            for did, src, text in zip(
+                batch["doc_id"].to_numpy(),
+                batch["source"].to_numpy(zero_copy_only=False),
+                batch["text"].to_numpy(zero_copy_only=False),
+            ):
+                segs = _segments(text)
+                bad = np.isin(_keys(src, segs), self.bkeys, assume_unique=False)
+                kept = [s for s, b in zip(segs, bad) if not b]
+                out_id.append(did)
+                out_ns.append(len(segs))
+                out_nk.append(len(kept))
+                out_tx.append(" ".join(kept))
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_id, dtype=np.int64),
+                    "n_segs": np.asarray(out_ns, dtype=np.int64),
+                    "n_kept": np.asarray(out_nk, dtype=np.int64),
+                    "text_clean": out_tx,
+                }
+            )
+
+    return docs.map_batches(
+        Rebuild, fn_constructor_args=(bkeys_ref,), batch_format="pyarrow", concurrency=2
+    )
+
+
+def doc_boilerplate_strip_sql(sf_dir: str, seg_tokens: int = 4, min_docs: int = 2) -> str:
+    c = seg_tokens
+    return f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+segs AS (
+  SELECT doc_id, source, u.ci AS seg_idx,
+         array_to_string(list_slice(tk, ci * {c} + 1, least((ci + 1) * {c}, len(tk))), ' ') AS seg_text
+  FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / {c}.0) AS BIGINT))) AS u(ci)
+),
+freq AS (
+  SELECT source, seg_text FROM segs
+  GROUP BY source, seg_text HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN f.seg_text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN f.seg_text IS NULL THEN s.seg_text END,
+                           ' ' ORDER BY s.seg_idx), '') AS text_clean
+FROM segs s
+LEFT JOIN freq f ON s.source = f.source AND s.seg_text = f.seg_text
+GROUP BY s.doc_id ORDER BY s.doc_id"""
 
 
 # ------------------------------------------- DSIR-style importance weights

@@ -88,6 +88,80 @@ def test_media_ahash_dups_pigeonhole_and_brute(ray_session):
                 assert ((got["media_a"] == a) & (got["media_b"] == b)).any()
 
 
+def test_boilerplate_strip_straightline(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    c, min_docs = 4, 2
+    got = (
+        td.doc_boilerplate_strip(SF, seg_tokens=c, min_docs=min_docs)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id", ignore_index=True)
+
+    def segs_of(t):
+        tk = t.split(" ")
+        return [" ".join(tk[j * c : (j + 1) * c]) for j in range((len(tk) + c - 1) // c)]
+
+    freq = {}
+    for _, r in docs.iterrows():
+        for s in set(segs_of(r["text"])):
+            freq.setdefault((r["source"], s), set()).add(r["doc_id"])
+    boiler = {k for k, v in freq.items() if len(v) >= min_docs}
+    assert boiler, "fixture must contain per-source repeated segments"
+
+    for (_, g), (_, r) in zip(got.iterrows(), docs.iterrows()):
+        segs = segs_of(r["text"])
+        kept = [s for s in segs if (r["source"], s) not in boiler]
+        assert g["doc_id"] == r["doc_id"]
+        assert g["n_segs"] == len(segs)
+        assert g["n_kept"] == len(kept)
+        assert g["text_clean"] == " ".join(kept)
+    # something was actually stripped somewhere, and most docs are intact
+    assert (got["n_kept"] < got["n_segs"]).any()
+    assert (got["n_kept"] == got["n_segs"]).sum() > len(got) // 2
+
+
+def test_shuffle_shards_balance_and_determinism(ray_session):
+    from quant_feature_pipeline_ray.functions.textstats import fingerprint64
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    n_shards = 16
+    a = td.doc_shuffle_shards(SF, n_shards=n_shards).to_pandas()
+    b = td.doc_shuffle_shards(SF, n_shards=n_shards).to_pandas()
+    key = ["shard", "source"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True), b.sort_values(key, ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert a["n_docs"].sum() == len(docs)
+    assert a["shard"].between(0, n_shards - 1).all()
+    # straight-line shard assignment for the whole corpus
+    fp = fingerprint64(docs["doc_id"].astype(str))
+    exp_per_shard = pd.Series((fp % np.uint64(n_shards)).astype(np.int64)).value_counts()
+    got_per_shard = a.groupby("shard")["n_docs"].sum()
+    assert (got_per_shard.sort_index() == exp_per_shard.sort_index()).all()
+    # the hash actually decorrelates: more than one shard is hit
+    assert a["shard"].nunique() > 1
+
+
+def test_langid_confusion_consistency(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    conf = td.doc_langid_confusion(SF).to_pandas()
+    per = td.doc_lang_id(SF).to_pandas()
+    exp = (
+        per.groupby(["lang", "pred_lang"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_docs"})
+    )
+    m = conf.merge(exp, on=["lang", "pred_lang"], how="outer", suffixes=("", "_exp"))
+    assert (m["n_docs"] == m["n_docs_exp"]).all()
+    # fractions sum to 1 within each true language
+    s = conf.groupby("lang")["recall_frac"].sum()
+    assert np.allclose(s.to_numpy(), 1.0)
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
