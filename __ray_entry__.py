@@ -780,6 +780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["e_grouped_quantiles_sketch"] = lambda sf: ev.events_grouped_quantiles_sketch(f"{sf}/events.parquet")
     q["e_max_concurrency"] = lambda sf: ev.events_max_concurrency(f"{sf}/events.parquet")
+    # per-user daily rate z-score anomaly flags (integer-moment variance)
+    q["e_rate_outliers"] = lambda sf: ev.events_rate_outliers(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
         f"{sf}/events.parquet"
     )
@@ -883,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_shuffle_shards"] = td.doc_shuffle_shards
     # lang-ID eval: confusion matrix + per-true-lang recall
     q["doc_langid_confusion"] = td.doc_langid_confusion
+    # sequence-length bucketing / padding-waste audit
+    q["doc_length_buckets"] = td.doc_length_buckets
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -914,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_ann_topk"] = td.emb_ann_topk
     # binary sign-quantized Hamming first-stage retrieval (32x compression)
     q["emb_hamming_topk"] = td.emb_hamming_topk
+    # ANN eval harness: recall@k of IVF + Hamming vs exact brute force
+    q["emb_recall_eval"] = td.emb_recall_eval
     q["emb_ann_filtered"] = td.emb_ann_filtered
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
@@ -1014,9 +1020,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Hamming perceptual near-dup pairs over media aHash, per-turn
         # dialog-act tagging
         "doc_gopher_rules", "media_ahash_dups", "t_dialog_acts",
-        # relational join shapes never driver-verified
-        "part_value_concentration", "nation_trade_volume",
-        "profit_by_nation_year", "priority_linestatus_mix",
+        # relational join shapes never driver-verified (nation_trade_volume
+        # / priority_linestatus_mix displaced for the session-7 ops below —
+        # simple groupby-join shapes; the kept two cover the multi-join and
+        # distinct-count machinery; both stay contract-exact and roll into
+        # the round-5 window)
+        "part_value_concentration", "profit_by_nation_year",
+        # round-4 session-7 additions (cont.): per-user daily rate z-score
+        # anomaly flags, sequence-length padding-waste audit — exact oracles
+        "e_rate_outliers", "doc_length_buckets",
         # doc_* exact oracles never driver-verified (incl. the two round-4
         # HLL/fingerprint oracle promotions). doc_source_mix / doc_source_kl
         # / doc_topk_per_lang displaced for the session-7 trio below — not
@@ -1079,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "e_markov": ev.events_markov_sql(),
         "e_session_path_topk": ev.events_session_path_topk_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
+        "e_rate_outliers": ev.events_rate_outliers_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
@@ -1166,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate_strip": td.doc_boilerplate_strip_sql(_SQL_SF_DIR),
         "doc_shuffle_shards": td.doc_shuffle_shards_sql(_SQL_SF_DIR),
         "doc_langid_confusion": td.doc_langid_confusion_sql(_SQL_SF_DIR),
+        "doc_length_buckets": td.doc_length_buckets_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)

@@ -1964,3 +1964,99 @@ WITH spans AS (
   FROM deltas
 )
 SELECT CAST(MAX(c) AS BIGINT) AS max_concurrency FROM run"""
+
+
+def events_rate_outliers(
+    path: str, z_thresh: float = 2.0, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-user daily event-rate anomaly detection — the abuse/bot-rate
+    audit every event pipeline runs before trusting volume features: for
+    each (user, day), the z-score of that user's event count against the
+    SAME DAY's population of active users, flagged at |z| >= z_thresh.
+
+    Bitwise-exact variance discipline (the t_moments / integer-moment
+    rule): per-day mean and variance come from int64 Σx and Σx² over user
+    counts — order-independent integer sums — then ONE float expression
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) and z = (x·n − Σx) / (n·sqrt(var)),
+    so the DuckDB oracle reproduces every bit (no float accumulation
+    order anywhere).
+
+    Dataflow (100-TB-safe): per-batch (user, day) count combiner → ONE
+    exchange keyed on day (population stats need the day's users
+    together; day cardinality is unbounded over time so the key does not
+    hot-spot) → per-day vectorized z. Events themselves never ride the
+    exchange — only (user, day, count) triples."""
+    ds = ray.data.read_parquet(path, columns=["user_id", "ts"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "day": day,
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return df.groupby(["user_id", "day"], sort=False, as_index=False).sum()
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "day"], sort=True, as_index=False)["n"].sum()
+        out = []
+        for day, sub in g.groupby("day", sort=True):
+            x = sub["n"].to_numpy()
+            n_users = np.int64(len(x))
+            sx = np.int64(x.sum())
+            sxx = np.int64((x * x).sum())
+            if n_users < 2:
+                z = np.zeros(len(x))
+            else:
+                var = (n_users * sxx - sx * sx) / (n_users * (n_users - 1))
+                denom = n_users * np.sqrt(var)
+                z = np.where(denom > 0, (x * n_users - sx) / denom, 0.0)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": sub["user_id"].to_numpy(),
+                        "day": np.full(len(x), day, dtype=np.int64),
+                        "n_events": x,
+                        "z": z,
+                        "is_outlier": np.abs(z) >= z_thresh,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pandas"),
+        per_day,
+        key="day",
+        num_buckets=num_buckets,
+    )
+
+
+def events_rate_outliers_sql(z_thresh: float = 2.0) -> str:
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, day
+), pop AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS sx,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM per GROUP BY day
+), z AS (
+  SELECT p.user_id, p.day, p.n_events,
+         CASE WHEN o.n_users < 2 THEN 0.0
+              WHEN o.n_users * sqrt((o.n_users * o.sxx - o.sx * o.sx)
+                                    / (o.n_users * (o.n_users - 1))) > 0
+              THEN (p.n_events * o.n_users - o.sx)
+                   / (o.n_users * sqrt((o.n_users * o.sxx - o.sx * o.sx)
+                                       / (o.n_users * (o.n_users - 1))))
+              ELSE 0.0 END AS z
+  FROM per p JOIN pop o USING (day)
+)
+SELECT user_id, day, n_events, z, abs(z) >= {z_thresh} AS is_outlier
+FROM z ORDER BY user_id, day"""

@@ -1555,6 +1555,47 @@ def emb_ann_ivf(
     return top
 
 
+def emb_recall_eval(
+    sf_dir: str, n_queries: int = 10, k: int = 5
+) -> pd.DataFrame:
+    """ANN quality evaluation — recall@k of the two approximate retrieval
+    paths (IVF inverted lists, binary-sign Hamming) against the exact
+    brute-force cosine top-k, per query: the measurement a retrieval stack
+    publishes BEFORE anyone trusts it at corpus scale (an unmeasured ANN
+    index is a silent-recall-loss machine). Composes the three existing
+    distributed retrieval operators; the eval join itself is driver-side
+    over n_queries·k rows — cardinality-bounded by construction.
+
+    Approximate methods have no SQL form → rows-only for the driver;
+    tests/test_session7_ops.py gates mean IVF recall and checks the exact
+    path's self-recall is 1.0."""
+    exact = emb_ann_topk(sf_dir, n_queries, k)
+    ivf = emb_ann_ivf(sf_dir, n_queries, k)
+    ham = emb_hamming_topk(sf_dir, n_queries, k)
+    # the composed production path: Hamming retrieves a 10k-wide SHORTLIST,
+    # exact cosine reranks it — shortlist recall is the number that matters
+    shortlist = emb_hamming_topk(sf_dir, n_queries, 10 * k)
+
+    truth = exact.groupby("query_id")["vec_id"].agg(set)
+
+    def recall_of(df: pd.DataFrame) -> pd.Series:
+        got = df.groupby("query_id")["vec_id"].agg(set)
+        return pd.Series(
+            {q: len(got.get(q, set()) & t) / k for q, t in truth.items()}
+        )
+
+    r_ivf, r_ham, r_short = recall_of(ivf), recall_of(ham), recall_of(shortlist)
+    out = pd.DataFrame(
+        {
+            "query_id": truth.index.to_numpy(dtype=np.int64),
+            "recall_ivf": r_ivf.reindex(truth.index).to_numpy(),
+            "recall_hamming": r_ham.reindex(truth.index).to_numpy(),
+            "recall_hamming_shortlist": r_short.reindex(truth.index).to_numpy(),
+        }
+    ).sort_values("query_id", ignore_index=True)
+    return out
+
+
 def emb_ann_topk_sql(sf_dir: str, n_queries: int = 10, k: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
@@ -1837,6 +1878,72 @@ SELECT doc_id,
                  THEN CAST(fp AS HUGEINT) - 18446744073709551616
                  ELSE CAST(fp AS HUGEINT) END AS BIGINT) AS fp64
 FROM fp"""
+
+
+def doc_length_buckets(sf_dir: str, bucket_size: int = 16) -> ray.data.Dataset:
+    """Sequence-length bucketing audit — the padding-economics table a
+    training-batch assembler is tuned against (length bucketing: batch
+    same-length docs together so padding waste ≈ 0; the alternative to
+    doc_pack_sequences' concat-packing). Per token-length bucket
+    [b·B, (b+1)·B): doc count, token sum, in-bucket max, `ceil_waste`
+    (pad every doc to the bucket ceiling — the static-shape/XLA cost) and
+    `tight_waste` (pad to the in-bucket max — dynamic batching's cost),
+    plus the tight waste fraction. All integer sums (order-independent)
+    and one final float division — exact oracle.
+
+    Dataflow: stateless scan with per-batch (bucket → n/Σ/max) combiner →
+    ONE dictionary-sized exchange (≤ max_len/B rows)."""
+    B = bucket_size
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        n_tokens = (texts.str.count(" ") + 1).to_numpy(dtype=np.int64)
+        df = pd.DataFrame({"bucket": n_tokens // B, "n_tokens": n_tokens})
+        g = df.groupby("bucket", sort=False)["n_tokens"]
+        return pd.DataFrame(
+            {
+                "bucket": g.sum().index.to_numpy(),
+                "n_docs": g.size().to_numpy(dtype=np.int64),
+                "sum_tokens": g.sum().to_numpy(),
+                "max_tokens": g.max().to_numpy(),
+            }
+        )
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("bucket", sort=True, as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"), max_tokens=("max_tokens", "max")
+        )
+        a["ceil_waste"] = a["n_docs"] * (a["bucket"] + 1) * B - a["sum_tokens"]
+        a["tight_waste"] = a["n_docs"] * a["max_tokens"] - a["sum_tokens"]
+        a["tight_waste_frac"] = a["tight_waste"] / (a["n_docs"] * a["max_tokens"])
+        return a
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"), reduce_bucket, key="bucket", num_buckets=4
+    )
+
+
+def doc_length_buckets_sql(sf_dir: str, bucket_size: int = 16) -> str:
+    B = bucket_size
+    return f"""
+WITH d AS (
+  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+), a AS (
+  SELECT n_tokens // {B} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens
+  FROM d GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tokens, max_tokens,
+       n_docs * (bucket + 1) * {B} - sum_tokens AS ceil_waste,
+       n_docs * max_tokens - sum_tokens AS tight_waste,
+       (n_docs * max_tokens - sum_tokens) / (n_docs * max_tokens) AS tight_waste_frac
+FROM a ORDER BY bucket"""
 
 
 def doc_langid_confusion(sf_dir: str) -> ray.data.Dataset:

@@ -162,6 +162,61 @@ def test_langid_confusion_consistency(ray_session):
     assert np.allclose(s.to_numpy(), 1.0)
 
 
+def test_rate_outliers_straightline(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = (
+        ev.events_rate_outliers(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "day"], ignore_index=True)
+    )
+    raw = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    per = (
+        raw.assign(day=raw["ts"].to_numpy().astype("datetime64[D]").astype(np.int64))
+        .groupby(["user_id", "day"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_events"})
+    )
+    assert len(got) == len(per)
+    assert got["n_events"].sum() == len(raw)
+    # z-scores sum to ~0 within each day and flags agree with |z|>=2
+    for _, sub in got.groupby("day"):
+        if len(sub) >= 2:
+            assert abs(sub["z"].sum()) < 1e-9 * max(1, len(sub))
+    assert (got["is_outlier"].to_numpy() == (np.abs(got["z"].to_numpy()) >= 2.0)).all()
+
+
+def test_length_buckets_accounting(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    B = 16
+    got = td.doc_length_buckets(SF, bucket_size=B).to_pandas().sort_values("bucket")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    n_tokens = docs["text"].str.count(" ").to_numpy() + 1
+    assert got["n_docs"].sum() == len(docs)
+    assert got["sum_tokens"].sum() == n_tokens.sum()
+    # waste identities: tight <= ceil, fractions in [0, 1)
+    assert (got["tight_waste"] <= got["ceil_waste"]).all()
+    assert (got["tight_waste"] >= 0).all()
+    assert got["tight_waste_frac"].between(0, 1, inclusive="left").all()
+    # per-bucket max really is the max of that bucket
+    exp_max = pd.Series(n_tokens).groupby(pd.Series(n_tokens) // B).max()
+    assert (got.set_index("bucket")["max_tokens"] == exp_max).all()
+
+
+def test_recall_eval_gates(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    df = td.emb_recall_eval(SF)
+    assert len(df) == 10
+    for c in ["recall_ivf", "recall_hamming", "recall_hamming_shortlist"]:
+        assert df[c].between(0, 1).all()
+    # IVF with nprobe=6/16 must stay a high-recall path
+    assert df["recall_ivf"].mean() >= 0.8
+    # widening the Hamming shortlist can only help (set inclusion)
+    assert (df["recall_hamming_shortlist"] >= df["recall_hamming"]).all()
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
