@@ -214,6 +214,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_dialog_acts"] = t_dialog_acts
 
+    def t_ngram_novelty(sf, n: int = 3):
+        # per-turn novel-3-gram fraction WITHIN the conversation — the
+        # streaming repetition/copy-paste detector (a turn that re-states
+        # earlier grams scores low; the doc-side cousin is doc_ngram_dup_frac,
+        # this one is order- and history-aware). Conv-local by construction →
+        # rides the engine's one conv_id partition; gram explode is the
+        # segments_of bounded-python discipline, ALL set logic is vectorized
+        # pandas groupby over the exploded gram table.
+        import numpy as np
+        import pandas as pd
+
+        def nov_frame(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            convs, turns, grams = [], [], []
+            for conv, tid, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+                tk = text.split(" ")
+                m = max(len(tk) - n + 1, 0)
+                grams.extend(" ".join(tk[i : i + n]) for i in range(m))
+                convs.extend([conv] * m)
+                turns.extend([tid] * m)
+            e = pd.DataFrame({"conv_id": convs, "turn_idx": turns, "gram": grams})
+            cnt = e.groupby(["conv_id", "turn_idx"], sort=False).size()
+            d = e.drop_duplicates()
+            mt = d.groupby(["conv_id", "gram"], sort=False)["turn_idx"].transform("min")
+            per = d.assign(novel=(d["turn_idx"] == mt).astype(np.int64)).groupby(
+                ["conv_id", "turn_idx"], sort=False
+            )["novel"]
+            out = df[["conv_id", "turn_idx"]].copy()
+            idx = pd.MultiIndex.from_frame(out)
+            out["n_grams"] = cnt.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            out["n_distinct"] = per.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            out["n_novel"] = per.sum().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            nd = out["n_distinct"].to_numpy()
+            out["novelty_frac"] = np.where(nd > 0, out["n_novel"].to_numpy() / np.maximum(nd, 1), 0.0)
+            return out
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: nov_frame(compute_turn_features(g)[["conv_id", "turn_idx", "text"]]),
+            num_buckets=64,
+        )
+
+    q["t_ngram_novelty"] = t_ngram_novelty
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -887,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_langid_confusion"] = td.doc_langid_confusion
     # sequence-length bucketing / padding-waste audit
     q["doc_length_buckets"] = td.doc_length_buckets
+    # zlib compression-ratio quality proxy (rows-only: zlib-build-dependent)
+    q["doc_compression_proxy"] = td.doc_compression_proxy
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -923,6 +969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_ann_filtered"] = td.emb_ann_filtered
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
+    # dedup-rate-vs-threshold audit curve (one sweep answers all taus)
+    q["emb_dedup_threshold_sweep"] = td.emb_dedup_threshold_sweep
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
     q["emb_hyperplane_lsh"] = td.emb_hyperplane_lsh
     q["emb_label_centroids"] = td.emb_label_centroids
@@ -1036,9 +1084,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery stays covered by doc_vocab / doc_perplexity here and
         # the driver-green doc_source_overlap (r3); they remain
         # contract-exact and roll into the round-5 window.
+        # (doc_fingerprint / doc_distinct_tokens_hll — the round-4 oracle
+        # PROMOTIONS, whose deliverable is the exact oracle itself, held
+        # green by the full contract run — displaced for the session-7
+        # sweep/novelty ops below; they roll into the round-5 window.)
         "doc_cluster_keep_best", "doc_checksum", "doc_edit_pairs",
-        "doc_rrf_fusion", "doc_bloom_dedup", "doc_fingerprint",
-        "doc_perplexity", "doc_vocab", "doc_distinct_tokens_hll",
+        "doc_rrf_fusion", "doc_bloom_dedup",
+        "doc_perplexity", "doc_vocab",
+        # round-4 session-7 additions (cont.): dedup-rate-vs-τ sweep over
+        # embeddings, per-turn novel-n-gram fraction — exact oracles
+        "emb_dedup_threshold_sweep", "t_ngram_novelty",
         # round-4 session-7 additions (cont.): per-source boilerplate strip
         # with doc rebuild, hash-shard shuffle audit, lang-ID confusion
         # matrix — all exact oracles
@@ -1195,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_hamming_topk": td.emb_hamming_topk_sql(_SQL_SF_DIR),
         "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
+        "emb_dedup_threshold_sweep": td.emb_dedup_threshold_sweep_sql(_SQL_SF_DIR),
         "emb_range_search": td.emb_range_search_sql(_SQL_SF_DIR),
         # emb_knn_graph / emb_semdedup: IVF-approximate / kmeans-seeded →
         # rows-only (pytest recall & exact straight-line parity gates)
@@ -1298,6 +1354,33 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_ngram_novelty": oracle.base_cte(p, with_text=True)
+        + """,
+tok AS (SELECT conv_id, turn_idx, string_split(text, ' ') AS tk FROM t),
+gr AS (
+  SELECT conv_id, turn_idx, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+         || ' ' || tk[CAST(i AS INT) + 2] AS gram
+  FROM tok, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+),
+cnt AS (SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_grams FROM gr GROUP BY 1, 2),
+d AS (SELECT DISTINCT conv_id, turn_idx, gram FROM gr),
+f AS (SELECT conv_id, gram, min(turn_idx) AS mt FROM d GROUP BY 1, 2),
+per AS (
+  SELECT d.conv_id, d.turn_idx,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN f.mt = d.turn_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM d JOIN f ON d.conv_id = f.conv_id AND d.gram = f.gram
+  GROUP BY 1, 2
+)
+SELECT t.conv_id, t.turn_idx,
+       COALESCE(c.n_grams, 0) AS n_grams,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_distinct, 0) > 0
+            THEN p.n_novel / p.n_distinct ELSE 0.0 END AS novelty_frac
+FROM t LEFT JOIN cnt c ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+LEFT JOIN per p ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+ORDER BY t.conv_id, t.turn_idx""",
         "t_dialog_acts": oracle.base_cte(p, with_text=True)
         + r""",
 h AS (

@@ -1235,6 +1235,110 @@ def emb_cosine_dups(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
 
 
+def emb_dedup_threshold_sweep(
+    sf_dir: str, thresholds: tuple = (0.3, 0.35, 0.4, 0.45, 0.5)
+) -> ray.data.Dataset:
+    """Near-dup THRESHOLD SWEEP — the dedup-rate-vs-τ curve a curation run
+    publishes before committing to a cosine cutoff (SemDeDup-style dedup is
+    exquisitely threshold-sensitive; picking τ without this table is
+    guesswork). One pass over the block-row similarity sweep produces, for
+    every candidate τ: the qualifying pair count, the number of vectors
+    touched by ≥1 qualifying pair, and the affected-corpus fraction.
+
+    Scale pattern: same block-row broadcast matmul as emb_cosine_dups (the
+    exact/verify baseline — the IVF-bucketed variant is the 100-TB path),
+    but the exchange carries only per-batch COMBINED rows: |τ| pair-count
+    partials + one (vec, max_sim) row per vector (max over partners is
+    threshold-free, so ALL τ are answered in one sweep). Exact oracle via
+    DuckDB list_cosine_similarity at round-6 (the emb_cosine_dups
+    discipline)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    n_total = len(vids)
+    ref = ray.put((vids, mat, norms))
+    taus = np.asarray(thresholds, dtype=np.float64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        avids, amat, anorms = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bvids = batch["vec_id"].to_numpy()
+        bnorms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = np.round((m @ amat.T) / (bnorms[:, None] * anorms[None, :]), 6)
+        not_self = bvids[:, None] != avids[None, :]
+        # per-vec max over partners (threshold-free) — one row per vector
+        max_sim = np.where(not_self, sims, -np.inf).max(axis=1)
+        # pair-count partials per τ (vec_a < vec_b halves the matrix)
+        lower = bvids[:, None] < avids[None, :]
+        counts = np.asarray(
+            [(lower & (sims >= t)).sum() for t in taus], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(len(taus), dtype=np.int64), np.ones(len(bvids), dtype=np.int64)]
+                ),
+                "key": np.concatenate([np.arange(len(taus), dtype=np.int64), bvids]),
+                "val": np.concatenate([counts.astype(np.float64), max_sim]),
+            }
+        )
+
+    partials = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    # driver-side finish over |τ| + N tiny rows (N counts once per corpus,
+    # not per pair — bounded like emb_ann_topk's merge)
+    pair_counts = (
+        partials[partials["kind"] == 0].groupby("key")["val"].sum().astype(np.int64)
+    )
+    vec_max = partials[partials["kind"] == 1].groupby("key")["val"].max()
+    rows = []
+    for i, t in enumerate(taus):
+        n_vecs = int((vec_max >= t).sum())
+        rows.append(
+            {
+                "threshold": float(t),
+                "n_pairs": int(pair_counts.get(i, 0)),
+                "n_vecs_with_dup": n_vecs,
+                "vec_frac": n_vecs / n_total,
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"threshold": np.float64, "n_pairs": np.int64, "n_vecs_with_dup": np.int64}
+    )
+    return out.sort_values("threshold", ignore_index=True)
+
+
+def emb_dedup_threshold_sweep_sql(
+    sf_dir: str, thresholds: tuple = (0.3, 0.35, 0.4, 0.45, 0.5)
+) -> str:
+    vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in thresholds)
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), t(threshold) AS (VALUES {vals}),
+pairs AS (
+  SELECT t.threshold, CAST(count(s.va) AS BIGINT) AS n_pairs
+  FROM t LEFT JOIN sims s ON s.sim >= t.threshold
+  GROUP BY t.threshold
+), vecs AS (
+  SELECT threshold, CAST(count(DISTINCT v) AS BIGINT) AS n_vecs
+  FROM (
+    SELECT t.threshold, u.v
+    FROM t JOIN sims s ON s.sim >= t.threshold, UNNEST([s.va, s.vb]) AS u(v)
+  ) GROUP BY threshold
+)
+SELECT p.threshold, p.n_pairs,
+       COALESCE(v.n_vecs, CAST(0 AS BIGINT)) AS n_vecs_with_dup,
+       COALESCE(v.n_vecs, CAST(0 AS BIGINT))
+         / (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS vec_frac
+FROM pairs p LEFT JOIN vecs v USING (threshold)
+ORDER BY threshold"""
+
+
 def emb_cosine_dups_sql(sf_dir: str, threshold: float = 0.4) -> str:
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1878,6 +1982,52 @@ SELECT doc_id,
                  THEN CAST(fp AS HUGEINT) - 18446744073709551616
                  ELSE CAST(fp AS HUGEINT) END AS BIGINT) AS fp64
 FROM fp"""
+
+
+def doc_compression_proxy(sf_dir: str, level: int = 6) -> ray.data.Dataset:
+    """Compression-ratio quality proxy — the zlib signal used by web-corpus
+    curation (e.g. Dolma's and RefinedWeb's repetition screens): highly
+    compressible text is boilerplate/repetition, incompressible text is
+    often binary junk or gibberish; the healthy band sits in between. Emits
+    raw/deflated byte sizes and the ratio per document plus the band
+    verdict at the conventional [2.0, 6.0] cut.
+
+    Actor-pool stage (compressor objects are reused per actor; zlib's C
+    loop is the per-row cost — no vectorized form exists, which is fine:
+    it IS the kernel, like model inference in doc_model_score). zlib
+    output bytes depend on the zlib build → no SQL oracle (rows-only);
+    determinism-within-build, band logic, and monotonicity under text
+    repetition are pytest-pinned (tests/test_session7_ops.py)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Deflate:
+        def __init__(self, level: int):
+            import zlib
+
+            self.zlib = zlib
+            self.level = level
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pylist()
+            raw = np.asarray([len(t.encode()) for t in texts], dtype=np.int64)
+            comp = np.asarray(
+                [len(self.zlib.compress(t.encode(), self.level)) for t in texts],
+                dtype=np.int64,
+            )
+            ratio = raw / comp
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                    "ratio": ratio,
+                    "in_band": (ratio >= 2.0) & (ratio <= 6.0),
+                }
+            )
+
+    return ds.map_batches(
+        Deflate, fn_constructor_args=(level,), batch_format="pyarrow", concurrency=2
+    )
 
 
 def doc_length_buckets(sf_dir: str, bucket_size: int = 16) -> ray.data.Dataset:
