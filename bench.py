@@ -206,6 +206,25 @@ def run_bench() -> dict:
     timed("doc_backoff_trigram", lambda: td.doc_backoff_trigram(sf_dir).count())
     timed("emb_jl_project", lambda: td.emb_jl_project(sf_dir).count())
 
+    # round-4 session-7 operators
+    from quant_feature_pipeline_ray.pipelines import multimodal as mm
+
+    timed("doc_gopher_rules", lambda: td.doc_gopher_rules(sf_dir).count())
+    timed("doc_blocklist_filter", lambda: td.doc_blocklist_filter(sf_dir).count())
+    timed("doc_boilerplate_strip", lambda: td.doc_boilerplate_strip(sf_dir).count())
+    timed("doc_shuffle_shards", lambda: td.doc_shuffle_shards(sf_dir).count())
+    timed("doc_compression_proxy", lambda: td.doc_compression_proxy(sf_dir).count())
+    timed("media_ahash_dups", lambda: mm.media_ahash_dups(sf_dir).count())
+    timed(
+        "e_rate_outliers",
+        lambda: ev.events_rate_outliers(f"{sf_dir}/events.parquet").count(),
+    )
+    timed("emb_dedup_threshold_sweep", lambda: len(td.emb_dedup_threshold_sweep(sf_dir)))
+    import __ray_entry__ as _entry
+
+    _novelty = _entry.queries()["t_ngram_novelty"]
+    timed("t_ngram_novelty", lambda: _novelty(sf_dir).count())
+
     # Execution-mode variants at the current column width (round-3 verdict
     # #5): batch-checkpointed backfill vs streaming-state backfill vs
     # steady-state incremental append. All three run the SAME deduped input
