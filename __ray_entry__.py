@@ -826,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_max_concurrency"] = lambda sf: ev.events_max_concurrency(f"{sf}/events.parquet")
     # per-user daily rate z-score anomaly flags (integer-moment variance)
     q["e_rate_outliers"] = lambda sf: ev.events_rate_outliers(f"{sf}/events.parquet")
+    # per-type hourly burst flags vs the type median rate
+    q["e_burst_detect"] = lambda sf: ev.events_burst_detect(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
         f"{sf}/events.parquet"
     )
@@ -966,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_hamming_topk"] = td.emb_hamming_topk
     # ANN eval harness: recall@k of IVF + Hamming vs exact brute force
     q["emb_recall_eval"] = td.emb_recall_eval
+    # Matryoshka truncated-dim retrieval recall curve (one sweep, all dims)
+    q["emb_matryoshka_eval"] = td.emb_matryoshka_eval
     q["emb_ann_filtered"] = td.emb_ann_filtered
     q["emb_ann_ivf"] = td.emb_ann_ivf
     q["emb_cosine_dups"] = td.emb_cosine_dups
@@ -1088,9 +1092,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PROMOTIONS, whose deliverable is the exact oracle itself, held
         # green by the full contract run — displaced for the session-7
         # sweep/novelty ops below; they roll into the round-5 window.)
+        # (doc_perplexity / doc_vocab — three rounds of contract-exact
+        # history — displaced for the session-7 matryoshka/burst ops; they
+        # roll into the round-5 window.)
         "doc_cluster_keep_best", "doc_checksum", "doc_edit_pairs",
         "doc_rrf_fusion", "doc_bloom_dedup",
-        "doc_perplexity", "doc_vocab",
+        # round-4 session-7 additions (cont.): Matryoshka truncated-dim
+        # recall curve, per-type hourly burst flags — exact oracles
+        "emb_matryoshka_eval", "e_burst_detect",
         # round-4 session-7 additions (cont.): dedup-rate-vs-τ sweep over
         # embeddings, per-turn novel-n-gram fraction — exact oracles
         "emb_dedup_threshold_sweep", "t_ngram_novelty",
@@ -1147,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "e_session_path_topk": ev.events_session_path_topk_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
         "e_rate_outliers": ev.events_rate_outliers_sql(),
+        "e_burst_detect": ev.events_burst_detect_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
@@ -1251,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),
         "emb_dedup_threshold_sweep": td.emb_dedup_threshold_sweep_sql(_SQL_SF_DIR),
+        "emb_matryoshka_eval": td.emb_matryoshka_eval_sql(_SQL_SF_DIR),
         "emb_range_search": td.emb_range_search_sql(_SQL_SF_DIR),
         # emb_knn_graph / emb_semdedup: IVF-approximate / kmeans-seeded →
         # rows-only (pytest recall & exact straight-line parity gates)

@@ -2060,3 +2060,79 @@ WITH per AS (
 )
 SELECT user_id, day, n_events, z, abs(z) >= {z_thresh} AS is_outlier
 FROM z ORDER BY user_id, day"""
+
+
+def events_burst_detect(
+    path: str, factor: float = 2.0, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Per-event-type hourly burst detection — flag the hours where a
+    type's volume runs >= `factor`x its own median hourly volume (the
+    rate-spike audit run before trusting event-derived features: deploy
+    storms and bot floods corrupt every downstream aggregate). Median over
+    the type's OBSERVED hours; ratio and flag from exact integer counts
+    with one float division, so the oracle is bitwise (numpy and DuckDB
+    share the even-n median = mean-of-middle-two definition over the same
+    sorted integers).
+
+    Dataflow: per-batch (type, hour) count combiner → ONE exchange keyed
+    on event_type (types are few but each group is only |hours| rows —
+    the skew-proof shape) → per-type vectorized median + flags."""
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = batch["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(),
+                "hour": hour,
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return df.groupby(["event_type", "hour"], sort=False, as_index=False).sum()
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "hour"], sort=True, as_index=False)["n"].sum()
+        out = []
+        for et, sub in g.groupby("event_type", sort=True):
+            x = sub["n"].to_numpy()
+            med = float(np.median(x))
+            ratio = x / med
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": sub["event_type"].to_numpy(),
+                        "hour": sub["hour"].to_numpy(),
+                        "n_events": x,
+                        "type_median": np.full(len(x), med),
+                        "burst_ratio": ratio,
+                        "is_burst": ratio >= factor,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pandas"),
+        per_type,
+        key="event_type",
+        num_buckets=num_buckets,
+    )
+
+
+def events_burst_detect_sql(factor: float = 2.0) -> str:
+    return f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, hour
+), med AS (
+  SELECT event_type, median(n_events) AS type_median
+  FROM per GROUP BY event_type
+)
+SELECT p.event_type, p.hour, p.n_events,
+       m.type_median,
+       p.n_events / m.type_median AS burst_ratio,
+       p.n_events / m.type_median >= {factor} AS is_burst
+FROM per p JOIN med m USING (event_type)
+ORDER BY p.event_type, p.hour"""

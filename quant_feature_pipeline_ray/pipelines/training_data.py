@@ -1716,6 +1716,110 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {
 ORDER BY query_id, rank"""
 
 
+def emb_matryoshka_eval(
+    sf_dir: str, dims: tuple = (8, 16, 32, 64), n_queries: int = 10, k: int = 5
+) -> pd.DataFrame:
+    """Matryoshka truncation evaluation — recall@k of cosine retrieval on
+    PREFIX-truncated embeddings vs the full-dimension exact top-k
+    (Kusupati et al. 2022 arXiv:2205.13147: MRL-trained models pack the
+    most informative coordinates first, so serving can slice d/8..d and
+    trade recall for index size). This is the table that decides how many
+    dims a 100-TB index actually stores. One block-row sweep answers every
+    dim: each batch computes one matmul PER dim on sliced views of the
+    same broadcast matrix (slices alias, no copies) and emits per-(dim,
+    query) top-k partials; the driver merge sees |dims|·blocks·k·n_queries
+    rows.
+
+    Exact oracle: both sides use the round-6 + vec_id tie-break ranking
+    discipline, so the truncated and full top-k SETS are deterministic and
+    recall is an exact integer count / k (DuckDB: list_slice +
+    list_cosine_similarity)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vids = emb["vec_id"].to_numpy()
+    d_full = mat.shape[1]
+    qmask = vids < n_queries
+    qmat, qids = mat[qmask], vids[qmask]
+    ref = ray.put((qids, qmat))
+    all_dims = sorted(set(list(dims) + [d_full]))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        aqids, aqmat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bvids = batch["vec_id"].to_numpy()
+        frames = []
+        for d in all_dims:
+            md, qd = m[:, :d], aqmat[:, :d]
+            mn = np.sqrt(np.einsum("ij,ij->i", md, md))
+            qn = np.sqrt(np.einsum("ij,ij->i", qd, qd))
+            sims = np.round((md @ qd.T) / (mn[:, None] * qn[None, :]), 6)
+            nq = len(aqids)
+            f = pd.DataFrame(
+                {
+                    "dim": np.full(nq * len(bvids), d, dtype=np.int64),
+                    "query_id": np.repeat(aqids, len(bvids)),
+                    "vec_id": np.tile(bvids, nq),
+                    "sim": sims.T.reshape(-1),
+                }
+            )
+            f = f[f["query_id"] != f["vec_id"]]
+            f = f.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+            frames.append(f.groupby("query_id", as_index=False).head(k))
+        return pd.concat(frames, ignore_index=True)
+
+    allp = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    allp = allp.sort_values(
+        ["dim", "query_id", "sim", "vec_id"], ascending=[True, True, False, True]
+    )
+    top = allp.groupby(["dim", "query_id"], as_index=False).head(k)
+    truth = (
+        top[top["dim"] == d_full].groupby("query_id")["vec_id"].agg(set)
+    )
+    rows = []
+    for (d, qid), sub in top.groupby(["dim", "query_id"]):
+        hit = len(set(sub["vec_id"]) & truth[qid])
+        rows.append({"dim": int(d), "query_id": int(qid), "recall": hit / k})
+    out = pd.DataFrame(rows).astype({"dim": np.int64, "query_id": np.int64})
+    out = out[out["dim"].isin(list(dims))]
+    return out.sort_values(["dim", "query_id"], ignore_index=True)
+
+
+def emb_matryoshka_eval_sql(
+    sf_dir: str, dims: tuple = (8, 16, 32, 64), n_queries: int = 10, k: int = 5
+) -> str:
+    vals = ", ".join(f"({d})" for d in dims)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+dims(dim) AS (VALUES {vals}),
+sims AS (
+  SELECT d.dim, q.query_id, e.vec_id,
+         round(list_cosine_similarity(list_slice(q.qe, 1, d.dim)::DOUBLE[],
+                                      list_slice(e.embedding, 1, d.dim)::DOUBLE[]), 6) AS sim
+  FROM dims d CROSS JOIN q CROSS JOIN embeddings e
+  WHERE q.query_id <> e.vec_id
+),
+trunc AS (
+  SELECT dim, query_id, vec_id FROM sims
+  QUALIFY row_number() OVER (PARTITION BY dim, query_id ORDER BY sim DESC, vec_id) <= {k}
+),
+fsims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+),
+ftop AS (
+  SELECT query_id, vec_id FROM fsims
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= {k}
+)
+SELECT t.dim, t.query_id,
+       count(f.vec_id) / {k} AS recall
+FROM trunc t LEFT JOIN ftop f ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY t.dim, t.query_id
+ORDER BY t.dim, t.query_id"""
+
+
 # ----------------------------------------- binary-quantized (Hamming) ANN
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized SWAR popcount over a uint64 array (numpy <2.0 has no

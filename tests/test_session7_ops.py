@@ -271,6 +271,42 @@ def test_compression_proxy_properties(ray_session):
     assert r10 > r1
 
 
+def test_matryoshka_eval_curve(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_matryoshka_eval(SF)
+    assert set(got["dim"].unique()) == {8, 16, 32, 64}
+    assert got["recall"].between(0, 1).all()
+    # the full-dimension row is self-recall: exactly 1.0 everywhere
+    assert (got.loc[got["dim"] == 64, "recall"] == 1.0).all()
+    # truncation hurts on average (random embeddings have no MRL ordering,
+    # so the mean curve must be monotone-ish: d=8 strictly below d=64)
+    means = got.groupby("dim")["recall"].mean()
+    assert means[8] < means[64]
+
+
+def test_burst_detect_straightline(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = (
+        ev.events_burst_detect(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["event_type", "hour"], ignore_index=True)
+    )
+    raw = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    per = (
+        raw.assign(hour=raw["ts"].to_numpy().astype("datetime64[h]").astype(np.int64))
+        .groupby(["event_type", "hour"], as_index=False)
+        .size()
+    )
+    assert len(got) == len(per)
+    assert got["n_events"].sum() == len(raw)
+    for et, sub in got.groupby("event_type"):
+        assert sub["type_median"].nunique() == 1
+        assert sub["type_median"].iloc[0] == float(np.median(sub["n_events"].to_numpy()))
+    assert (got["is_burst"] == (got["burst_ratio"] >= 2.0)).all()
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
