@@ -258,6 +258,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_ngram_novelty"] = t_ngram_novelty
 
+    def t_vocab_coverage(sf):
+        # CROSS-TABLE coverage audit: per-turn fraction of tokens covered by
+        # the pre-training corpus vocabulary (documents table) — the OOV-rate
+        # probe run before fine-tuning on transcripts whose tokenizer/vocab
+        # came from the pre-training corpus. Pass 1 extracts the distinct
+        # corpus vocabulary DISTRIBUTED (per-batch distinct combiner; the
+        # driver holds only the vocabulary-sized set) and broadcasts it once
+        # (ray.put); pass 2 is a stateless vectorized scan over the deduped
+        # turns (exploded tokens, C-speed set membership, groupby counts).
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray
+
+        vocab_parts = (
+            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {"w": b["text"].to_pandas().str.split(" ").explode().unique()}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        vref = ray.put(frozenset(vocab_parts["w"].unique()))
+
+        def score(batch: pa.Table) -> pd.DataFrame:
+            vocab = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+            texts = batch["text"].to_pandas()
+            toks = texts.str.split(" ")
+            e = toks.explode()
+            hit = e.isin(vocab).groupby(level=0).sum().to_numpy(dtype=np.int64)
+            n = toks.str.len().to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                    "turn_idx": batch["turn_idx"].to_numpy(),
+                    "n_tokens": n,
+                    "n_invocab": hit,
+                    "coverage_frac": hit / n,
+                }
+            )
+
+        return _turns_ds(sf).select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+            score, batch_format="pyarrow"
+        )
+
+    q["t_vocab_coverage"] = t_vocab_coverage
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -1038,7 +1088,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signed cumsum, rolling regression) and a failure in any
         # displaced sibling would surface here too; the displaced eleven
         # stay in the full contract run and roll into the round-5 window.
-        "t_atr", "t_stochastic", "t_cci", "t_obv", "t_linreg",
+        # (t_obv displaced for t_vocab_coverage: its signed-cumsum kernel
+        # shape is already driver-green via t_cusum (r3); stays
+        # contract-exact, rolls into the round-5 window.)
+        "t_atr", "t_stochastic", "t_cci", "t_linreg",
+        # cross-table OOV/coverage audit (transcripts vs documents vocab)
+        "t_vocab_coverage",
         # round-4 session-7 additions, exact oracles, never
         # driver-verified: binary sign-quantized Hamming top-k retrieval,
         # C4-style blocklist safety filter (actor-pool compiled lexicon)
@@ -1365,6 +1420,19 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_vocab_coverage": oracle.base_cte(p, with_text=True)
+        + """,
+v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS w FROM t),
+agg AS (
+  SELECT conv_id, turn_idx,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invocab
+  FROM tok LEFT JOIN v USING (w) GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, n_tokens, n_invocab,
+       n_invocab / n_tokens AS coverage_frac
+FROM agg ORDER BY conv_id, turn_idx""",
         "t_ngram_novelty": oracle.base_cte(p, with_text=True)
         + """,
 tok AS (SELECT conv_id, turn_idx, string_split(text, ' ') AS tk FROM t),

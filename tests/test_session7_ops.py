@@ -307,6 +307,38 @@ def test_burst_detect_straightline(ray_session):
     assert (got["is_burst"] == (got["burst_ratio"] >= 2.0)).all()
 
 
+def test_vocab_coverage_straightline(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_vocab_coverage"](SF).to_pandas()
+    assert (got["n_invocab"] <= got["n_tokens"]).all()
+    assert got["coverage_frac"].between(0, 1).all()
+    # the two corpora share exactly 3 tokens at this fixture, so coverage
+    # must be strictly between 0 and 1 somewhere (non-degenerate audit)
+    assert (got["n_invocab"] > 0).any()
+    assert (got["n_invocab"] < got["n_tokens"]).all()
+    # straight-line recompute on a sample
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    vocab = set(docs["text"].str.split(" ").explode().unique())
+    sample = got.head(50)
+    import pyarrow.parquet as pq
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+
+    path = ensure_transcripts(SF)
+    import os
+
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    raw = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    raw = raw.sort_values(["conv_id", "turn_idx", "ts"]).drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    m = raw.merge(sample, on=["conv_id", "turn_idx"])
+    for _, r in m.iterrows():
+        toks = r["text"].split(" ")
+        assert r["n_tokens"] == len(toks)
+        assert r["n_invocab"] == sum(1 for t in toks if t in vocab)
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
