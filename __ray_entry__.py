@@ -308,6 +308,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_vocab_coverage"] = t_vocab_coverage
 
+    def t_crossconv_dups(sf):
+        # cross-conversation duplicate-turn groups — copy-paste/support-macro
+        # detection: exact text groups spanning the corpus (the transcript
+        # cousin of doc_exact_dedup; the per-(conv,turn) keep-last dedup
+        # upstream removes only KEY dups, this finds CONTENT dups across
+        # keys). Scan emits (content-hash, conv, turn, len) — text never
+        # rides the exchange — one hash exchange, per-group counts + the
+        # lexicographic first occurrence; only dup groups (n >= 2) return.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from quant_feature_pipeline_ray.hashing import content_hash
+
+        def hash_stage(batch: pa.Table) -> pd.DataFrame:
+            # dedup on the UTTERANCE: the fixture embeds a "conv:turn:"
+            # routing prefix in text which would make every row unique —
+            # strip it (same regex in the oracle) so content dups surface
+            body = (
+                batch["text"].to_pandas().str.replace(r"^[^:]*:[^:]*:", "", regex=True)
+            )
+            texts = body.to_numpy()
+            return pd.DataFrame(
+                {
+                    "h": content_hash(texts).view(np.int64),
+                    "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                    "turn_idx": batch["turn_idx"].to_numpy(),
+                    "text_len": body.str.len().to_numpy(dtype=np.int64),
+                }
+            )
+
+        def groups(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["h", "conv_id", "turn_idx"], kind="mergesort")
+            agg = g.groupby("h", sort=False).agg(
+                n_occurrences=("h", "size"),
+                n_convs=("conv_id", "nunique"),
+                first_conv=("conv_id", "first"),
+                first_turn=("turn_idx", "first"),
+                text_len=("text_len", "first"),
+            )
+            out = agg[agg["n_occurrences"] >= 2].reset_index(drop=True)
+            return out.astype(
+                {"n_occurrences": np.int64, "n_convs": np.int64, "first_turn": np.int64}
+            )
+
+        return partition_map_groups(
+            _turns_ds(sf)
+            .select_columns(["conv_id", "turn_idx", "text"])
+            .map_batches(hash_stage, batch_format="pyarrow"),
+            groups,
+            key="h",
+            num_buckets=32,
+        )
+
+    q["t_crossconv_dups"] = t_crossconv_dups
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -985,6 +1041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_buckets"] = td.doc_length_buckets
     # zlib compression-ratio quality proxy (rows-only: zlib-build-dependent)
     q["doc_compression_proxy"] = td.doc_compression_proxy
+    # Pile/Dolma-style source-mix planning table (budget, rates, epochs)
+    q["doc_mix_plan"] = td.doc_mix_plan
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
@@ -1103,7 +1161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hashing-trick vectorizer, agent tool-loop detection, dedup-aware
         # train/val split, top-k session paths, T5 span corruption,
         # context-window assembly, SFT pair extraction
-        "doc_cdc_chunks", "doc_cdc_dedup", "doc_hash_vectorizer",
+        # (doc_cdc_chunks displaced for the session-7 ops below: the CDC
+        # machinery is verified through doc_cdc_dedup which composes it;
+        # stays contract-exact, rolls into the round-5 window.)
+        "doc_cdc_dedup", "doc_hash_vectorizer",
         "t_loop_detect", "doc_dedup_aware_split", "e_session_path_topk",
         "doc_span_corrupt", "t_context_suffix", "t_sft_pairs",
         # round-4 session-3/4 additions (grouped weighted quantiles, CCNet
@@ -1113,8 +1174,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whose battery family keeps 15 in-window representatives sharing the
         # same base CTE + rolling kernels; the displaced five stay
         # contract-exact and roll into the round-5 window.
+        # (media_ahash displaced: media_ahash_dups below composes the full
+        # aHash stage, so its machinery keeps a driver row; stays
+        # contract-exact, rolls into the round-5 window.)
         "e_weighted_quantiles", "doc_ccnet_buckets", "doc_backoff_trigram",
-        "t_conv_export", "media_ahash",
+        "t_conv_export",
+        # round-4 session-7 additions (cont.): source-mix planning table,
+        # cross-conversation duplicate-turn groups — exact oracles
+        "doc_mix_plan", "t_crossconv_dups",
         # events family never driver-verified (e_ntile /
         # e_window_distinct_users / e_streaming_sessions displaced for the
         # session-7 ops below — not verdict-named, simple window/distinct
@@ -1300,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shuffle_shards": td.doc_shuffle_shards_sql(_SQL_SF_DIR),
         "doc_langid_confusion": td.doc_langid_confusion_sql(_SQL_SF_DIR),
         "doc_length_buckets": td.doc_length_buckets_sql(_SQL_SF_DIR),
+        "doc_mix_plan": td.doc_mix_plan_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
@@ -1420,6 +1488,21 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_crossconv_dups": oracle.base_cte(p, with_text=True)
+        + """,
+r AS (
+  SELECT regexp_replace(text, '^[^:]*:[^:]*:', '') AS body, conv_id, turn_idx,
+         length(regexp_replace(text, '^[^:]*:[^:]*:', '')) AS text_len,
+         row_number() OVER (PARTITION BY regexp_replace(text, '^[^:]*:[^:]*:', '')
+                            ORDER BY conv_id, turn_idx) AS rn
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       min(conv_id) AS first_conv,
+       CAST(min(turn_idx) FILTER (rn = 1) AS BIGINT) AS first_turn,
+       CAST(any_value(text_len) AS BIGINT) AS text_len
+FROM r GROUP BY body HAVING count(*) >= 2""",
         "t_vocab_coverage": oracle.base_cte(p, with_text=True)
         + """,
 v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),

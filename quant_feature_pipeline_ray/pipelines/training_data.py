@@ -2088,6 +2088,76 @@ SELECT doc_id,
 FROM fp"""
 
 
+def doc_mix_plan(
+    sf_dir: str,
+    budget_tokens: int = 20_000,
+    weights: tuple = (("src0", 0.3), ("src1", 0.25), ("src2", 0.2), ("src3", 0.15), ("src4", 0.1)),
+) -> ray.data.Dataset:
+    """Training-mix PLANNING table — the Pile/Dolma-style source-weighting
+    sheet: given a token budget and target mix weights, compute per source
+    the available tokens, the target allocation, the sampling rate
+    (down-sample when over-supplied) and the epoch count (up-sample /
+    repeat when under-supplied — weights of scarce high-quality sources
+    >1 epoch is standard practice, cf. The Pile's epochs column, Gao et
+    al. 2020 arXiv:2101.00027 Table 1). Sources absent from `weights` get
+    weight 0 (excluded). All plan columns are single float expressions
+    over exact int64 token counts → exact oracle.
+
+    Dataflow: per-batch (source → Σtokens) combiner → ONE exchange of
+    |sources| rows; the plan math runs inside the per-source group."""
+    wmap = dict(weights)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_tokens": (texts.str.count(" ") + 1).to_numpy(dtype=np.int64),
+                "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        return df.groupby("source", sort=False, as_index=False).sum()
+
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("source", sort=True, as_index=False).sum()
+        w = a["source"].map(lambda s: wmap.get(s, 0.0)).to_numpy(dtype=np.float64)
+        avail = a["n_tokens"].to_numpy(dtype=np.int64)
+        target = budget_tokens * w
+        a["weight"] = w
+        a["target_tokens"] = target
+        a["sample_rate"] = np.minimum(target / avail, 1.0)
+        a["epochs"] = target / avail
+        return a
+
+    return partition_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"), plan, key="source", num_buckets=4
+    )
+
+
+def doc_mix_plan_sql(
+    sf_dir: str,
+    budget_tokens: int = 20_000,
+    weights: tuple = (("src0", 0.3), ("src1", 0.25), ("src2", 0.2), ("src3", 0.15), ("src4", 0.1)),
+) -> str:
+    cases = " ".join(f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in weights)
+    return f"""
+WITH a AS (
+  SELECT source,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CASE source {cases} ELSE 0.0 END AS weight
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens, n_docs, weight,
+       {budget_tokens} * weight AS target_tokens,
+       least({budget_tokens} * weight / n_tokens, 1.0) AS sample_rate,
+       {budget_tokens} * weight / n_tokens AS epochs
+FROM a ORDER BY source"""
+
+
 def doc_compression_proxy(sf_dir: str, level: int = 6) -> ray.data.Dataset:
     """Compression-ratio quality proxy — the zlib signal used by web-corpus
     curation (e.g. Dolma's and RefinedWeb's repetition screens): highly

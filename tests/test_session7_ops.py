@@ -339,6 +339,49 @@ def test_vocab_coverage_straightline(ray_session):
         assert r["n_invocab"] == sum(1 for t in toks if t in vocab)
 
 
+def test_mix_plan_arithmetic(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_mix_plan(SF).to_pandas().sort_values("source", ignore_index=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "source"])
+    n_tok = docs["text"].str.count(" ").to_numpy() + 1
+    exp = pd.DataFrame({"source": docs["source"], "n": n_tok}).groupby("source")["n"].sum()
+    assert (got.set_index("source")["n_tokens"] == exp).all()
+    assert np.allclose(got["target_tokens"], 20_000 * got["weight"])
+    assert (got["sample_rate"] <= 1.0).all()
+    # epochs > 1 exactly where the target exceeds supply
+    assert (
+        (got["epochs"] > 1.0) == (got["target_tokens"] > got["n_tokens"])
+    ).all()
+
+
+def test_crossconv_dups_straightline(ray_session):
+    import re
+
+    import __ray_entry__ as em
+
+    got = em.queries()["t_crossconv_dups"](SF).to_pandas()
+    assert (got["n_occurrences"] >= 2).all()
+    assert (got["n_convs"] >= 1).all()
+    assert (got["n_convs"] <= got["n_occurrences"]).all()
+    # straight-line: recompute the dup-group count from the deduped turns
+    import os
+
+    import pyarrow.parquet as pq
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+
+    path = ensure_transcripts(SF)
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    raw = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    raw = raw.sort_values(["conv_id", "turn_idx", "ts"]).drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    body = raw["text"].str.replace(r"^[^:]*:[^:]*:", "", regex=True)
+    sizes = body.value_counts()
+    assert len(got) == int((sizes >= 2).sum())
+    assert got["n_occurrences"].sum() == int(sizes[sizes >= 2].sum())
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
