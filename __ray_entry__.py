@@ -1045,6 +1045,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_mix_plan"] = td.doc_mix_plan
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
+    # funnel attribution: Venn counts per (quality, rep, victim) flag cell
+    q["doc_funnel_ablation"] = td.doc_funnel_ablation
+    # heuristic-vs-model quality calibration (keep rate per rules-passed)
+    q["doc_quality_calibration"] = td.doc_quality_calibration
     q["doc_ngram_dup_frac"] = td.doc_ngram_dup_frac
     q["doc_heavy_hitters"] = td.doc_heavy_hitters
     q["doc_chunk"] = td.doc_chunk
@@ -1369,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_buckets": td.doc_length_buckets_sql(_SQL_SF_DIR),
         "doc_mix_plan": td.doc_mix_plan_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
+        "doc_funnel_ablation": td.doc_funnel_ablation_sql(_SQL_SF_DIR),
+        "doc_quality_calibration": td.doc_quality_calibration_sql(_SQL_SF_DIR),
         # doc_pack_sequences: cumsum-with-reset recurrence not ANSI-SQL →
         # rows-only (straight-line parity + invariants pytest-pinned)
         "doc_topk_per_lang": td.doc_topk_per_lang_sql(_SQL_SF_DIR),

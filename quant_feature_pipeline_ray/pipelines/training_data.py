@@ -3712,6 +3712,129 @@ def doc_curation_funnel(
     return agg.filter(expr="f == 1 and r == 1 and v == 0").drop_columns(["f", "r", "v"])
 
 
+def doc_funnel_ablation(
+    sf_dir: str,
+    threshold: float = 0.82,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> ray.data.Dataset:
+    """Funnel ATTRIBUTION table — the Venn breakdown of the curation
+    funnel's three stages (quality filter, exact-dedup representative,
+    near-dup victim): for every flag combination, how many documents land
+    there and whether that cell survives the composed funnel. This is the
+    table a curation run reads to learn WHICH stage is doing the cutting
+    (a funnel that reports only its final count hides e.g. a quality
+    filter that silently drops 40% — the top tuning mistake).
+
+    Same three scale-safe legs as doc_curation_funnel, composed by the
+    identical tagged-union grouped_aggregate on doc_id; the per-doc flag
+    rows then collapse through a per-batch 3-bit-key combiner into an
+    8-row exchange. Nothing corpus-sized reaches the driver."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def tag(col: str):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            key = {"b": "doc_id", "f": "doc_id", "r": "rep_doc_id", "v": "doc_id"}[col]
+            n = batch.num_rows
+            out = pd.DataFrame({"doc_id": batch[key].to_numpy().astype(np.int64)})
+            for c in ("b", "f", "r", "v"):
+                out[c] = np.full(n, np.int64(1 if c == col else 0))
+            return out
+
+        return fn
+
+    legs = (
+        base.map_batches(tag("b"), batch_format="pyarrow")
+        .union(
+            doc_quality_filter(sf_dir, min_tokens, max_mean_token_len, min_stopword_ratio)
+            .select_columns(["doc_id"])
+            .map_batches(tag("f"), batch_format="pyarrow")
+        )
+        .union(
+            doc_exact_dedup(sf_dir)
+            .select_columns(["rep_doc_id"])
+            .map_batches(tag("r"), batch_format="pyarrow")
+        )
+        .union(
+            lsh_victims(sf_dir, threshold=threshold).map_batches(
+                tag("v"), batch_format="pyarrow"
+            )
+        )
+    )
+    flags = grouped_aggregate(
+        legs,
+        "doc_id",
+        {"b": ("b", "max"), "f": ("f", "max"), "r": ("r", "max"), "v": ("v", "max")},
+    )
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["b"] == 1]
+        df["k"] = df["f"] * 4 + df["r"] * 2 + df["v"]
+        g = df.groupby("k", sort=False).size()
+        return pd.DataFrame({"k": g.index.to_numpy(), "n_docs": g.to_numpy()})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("k", sort=True, as_index=False)["n_docs"].sum()
+        k = a["k"].to_numpy()
+        a["f_pass"] = (k & 4) > 0
+        a["is_rep"] = (k & 2) > 0
+        a["is_victim"] = (k & 1) > 0
+        a["kept"] = a["f_pass"] & a["is_rep"] & ~a["is_victim"]
+        return a.drop(columns=["k"])
+
+    return partition_map_groups(
+        flags.map_batches(combine, batch_format="pyarrow"), finish, key="k", num_buckets=2
+    )
+
+
+def doc_funnel_ablation_sql(
+    sf_dir: str,
+    threshold: float = 0.82,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({sw}))) AS BIGINT) AS sw_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id FROM s
+  WHERE n_tokens >= {min_tokens}
+    AND token_chars / n_tokens <= {max_mean_token_len}
+    AND sw_hits / n_tokens >= {min_stopword_ratio}
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+tk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+victims AS (
+  SELECT DISTINCT b.doc_id
+  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {threshold}
+),
+flags AS (
+  SELECT d.doc_id,
+         d.doc_id IN (SELECT doc_id FROM q) AS f_pass,
+         d.doc_id IN (SELECT doc_id FROM reps) AS is_rep,
+         d.doc_id IN (SELECT doc_id FROM victims) AS is_victim
+  FROM documents d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs, f_pass, is_rep, is_victim,
+       (f_pass AND is_rep AND NOT is_victim) AS kept
+FROM flags GROUP BY f_pass, is_rep, is_victim
+ORDER BY f_pass, is_rep, is_victim"""
+
+
 def doc_curation_funnel_sql(
     sf_dir: str,
     threshold: float = 0.82,
@@ -7151,6 +7274,142 @@ def doc_model_score(
             )
 
     return ds.map_batches(Model, batch_format="pyarrow", concurrency=concurrency)
+
+
+def doc_quality_calibration(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic-vs-model CALIBRATION table — do the Gopher rule flags and
+    the learned quality model agree? For each count of passed rules
+    (0..5): doc count, model-keep count and rate, and the pooled model
+    logit (Σ z_num / (Σ n_tok · scale)). A curation run reads this before
+    replacing heuristics with a model (or vice versa): monotone keep-rate
+    in n_rules = the two signals rank documents consistently; a flat or
+    inverted row says one of them is broken. All aggregates are int64 sums
+    with one final float division per column → exact oracle (float means
+    of IEEE doubles would be accumulation-order-dependent; pooling the
+    integer numerators is the discipline that avoids it).
+
+    Dataflow: the two scans (rules, model scores) meet in ONE doc_id-keyed
+    tagged-union exchange; per-doc rows collapse through a per-batch
+    n_rules-keyed combiner into a 6-row exchange."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    rules = doc_gopher_rules(sf_dir)
+    scores = doc_model_score(sf_dir)
+
+    def tag_rules(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        n_rules = (
+            df[["r_wordcount", "r_meanlen", "r_stopwords", "r_distinct", "r_topword"]]
+            .to_numpy()
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_rules": n_rules,
+                "z_num": np.zeros(len(df), dtype=np.int64),
+                "n_tok": np.zeros(len(df), dtype=np.int64),
+                "keep": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def tag_scores(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_rules": np.full(len(df), -1, dtype=np.int64),
+                "z_num": df["z_num"].to_numpy(),
+                "n_tok": df["n_tok"].to_numpy(),
+                "keep": df["keep"].to_numpy(),
+            }
+        )
+
+    joined = grouped_aggregate(
+        rules.map_batches(tag_rules, batch_format="pyarrow").union(
+            scores.map_batches(tag_scores, batch_format="pyarrow")
+        ),
+        "doc_id",
+        {
+            "n_rules": ("n_rules", "max"),
+            "z_num": ("z_num", "sum"),
+            "n_tok": ("n_tok", "sum"),
+            "keep": ("keep", "sum"),
+        },
+    )
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("n_rules", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            n_keep=("keep", "sum"),
+            z_sum=("z_num", "sum"),
+            tok_sum=("n_tok", "sum"),
+        )
+        return g.reset_index()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("n_rules", sort=True, as_index=False).sum()
+        a["keep_rate"] = a["n_keep"] / a["n_docs"]
+        a["pooled_z"] = a["z_sum"] / (a["tok_sum"] * 8.0)
+        return a.drop(columns=["z_sum", "tok_sum"])
+
+    return partition_map_groups(
+        joined.map_batches(combine, batch_format="pyarrow"), finish, key="n_rules", num_buckets=2
+    )
+
+
+def doc_quality_calibration_sql(sf_dir: str, n_buckets: int = 64, scale: int = 8) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), pw AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN w IN ({sw}) THEN c ELSE 0 END) AS BIGINT) AS sh
+  FROM pw GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars
+  FROM documents
+), rules AS (
+  SELECT b.doc_id,
+         CAST((CASE WHEN b.n_words >= 40 AND b.n_words <= 100000 THEN 1 ELSE 0 END)
+            + (CASE WHEN b.token_chars / b.n_words >= 3.0
+                     AND b.token_chars / b.n_words <= 4.5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.sh >= 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.nd / b.n_words >= 0.45 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.tc / b.n_words <= 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS n_rules
+  FROM base b JOIN agg a USING (doc_id)
+), tw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('w' || CAST(
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT % {n_buckets}
+           AS VARCHAR)), 1, 8))::UBIGINT % 201 AS BIGINT) - 100 AS wt
+  FROM tok WHERE w <> ''
+), sc AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tw GROUP BY doc_id
+), cell AS (
+  SELECT r.n_rules,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN s.z_num >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(s.z_num) AS BIGINT) AS z_sum,
+         CAST(sum(s.n_tok) AS BIGINT) AS tok_sum
+  FROM rules r JOIN sc s USING (doc_id)
+  GROUP BY r.n_rules
+)
+SELECT n_rules, n_docs, n_keep,
+       n_keep / n_docs AS keep_rate,
+       z_sum / (tok_sum * {float(scale)}) AS pooled_z
+FROM cell ORDER BY n_rules"""
 
 
 def doc_model_score_sql(sf_dir: str, n_buckets: int = 64, scale: int = 8) -> str:

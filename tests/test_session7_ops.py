@@ -382,6 +382,40 @@ def test_crossconv_dups_straightline(ray_session):
     assert got["n_occurrences"].sum() == int(sizes[sizes >= 2].sum())
 
 
+def test_funnel_ablation_reconciles(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    cells = td.doc_funnel_ablation(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    # Venn cells partition the corpus
+    assert cells["n_docs"].sum() == len(docs)
+    assert (cells["kept"] == (cells["f_pass"] & cells["is_rep"] & ~cells["is_victim"])).all()
+    # the kept-cell total must equal the composed funnel's output row count
+    funnel_n = td.doc_curation_funnel(SF).to_pandas()
+    assert cells.loc[cells["kept"], "n_docs"].sum() == len(funnel_n)
+
+
+def test_quality_calibration_reconciles(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    cal = td.doc_quality_calibration(SF).to_pandas().sort_values("n_rules")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert cal["n_docs"].sum() == len(docs)
+    assert cal["keep_rate"].between(0, 1).all()
+    assert (cal["n_keep"] <= cal["n_docs"]).all()
+    # reconcile against the two component operators
+    rules = td.doc_gopher_rules(SF).to_pandas()
+    nr = (
+        rules[["r_wordcount", "r_meanlen", "r_stopwords", "r_distinct", "r_topword"]]
+        .sum(axis=1)
+        .value_counts()
+    )
+    got = cal.set_index("n_rules")["n_docs"]
+    assert (got.sort_index() == nr.sort_index()).all()
+    scores = td.doc_model_score(SF).to_pandas()
+    assert cal["n_keep"].sum() == scores["keep"].sum()
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
