@@ -364,6 +364,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_crossconv_dups"] = t_crossconv_dups
 
+    def t_turn_model_score(sf, n_buckets: int = 64, scale: int = 8):
+        # model inference over the TRANSCRIPT modality — the same public
+        # hashed-bag-of-tokens linear model as doc_model_score (weights
+        # built once per actor in __init__, md5 token→bucket cache persists
+        # across batches), scoring each deduped turn: the quality gate an
+        # SFT pipeline applies per turn before pair extraction
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        class Model:
+            def __init__(self) -> None:
+                self.w = np.array(
+                    [
+                        int(hashlib.md5(f"w{j}".encode()).hexdigest()[:8], 16) % 201 - 100
+                        for j in range(n_buckets)
+                    ],
+                    dtype=np.int64,
+                )
+                self.bucket_of: dict[str, int] = {}
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                texts = batch["text"].to_pandas()
+                e = texts.str.split(" ").explode()
+                e = e[e != ""]
+                for t in pd.unique(e):
+                    if t not in self.bucket_of:
+                        self.bucket_of[t] = (
+                            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+                        )
+                wt = pd.Series(self.w[e.map(self.bucket_of).to_numpy()], index=e.index)
+                g = wt.groupby(level=0)
+                idx = pd.RangeIndex(len(texts))
+                z_num = g.sum().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+                n_tok = g.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+                z = z_num / (np.maximum(n_tok, 1) * float(scale))
+                return pd.DataFrame(
+                    {
+                        "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                        "turn_idx": batch["turn_idx"].to_numpy(),
+                        "n_tok": n_tok,
+                        "z_num": z_num,
+                        "quality_score": 0.5 * (1.0 + z / (1.0 + np.abs(z))),
+                        "keep": (z_num >= 0).astype(np.int64),
+                    }
+                )
+
+        return _turns_ds(sf).select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+            Model, batch_format="pyarrow", concurrency=2
+        )
+
+    q["t_turn_model_score"] = t_turn_model_score
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -934,6 +989,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_rate_outliers"] = lambda sf: ev.events_rate_outliers(f"{sf}/events.parquet")
     # per-type hourly burst flags vs the type median rate
     q["e_burst_detect"] = lambda sf: ev.events_burst_detect(f"{sf}/events.parquet")
+    # streaming throttle-dedup (debounce): keep only events > window after
+    # the last KEPT event of the same (user, type) — per-key recurrence
+    q["e_debounce"] = lambda sf: ev.events_debounce(f"{sf}/events.parquet")
     q["e_window_distinct_users"] = lambda sf: ev.events_window_distinct_users(
         f"{sf}/events.parquet"
     )
@@ -1494,6 +1552,24 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_turn_model_score": oracle.base_cte(p, with_text=True)
+        + """,
+tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS w FROM t),
+tw AS (
+  SELECT conv_id, turn_idx,
+         CAST(('0x' || substr(md5('w' || CAST(
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT % 64
+           AS VARCHAR)), 1, 8))::UBIGINT % 201 AS BIGINT) - 100 AS wt
+  FROM tok WHERE w <> ''
+), agg AS (
+  SELECT conv_id, turn_idx,
+         CAST(SUM(wt) AS BIGINT) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tw GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, n_tok, z_num,
+       0.5 * (1.0 + (z_num / (n_tok * 8.0)) / (1.0 + abs(z_num / (n_tok * 8.0)))) AS quality_score,
+       CAST(CASE WHEN z_num >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM agg ORDER BY conv_id, turn_idx""",
         "t_crossconv_dups": oracle.base_cte(p, with_text=True)
         + """,
 r AS (

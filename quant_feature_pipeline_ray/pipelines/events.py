@@ -2136,3 +2136,49 @@ SELECT p.event_type, p.hour, p.n_events,
        p.n_events / m.type_median >= {factor} AS is_burst
 FROM per p JOIN med m USING (event_type)
 ORDER BY p.event_type, p.hour"""
+
+
+def events_debounce(
+    path: str, window_s: float = 600.0, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Event-stream DEBOUNCE / throttle-dedup — keep an event only if the
+    previous KEPT event of the same (user, type) is more than `window_s`
+    older (the standard streaming dedup every ingestion pipeline runs in
+    front of counters; distinct from keep-last dedup, which needs a key
+    collision — this suppresses rapid-fire repeats of the same signal).
+    The keep decision is a true per-key RECURRENCE (depends on the last
+    *kept* event, not the previous event), so it is not expressible as a
+    SQL window function → rows-only for the driver; pinned by a
+    brute-force parity pytest and the kept-spacing invariant.
+
+    Dataflow: ONE exchange keyed on user (same partition the whole events
+    family reuses), per-key ordered scan inside the group. The per-key
+    loop is the recurrence itself — state is one int64 per live key,
+    which is exactly what the streaming carry-state kernel would hold."""
+    ds = ray.data.read_parquet(path, columns=["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uids = g["user_id"].to_numpy()
+        etypes = g["event_type"].to_numpy()
+        w = np.int64(window_s * 1e6)
+        keep = np.zeros(len(g), dtype=bool)
+        last_key = None
+        last_kept = np.int64(0)
+        for i in range(len(g)):
+            key = (uids[i], etypes[i])
+            if key != last_key or ts_us[i] - last_kept > w:
+                keep[i] = True
+                last_key, last_kept = key, ts_us[i]
+        out = g[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(),
+                "user_id": out["user_id"].to_numpy(),
+                "event_type": out["event_type"].to_numpy(),
+                "ts": out["ts"].to_numpy(),
+            }
+        )
+
+    return partition_map_groups(ds, per_user, key="user_id", num_buckets=num_buckets)

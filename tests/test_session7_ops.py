@@ -416,6 +416,73 @@ def test_quality_calibration_reconciles(ray_session):
     assert cal["n_keep"].sum() == scores["keep"].sum()
 
 
+def test_debounce_parity_and_spacing(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    w_s = 600.0
+    got = (
+        ev.events_debounce(f"{SF}/events.parquet", window_s=w_s)
+        .to_pandas()
+        .sort_values(["user_id", "event_type", "ts", "event_id"], ignore_index=True)
+    )
+    raw = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"], ignore_index=True
+    )
+    # brute-force recurrence
+    kept_ids = []
+    w = int(w_s * 1e6)
+    last = {}
+    for _, r in raw.iterrows():
+        key = (r["user_id"], r["event_type"])
+        t = int(pd.Timestamp(r["ts"]).value // 1000)
+        if key not in last or t - last[key] > w:
+            kept_ids.append(r["event_id"])
+            last[key] = t
+    assert got["event_id"].tolist() == kept_ids
+    # kept-spacing invariant: consecutive kept events of a key are > window apart
+    for _, sub in got.groupby(["user_id", "event_type"]):
+        t = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(t) > 1:
+            assert (np.diff(t) > w).all()
+    # it actually suppressed something
+    assert len(got) < len(raw)
+
+
+def test_turn_model_score_reconciles(ray_session):
+    import hashlib
+
+    import __ray_entry__ as em
+
+    got = em.queries()["t_turn_model_score"](SF).to_pandas()
+    assert got["quality_score"].between(0, 1).all()
+    assert (got["keep"] == (got["z_num"] >= 0)).all()
+    # straight-line one turn
+    row = got.sort_values(["conv_id", "turn_idx"]).iloc[5]
+    import os
+
+    import pyarrow.parquet as pq
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+
+    path = ensure_transcripts(SF)
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+    raw = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    raw = raw.sort_values(["conv_id", "turn_idx", "ts"]).drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    text = raw[(raw["conv_id"] == row["conv_id"]) & (raw["turn_idx"] == row["turn_idx"])][
+        "text"
+    ].iloc[0]
+    z = 0
+    n = 0
+    for t in text.split(" "):
+        if t == "":
+            continue
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+        z += int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 201 - 100
+        n += 1
+    assert row["z_num"] == z and row["n_tok"] == n
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
