@@ -419,6 +419,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_turn_model_score"] = t_turn_model_score
 
+    def t_tool_stats(sf):
+        # per-TOOL traffic aggregate over the transcript `tool` column —
+        # which tools dominate agent traffic, how many conversations touch
+        # each, and the mean inter-turn latency preceding a call (the
+        # agent-ops capacity table). Per-batch (tool) combiner with int64
+        # dt sums → one |tools|-row exchange; mean is the single final
+        # division (exact both sides).
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        def partials(batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "tool": batch["tool"].to_numpy(zero_copy_only=False),
+                    "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+                    # exact round-trip: dt_secs = dt_us/1e6 with dt_us < 2^53
+                    "dt_us": np.round(
+                        batch["dt_secs"].to_numpy() * 1e6
+                    ).astype(np.int64),
+                }
+            )
+            df = df[df["tool"] != ""]
+            g = df.groupby("tool", sort=False)
+            out = pd.DataFrame(
+                {
+                    "tool": g.size().index.to_numpy(),
+                    "n_turns": g.size().to_numpy(dtype=np.int64),
+                    "dt_sum": g["dt_us"].sum().to_numpy(dtype=np.int64),
+                }
+            )
+            # conv sets are bounded per (batch, tool); ship distinct pairs
+            convs = df[["tool", "conv_id"]].drop_duplicates()
+            convs["n_turns"] = np.int64(0)
+            convs["dt_sum"] = np.int64(0)
+            out["conv_id"] = ""
+            return pd.concat([out, convs], ignore_index=True)
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for tool, sub in g.groupby("tool", sort=True):
+                n_turns = int(sub["n_turns"].sum())
+                dt_sum = int(sub["dt_sum"].sum())
+                n_convs = sub.loc[sub["conv_id"] != "", "conv_id"].nunique()
+                rows.append(
+                    {
+                        "tool": tool,
+                        "n_turns": n_turns,
+                        "n_convs": n_convs,
+                        "mean_dt_us": dt_sum / n_turns,
+                    }
+                )
+            out = pd.DataFrame(rows)
+            return out.astype({"n_turns": np.int64, "n_convs": np.int64})
+
+        base = _turns_ds(sf).select_columns(["conv_id", "turn_idx", "tool", "dt_secs"])
+        return partition_map_groups(
+            base.map_batches(partials, batch_format="pyarrow"),
+            finish,
+            key="tool",
+            num_buckets=4,
+        )
+
+    q["t_tool_stats"] = t_tool_stats
+
     def t_group_normalized(sf):
         from quant_feature_pipeline_ray.stages.feature_spec import (
             GroupNorm,
@@ -1101,6 +1166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_compression_proxy"] = td.doc_compression_proxy
     # Pile/Dolma-style source-mix planning table (budget, rates, epochs)
     q["doc_mix_plan"] = td.doc_mix_plan
+    # WIMBD-style one-row corpus health snapshot
+    q["doc_corpus_summary"] = td.doc_corpus_summary
     q["doc_pack_sequences"] = td.doc_pack_sequences
     q["doc_curation_funnel"] = td.doc_curation_funnel
     # funnel attribution: Venn counts per (quality, rep, victim) flag cell
@@ -1430,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid_confusion": td.doc_langid_confusion_sql(_SQL_SF_DIR),
         "doc_length_buckets": td.doc_length_buckets_sql(_SQL_SF_DIR),
         "doc_mix_plan": td.doc_mix_plan_sql(_SQL_SF_DIR),
+        "doc_corpus_summary": td.doc_corpus_summary_sql(_SQL_SF_DIR),
         "doc_curation_funnel": td.doc_curation_funnel_sql(_SQL_SF_DIR),
         "doc_funnel_ablation": td.doc_funnel_ablation_sql(_SQL_SF_DIR),
         "doc_quality_calibration": td.doc_quality_calibration_sql(_SQL_SF_DIR),
@@ -1552,6 +1620,14 @@ GROUP BY a.conv_id, a.turn_idx ORDER BY a.conv_id, a.turn_idx""",
 SELECT conv_id, turn_idx,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_re
 FROM t ORDER BY conv_id, turn_idx""",
+        "t_tool_stats": oracle.base_cte(p)
+        + """
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(dt_us) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_dt_us
+FROM t WHERE tool <> ''
+GROUP BY tool ORDER BY tool""",
         "t_turn_model_score": oracle.base_cte(p, with_text=True)
         + """,
 tok AS (SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS w FROM t),

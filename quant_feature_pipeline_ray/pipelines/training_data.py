@@ -2088,6 +2088,129 @@ SELECT doc_id,
 FROM fp"""
 
 
+def doc_corpus_summary(sf_dir: str) -> ray.data.Dataset:
+    """One-row corpus HEALTH SNAPSHOT — the WIMBD-style summary published
+    with a dataset release ("What's In My Big Data?", Elazar et al. 2023
+    arXiv:2310.20707): doc/token totals, vocabulary size, exact-duplicate
+    document count and fraction, language and source cardinalities, mean
+    doc length. One glance answers "did the ingest even work" before any
+    expensive stage runs.
+
+    Dataflow: single scan with a per-batch combiner that reduces each
+    batch to ONE partial row of int64 sums plus three bounded distinct
+    sets (vocab / langs / sources — dictionary-sized by nature; text
+    hashes for the dup count ride as per-batch distinct partials, the
+    only corpus-cardinality term, exchanged as 8-byte keys). Final merge
+    is a tiny grouped reduction."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pandas()
+        n_tokens = (texts.str.count(" ") + 1).to_numpy(dtype=np.int64)
+        h = content_hash(texts.to_numpy()).view(np.int64)
+        vocab = texts.str.split(" ").explode().unique()
+        # tagged rows: kind 0 = one scalar partial; kind 1/2/3/4 = distinct
+        # text-hash / vocab / lang / source keys (deduped within batch)
+        rows = [
+            pd.DataFrame(
+                {
+                    "kind": np.int64(0),
+                    "key": [""],
+                    "n_docs": np.int64(batch.num_rows),
+                    "n_tokens": np.int64(n_tokens.sum()),
+                    "n_chars": np.int64(texts.str.len().to_numpy(dtype=np.int64).sum()),
+                }
+            ),
+            pd.DataFrame({"kind": np.int64(1), "key": pd.unique(h).astype(str),
+                          "n_docs": np.int64(0), "n_tokens": np.int64(0), "n_chars": np.int64(0)}),
+            pd.DataFrame({"kind": np.int64(2), "key": vocab,
+                          "n_docs": np.int64(0), "n_tokens": np.int64(0), "n_chars": np.int64(0)}),
+            pd.DataFrame({"kind": np.int64(3),
+                          "key": pd.unique(batch["lang"].to_numpy(zero_copy_only=False)),
+                          "n_docs": np.int64(0), "n_tokens": np.int64(0), "n_chars": np.int64(0)}),
+            pd.DataFrame({"kind": np.int64(4),
+                          "key": pd.unique(batch["source"].to_numpy(zero_copy_only=False)),
+                          "n_docs": np.int64(0), "n_tokens": np.int64(0), "n_chars": np.int64(0)}),
+        ]
+        return pd.concat(rows, ignore_index=True)
+
+    def key_stage(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["kind_key"] = df["kind"].astype(str) + "\x00" + df["key"].astype(str)
+        return df[["kind_key", "kind", "n_docs", "n_tokens", "n_chars"]]
+
+    agg = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow").map_batches(
+            key_stage, batch_format="pyarrow"
+        ),
+        "kind_key",
+        {"kind": ("kind", "min"), "n_docs": ("n_docs", "sum"),
+         "n_tokens": ("n_tokens", "sum"), "n_chars": ("n_chars", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("kind")
+        counts = g.size()
+        return pd.DataFrame(
+            {
+                "kind": counts.index.to_numpy(dtype=np.int64),
+                "distinct": counts.to_numpy(dtype=np.int64),
+                "n_docs": g["n_docs"].sum().to_numpy(),
+                "n_tokens": g["n_tokens"].sum().to_numpy(),
+                "n_chars": g["n_chars"].sum().to_numpy(),
+            }
+        )
+
+    parts = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    parts = parts.groupby("kind", as_index=False).sum()
+    row0 = parts[parts["kind"] == 0].iloc[0]
+    n_docs = int(row0["n_docs"])
+    n_distinct_texts = int(parts.loc[parts["kind"] == 1, "distinct"].sum())
+    out = pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "n_tokens": int(row0["n_tokens"]),
+                "n_chars": int(row0["n_chars"]),
+                "vocab_size": int(parts.loc[parts["kind"] == 2, "distinct"].sum()),
+                "n_langs": int(parts.loc[parts["kind"] == 3, "distinct"].sum()),
+                "n_sources": int(parts.loc[parts["kind"] == 4, "distinct"].sum()),
+                "exact_dup_docs": n_docs - n_distinct_texts,
+                "dup_frac": (n_docs - n_distinct_texts) / n_docs,
+                "mean_doc_tokens": int(row0["n_tokens"]) / n_docs,
+            }
+        ]
+    ).astype(
+        {
+            "n_docs": np.int64, "n_tokens": np.int64, "n_chars": np.int64,
+            "vocab_size": np.int64, "n_langs": np.int64, "n_sources": np.int64,
+            "exact_dup_docs": np.int64,
+        }
+    )
+    return out
+
+
+def doc_corpus_summary_sql(sf_dir: str) -> str:
+    return """
+WITH v AS (SELECT count(DISTINCT w) AS vocab_size
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST((SELECT vocab_size FROM v) AS BIGINT) AS vocab_size,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_docs,
+       (count(*) - count(DISTINCT text)) / count(*) AS dup_frac,
+       sum(length(text) - length(replace(text, ' ', '')) + 1) / count(*) AS mean_doc_tokens
+FROM documents"""
+
+
 def doc_mix_plan(
     sf_dir: str,
     budget_tokens: int = 20_000,

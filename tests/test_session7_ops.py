@@ -483,6 +483,33 @@ def test_turn_model_score_reconciles(ray_session):
     assert row["z_num"] == z and row["n_tok"] == n
 
 
+def test_corpus_summary_straightline(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_corpus_summary(SF).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert got["n_docs"] == len(docs)
+    assert got["n_tokens"] == (docs["text"].str.count(" ") + 1).sum()
+    assert got["vocab_size"] == docs["text"].str.split(" ").explode().nunique()
+    assert got["n_langs"] == docs["lang"].nunique()
+    assert got["n_sources"] == docs["source"].nunique()
+    assert got["exact_dup_docs"] == len(docs) - docs["text"].nunique()
+    assert 0 <= got["dup_frac"] <= 1
+
+
+def test_tool_stats_reconciles(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_tool_stats"](SF).to_pandas().sort_values("tool", ignore_index=True)
+    base = em._turns_ds(SF).select_columns(["conv_id", "tool"]).to_pandas()
+    tooled = base[base["tool"] != ""]
+    exp_turns = tooled.groupby("tool").size()
+    exp_convs = tooled.groupby("tool")["conv_id"].nunique()
+    assert (got.set_index("tool")["n_turns"] == exp_turns).all()
+    assert (got.set_index("tool")["n_convs"] == exp_convs).all()
+    assert (got["mean_dt_us"] >= 0).all()
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
