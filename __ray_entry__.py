@@ -1115,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_crossdoc_ngrams"] = td.doc_crossdoc_ngrams
     q["doc_jaccard_pairs"] = td.doc_jaccard_pairs
     q["doc_dup_clusters"] = td.doc_dup_clusters
+    # near-dup cluster purity: syndication vs intra-source boilerplate
+    q["doc_cluster_purity"] = td.doc_cluster_purity
     q["doc_cluster_rep"] = td.doc_cluster_rep
     q["doc_minhash_lsh"] = td.doc_minhash_lsh
     # character-level near-dup verify over the LSH candidate set: two native
@@ -1458,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bloom_dedup": td.doc_bloom_dedup_sql(_SQL_SF_DIR),
         "doc_rrf_fusion": td.doc_rrf_fusion_sql(_SQL_SF_DIR),
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
+        "doc_cluster_purity": td.doc_cluster_purity_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
         # doc_minhash_lsh / doc_simhash: engine-hash-keyed (SipHash) →
         # rows-only (pytest-pinned); doc_fingerprint promoted round 4

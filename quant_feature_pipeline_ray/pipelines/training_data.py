@@ -4839,6 +4839,121 @@ def doc_dup_clusters(
     return out.sort_values("doc_id", ignore_index=True)[["doc_id", "cluster_id"]]
 
 
+def doc_cluster_purity(sf_dir: str, threshold: float = 0.82) -> ray.data.Dataset:
+    """Near-dup cluster PURITY audit — for every duplicate cluster (≥2
+    members): member count, distinct-source count, majority-source
+    fraction and a cross-source flag. The question it answers: are the
+    near-dups SYNDICATION (cross-source — dedup aggressively, the copies
+    are redundant) or BOILERPLATE/RESUBMISSION (intra-source — maybe keep
+    one per source)? A dedup policy chosen without this table treats both
+    the same.
+
+    Dataflow: CC labels (dup_cluster_labels — the exact-oracled star
+    passes) and the doc→source map meet in ONE doc_id-keyed tagged-union
+    exchange; unlabeled docs become their own singleton cluster (and are
+    filtered by the ≥2 cut, never pooled); per-batch (cluster, source)
+    count combiner → one cluster-keyed exchange for the stats."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    labels = dup_cluster_labels(sf_dir, threshold=threshold)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    lab_tagged = labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["node"].to_numpy(),
+                "cluster_id": b["cluster_id"].to_numpy(),
+                "source": np.full(len(b), "", dtype=object),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    doc_tagged = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "cluster_id": np.full(len(b), -1, dtype=np.int64),
+                "source": b["source"].to_numpy(zero_copy_only=False),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_doc = grouped_aggregate(
+        lab_tagged.union(doc_tagged),
+        "doc_id",
+        {"cluster_id": ("cluster_id", "max"), "source": ("source", "max")},
+    )
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        cid = df["cluster_id"].to_numpy()
+        df["cluster_id"] = np.where(cid < 0, df["doc_id"].to_numpy(), cid)
+        g = df.groupby(["cluster_id", "source"], sort=False).size()
+        return pd.DataFrame(
+            {
+                "cluster_id": g.index.get_level_values(0).to_numpy(),
+                "source": g.index.get_level_values(1).to_numpy(),
+                "c": g.to_numpy().astype(np.int64),
+            }
+        )
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cluster_id", "source"], sort=True, as_index=False)["c"].sum()
+        a = g.groupby("cluster_id", sort=True).agg(
+            n_members=("c", "sum"), n_sources=("c", "size"), top_c=("c", "max")
+        )
+        a = a[a["n_members"] >= 2].reset_index()
+        a["majority_frac"] = a["top_c"] / a["n_members"]
+        a["cross_source"] = a["n_sources"] > 1
+        return a.drop(columns=["top_c"]).astype(
+            {"n_members": np.int64, "n_sources": np.int64}
+        )
+
+    return partition_map_groups(
+        per_doc.map_batches(combine, batch_format="pyarrow"),
+        per_cluster,
+        key="cluster_id",
+        num_buckets=8,
+    )
+
+
+def doc_cluster_purity_sql(sf_dir: str, threshold: float = 0.82) -> str:
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {threshold}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN sym e ON e.a = cc.node WHERE cc.label < e.b
+),
+m AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+lab AS (
+  SELECT d.doc_id, COALESCE(m.label, d.doc_id) AS cluster_id, d.source
+  FROM documents d LEFT JOIN m ON d.doc_id = m.node
+),
+per AS (SELECT cluster_id, source, count(*) AS c FROM lab GROUP BY cluster_id, source),
+agg AS (
+  SELECT cluster_id,
+         CAST(sum(c) AS BIGINT) AS n_members,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM per GROUP BY cluster_id
+)
+SELECT cluster_id, n_members, n_sources,
+       top_c / n_members AS majority_frac,
+       n_sources > 1 AS cross_source
+FROM agg WHERE n_members >= 2 ORDER BY cluster_id"""
+
+
 def doc_dup_clusters_sql(sf_dir: str, threshold: float = 0.82) -> str:
     # transitive closure by recursive min-label BFS: the component-min node m
     # reaches every member along paths of members > m, so min(label) per node

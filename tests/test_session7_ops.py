@@ -510,6 +510,24 @@ def test_tool_stats_reconciles(ray_session):
     assert (got["mean_dt_us"] >= 0).all()
 
 
+def test_cluster_purity_reconciles(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    purity = td.doc_cluster_purity(SF).to_pandas()
+    clusters = td.doc_dup_clusters(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    m = clusters.merge(docs, on="doc_id")
+    sizes = m.groupby("cluster_id").size()
+    dup_clusters = sizes[sizes >= 2]
+    assert len(purity) == len(dup_clusters)
+    assert purity["n_members"].sum() == dup_clusters.sum()
+    assert (purity["majority_frac"] > 0).all() and (purity["majority_frac"] <= 1).all()
+    # cross_source flag agrees with a straight-line recompute
+    exp_cross = m.groupby("cluster_id")["source"].nunique()
+    got = purity.set_index("cluster_id")
+    assert (got["cross_source"] == (exp_cross.reindex(got.index) > 1)).all()
+
+
 def test_dialog_acts_strict_argmax(ray_session):
     import __ray_entry__ as em
 
