@@ -419,6 +419,163 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_turn_model_score"] = t_turn_model_score
 
+    def t_role_transitions(sf):
+        # corpus-level role→role transition matrix over conv-ordered turns,
+        # with the tool-switch rate per transition edge — the north-star's
+        # "role/tool-transition rates" as a standalone audit (the rolling
+        # per-turn rates live inside the flagship battery; this is the
+        # corpus-wide matrix a curation run reads to spot malformed agent
+        # loops, e.g. assistant→assistant without an interleaved tool turn).
+        # Scale shape: per-bucket pair-count COMBINER inside the standard
+        # conv_id partition (whole conversations co-reside, so lag(role) is
+        # bucket-local) → one |roles|²-bounded exchange → driver normalizes
+        # the tiny matrix. Turns never ride the exchange.
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+        def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+            same = g["conv_id"].to_numpy()[1:] == g["conv_id"].to_numpy()[:-1]
+            role = g["role"].to_numpy()
+            tool = g["tool"].to_numpy()
+            d = pd.DataFrame(
+                {
+                    "from_role": role[:-1][same],
+                    "to_role": role[1:][same],
+                    "tool_sw": (tool[1:][same] != tool[:-1][same]).astype(np.int64),
+                    "n": np.ones(int(same.sum()), dtype=np.int64),
+                }
+            )
+            return d.groupby(["from_role", "to_role"], sort=False, as_index=False).sum()
+
+        parts = partition_map_groups(
+            _read_raw(sf),
+            lambda g: pair_counts(
+                compute_turn_features(g)[["conv_id", "turn_idx", "role", "tool"]]
+            ),
+            num_buckets=64,
+        )
+        m = grouped_aggregate(
+            parts, ["from_role", "to_role"], {"n": ("n", "sum"), "n_tool_switch": ("tool_sw", "sum")}
+        ).to_pandas()  # |roles|²-bounded
+        tot = m.groupby("from_role")["n"].transform("sum").to_numpy(dtype=np.int64)
+        n = m["n"].to_numpy(dtype=np.int64)
+        m["p_row"] = n / tot
+        m["tool_switch_rate"] = m["n_tool_switch"].to_numpy(dtype=np.int64) / n
+        return m.sort_values(["from_role", "to_role"], ignore_index=True)
+
+    q["t_role_transitions"] = t_role_transitions
+
+    def t_session_threshold_sweep(sf, taus_s=(60, 300, 900, 1800, 3600)):
+        # sessionize-sensitivity sweep: session count + mean session length
+        # at every candidate gap threshold from ONE pass (a session break is
+        # dt > τ, so sessions(τ) = n_convs + Σ[dt_us > τ·1e6] — per-bucket
+        # integer break counters answer all thresholds at once, the same
+        # one-sweep discipline as emb_dedup_threshold_sweep). This is how
+        # the session_gap_s config constant gets CHOSEN before a backfill.
+        import numpy as np
+        import pandas as pd
+
+        def partial(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+            conv = g["conv_id"].to_numpy()
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            same = conv[1:] == conv[:-1]
+            dt = (ts[1:] - ts[:-1])[same]  # integer µs, bucket holds whole convs
+            row = {"n_convs": np.int64(len(pd.unique(conv))), "n_turns": np.int64(len(g))}
+            for t in taus_s:
+                row[f"b{t}"] = np.int64((dt > t * 1_000_000).sum())
+            return pd.DataFrame([row])
+
+        parts = partition_map_groups(
+            _read_raw(sf),
+            lambda g: partial(compute_turn_features(g)[["conv_id", "turn_idx", "ts_us"]]),
+            num_buckets=64,
+        ).to_pandas()  # ≤ num_buckets rows
+        tot = parts.sum()
+        n_sessions = np.array(
+            [int(tot["n_convs"]) + int(tot[f"b{t}"]) for t in taus_s], dtype=np.int64
+        )
+        n_turns = np.full(len(taus_s), int(tot["n_turns"]), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "tau_s": np.array(taus_s, dtype=np.int64),
+                "n_sessions": n_sessions,
+                "n_turns": n_turns,
+                "avg_turns_per_session": n_turns / n_sessions,
+            }
+        )
+
+    q["t_session_threshold_sweep"] = t_session_threshold_sweep
+
+    def t_asof_staleness(sf):
+        # zero-temporal-leakage AUDIT over the flagship's as-of join: for
+        # every aggregate window, count join misses, count LEAKS (a matched
+        # window ending after the turn's ts — must be 0 by construction, the
+        # north-star's allclose+leak-free gate as a runnable query) and the
+        # staleness distribution (turn ts − matched window end; how stale
+        # the point-in-time features actually are). Consumes the flagship
+        # output itself, so the audit exercises the real join path; per-
+        # batch integer partials → driver sums a |windows|-sized frame.
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        windows = list(DEFAULT_CONFIG.agg_windows_s)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ts = batch["ts_us"].to_numpy()
+            rows = []
+            for ws in windows:
+                we = batch[f"w{ws}_w_end_us"].to_numpy()
+                matched = we > 0
+                stale = ts[matched] - we[matched]
+                rows.append(
+                    {
+                        "window_s": np.int64(ws),
+                        "n_turns": np.int64(len(ts)),
+                        "n_matched": np.int64(matched.sum()),
+                        "n_leaks": np.int64((stale < 0).sum()),
+                        "stale_sum_us": np.int64(stale.sum()),
+                        # sentinels wash out in the min/max combine; a window
+                        # with zero matches anywhere is zeroed after the combine
+                        "stale_min_us": np.int64(stale.min())
+                        if len(stale)
+                        else np.int64(np.iinfo(np.int64).max),
+                        "stale_max_us": np.int64(stale.max())
+                        if len(stale)
+                        else np.int64(np.iinfo(np.int64).min),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        cols = ["ts_us"] + [f"w{ws}_w_end_us" for ws in windows]
+        parts = (
+            transcript_features(ensure_transcripts(sf))
+            .select_columns(cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # blocks × |windows| rows
+        )
+        g = parts.groupby("window_s", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_matched=("n_matched", "sum"),
+            n_leaks=("n_leaks", "sum"),
+            stale_sum_us=("stale_sum_us", "sum"),
+            stale_min_us=("stale_min_us", "min"),
+            stale_max_us=("stale_max_us", "max"),
+        )
+        nm = g["n_matched"].to_numpy(dtype=np.int64)
+        g.loc[nm == 0, ["stale_min_us", "stale_max_us"]] = np.int64(0)
+        g["match_rate"] = nm / g["n_turns"].to_numpy(dtype=np.int64)
+        g["stale_avg_s"] = g["stale_sum_us"].to_numpy(dtype=np.int64) / (
+            np.maximum(nm, 1) * 1_000_000.0
+        )
+        return g.drop(columns=["stale_sum_us"]).sort_values("window_s", ignore_index=True)
+
+    q["t_asof_staleness"] = t_asof_staleness
+
     def t_tool_stats(sf):
         # per-TOOL traffic aggregate over the transcript `tool` column —
         # which tools dominate agent traffic, how many conversations touch
@@ -1360,9 +1517,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with doc rebuild, hash-shard shuffle audit, lang-ID confusion
         # matrix — all exact oracles
         "doc_boilerplate_strip", "doc_shuffle_shards", "doc_langid_confusion",
-        # verdict-named rows-only ops (BPE trainer, distributed logreg,
-        # triangle count): driver records rows+schema for these
-        "doc_bpe_train", "emb_logreg_train", "emb_triangle_count",
+        # round-4 session-8 additions (exact oracles, never driver-verified):
+        # role/tool transition matrix (the north-star's "role/tool-transition
+        # rates" as a corpus audit), sessionize gap-threshold sweep, and the
+        # as-of staleness/zero-leak audit over the flagship join itself.
+        # They take the slots of the verdict-named rows-only trio
+        # (doc_bpe_train / emb_logreg_train / emb_triangle_count): a driver
+        # row for a rows-only query only re-counts rows, while each of these
+        # three carries an exact value-hash oracle — and the displaced
+        # trio's machinery already has hard evidence (doc_bpe_pairs is
+        # driver-green exact r3 and the trainer/encoder are bitwise-parity
+        # pytests; logreg + triangle are bitwise/numpy-parity pytests).
+        # All three stay in the full contract run and roll into the
+        # round-5 window.
+        "t_role_transitions", "t_session_threshold_sweep", "t_asof_staleness",
     ]
     assert len(first) == 50 and all(k in q for k in first)
     ordered = {k: q[k] for k in first}
@@ -1377,6 +1545,40 @@ def oracle_sql() -> dict[str, str]:
         "t_rolling": oracle.sql_rolling(p),
         "t_window_agg_300": oracle.sql_window_agg(p, 300),
         "t_asof_features": oracle.sql_asof_features(p),
+        "t_asof_staleness": oracle.sql_asof_staleness(p),
+        "t_role_transitions": oracle.base_cte(p)
+        + """,
+tr AS (
+  SELECT lag(role) OVER w AS from_role, role AS to_role,
+         CASE WHEN tool <> lag(tool) OVER w THEN 1 ELSE 0 END AS tool_sw
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), f AS (
+  SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tool_sw) AS BIGINT) AS n_tool_switch
+  FROM tr WHERE from_role IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_role, CAST(sum(n) AS BIGINT) AS tot FROM f GROUP BY 1)
+SELECT f.from_role, f.to_role, f.n, f.n_tool_switch,
+       f.n / CAST(tot.tot AS DOUBLE) AS p_row,
+       f.n_tool_switch / CAST(f.n AS DOUBLE) AS tool_switch_rate
+FROM f JOIN tot USING (from_role)
+ORDER BY from_role, to_role""",
+        "t_session_threshold_sweep": oracle.base_cte(p)
+        + """,
+th(tau_s) AS (VALUES (60), (300), (900), (1800), (3600)),
+g AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+             CAST(count(*) AS BIGINT) AS n_turns FROM t),
+br AS (
+  SELECT th.tau_s,
+         CAST(count(*) FILTER (WHERE t.dt_us > CAST(th.tau_s AS BIGINT) * 1000000) AS BIGINT)
+           AS breaks
+  FROM th CROSS JOIN t GROUP BY th.tau_s
+)
+SELECT CAST(th.tau_s AS BIGINT) AS tau_s,
+       g.n_convs + br.breaks AS n_sessions,
+       g.n_turns,
+       g.n_turns / CAST(g.n_convs + br.breaks AS DOUBLE) AS avg_turns_per_session
+FROM th JOIN br USING (tau_s) CROSS JOIN g
+ORDER BY tau_s""",
         # t_flagship_full: EMA/rank/sin-cos not ANSI-SQL-expressible → rows-only
         "e_window_agg": oracle.sql_events_window_agg(),
         "e_sessionize": oracle.sql_events_sessionize(),

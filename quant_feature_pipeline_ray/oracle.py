@@ -339,6 +339,47 @@ FROM e ASOF LEFT JOIN w ON e.user_id = w.user_id AND e.ts_us >= w.w_end_us
 ORDER BY e.event_id"""
 
 
+def sql_asof_staleness(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
+    """Leak-freedom + staleness audit over the J1 as-of join: per aggregate
+    window, match rate, leak count (matched window ending after the turn —
+    must be 0) and the staleness distribution in integer µs."""
+    ctes = []
+    for ws in cfg.agg_windows_s:
+        p_us = ws * 1_000_000
+        ctes.append(
+            f"""w{ws} AS (
+  SELECT conv_id, ((ts_us // {p_us}) + 1) * {p_us} AS w_end_us
+  FROM t GROUP BY 1, 2
+), j{ws} AS (
+  SELECT t.ts_us, w{ws}.w_end_us
+  FROM t ASOF LEFT JOIN w{ws}
+    ON t.conv_id = w{ws}.conv_id AND t.ts_us >= w{ws}.w_end_us
+), a{ws} AS (
+  SELECT CAST({ws} AS BIGINT) AS window_s,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(w_end_us) AS BIGINT) AS n_matched,
+         CAST(COALESCE(sum(CASE WHEN ts_us - w_end_us < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_leaks,
+         CAST(COALESCE(min(ts_us - w_end_us), 0) AS BIGINT) AS stale_min_us,
+         CAST(COALESCE(max(ts_us - w_end_us), 0) AS BIGINT) AS stale_max_us,
+         CAST(COALESCE(sum(ts_us - w_end_us), 0) AS BIGINT) AS stale_sum_us
+  FROM j{ws}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM a{ws}" for ws in cfg.agg_windows_s)
+    return (
+        base_cte(path, cfg)
+        + ", "
+        + ", ".join(ctes)
+        + f"""
+SELECT window_s, n_turns, n_matched, n_leaks, stale_min_us, stale_max_us,
+       n_matched / CAST(n_turns AS DOUBLE) AS match_rate,
+       stale_sum_us / (GREATEST(n_matched, 1) * 1000000.0) AS stale_avg_s
+FROM ({union})
+ORDER BY window_s"""
+    )
+
+
 def sql_asof_features(path: str, cfg: FeatureConfig = DEFAULT_CONFIG) -> str:
     """J1 analogue: turns ASOF-joined to every agg window's features."""
     ctes, selects, joins = [], [], []
