@@ -576,6 +576,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_asof_staleness"] = t_asof_staleness
 
+    def t_ingest_audit(sf):
+        # ingest-quality audit over the RAW (pre-dedup) transcript feed —
+        # the upstream telemetry of the M4 keep-last dedup stage: per
+        # conversation, raw row count, distinct (conv, turn) keys,
+        # duplicated keys (retransmits), diverged keys (versions that
+        # disagree on text — the population the equal-ts divergence guard
+        # exists for), the worst retransmit depth, and the dup-key rate.
+        # The one query family that must NOT read through the dedup: it
+        # measures what the dedup will discard. Per-bucket pandas
+        # aggregation inside the standard conv_id partition; raw text
+        # never leaves the bucket (nunique collapses it locally).
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.sources.transcripts import read_transcripts
+
+        def audit(g: pd.DataFrame) -> pd.DataFrame:
+            k = g.groupby(["conv_id", "turn_idx"], sort=False).agg(
+                versions=("text", "size"), ntext=("text", "nunique")
+            )
+            per = k.groupby(level=0, sort=False).agg(
+                n_raw=("versions", "sum"),
+                n_keys=("versions", "size"),
+                n_dup_keys=("versions", lambda v: int((v > 1).sum())),
+                n_diverged_keys=("ntext", lambda v: int((v > 1).sum())),
+                max_versions=("versions", "max"),
+            )
+            per = per.astype(np.int64).reset_index()
+            per["dup_key_rate"] = per["n_dup_keys"].to_numpy(dtype=np.int64) / per[
+                "n_keys"
+            ].to_numpy(dtype=np.int64)
+            return per
+
+        ds = read_transcripts(ensure_transcripts(sf), columns=["conv_id", "turn_idx", "text"])
+        return partition_map_groups(ds, audit, key="conv_id", num_buckets=64).sort("conv_id")
+
+    q["t_ingest_audit"] = t_ingest_audit
+
     def t_tool_stats(sf):
         # per-TOOL traffic aggregate over the transcript `tool` column —
         # which tools dominate agent traffic, how many conversations touch
@@ -1349,6 +1387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_model_score"] = td.doc_model_score
     q["doc_repetition"] = td.doc_repetition
     q["doc_pmi_bigrams"] = td.doc_pmi_bigrams
+    q["doc_temperature_mix"] = td.doc_temperature_mix
+    q["doc_kn_bigram"] = td.doc_kn_bigram
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
     q["doc_graph_pagerank"] = td.doc_graph_pagerank
@@ -1374,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_cosine_dups_ivf"] = td.emb_cosine_dups_ivf
     q["emb_hyperplane_lsh"] = td.emb_hyperplane_lsh
     q["emb_label_centroids"] = td.emb_label_centroids
+    q["emb_centroid_shift"] = td.emb_centroid_shift
     q["emb_covariance"] = td.emb_covariance
     q["emb_pca_project"] = td.emb_pca_project
     q["emb_kmeans"] = td.emb_kmeans
@@ -1437,7 +1478,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (t_obv displaced for t_vocab_coverage: its signed-cumsum kernel
         # shape is already driver-green via t_cusum (r3); stays
         # contract-exact, rolls into the round-5 window.)
-        "t_atr", "t_stochastic", "t_cci", "t_linreg",
+        # (t_stochastic / t_cci displaced for the session-8 ops below:
+        # stochastic's rolling min/max channel is driver-green via t_aroon
+        # (r3, rolling argmin/argmax over the same channel machinery) and
+        # CCI's mean-abs-dev rides the rolling-sum kernels driver-green via
+        # t_rolling (r2); both stay contract-exact and roll into the
+        # round-5 window.)
+        "t_atr", "t_linreg",
         # cross-table OOV/coverage audit (transcripts vs documents vocab)
         "t_vocab_coverage",
         # round-4 session-7 additions, exact oracles, never
@@ -1469,7 +1516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_conv_export",
         # round-4 session-7 additions (cont.): source-mix planning table,
         # cross-conversation duplicate-turn groups — exact oracles
-        "doc_mix_plan", "t_crossconv_dups",
+        # (doc_mix_plan displaced for doc_temperature_mix below — the same
+        # dictionary-exchange planning-table shape, so one in-window rep
+        # suffices; mix_plan stays contract-exact, rolls into round 5.)
+        "t_crossconv_dups",
         # events family never driver-verified (e_ntile /
         # e_window_distinct_users / e_streaming_sessions displaced for the
         # session-7 ops below — not verdict-named, simple window/distinct
@@ -1509,7 +1559,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rrf_fusion", "doc_bloom_dedup",
         # round-4 session-7 additions (cont.): Matryoshka truncated-dim
         # recall curve, per-type hourly burst flags — exact oracles
-        "emb_matryoshka_eval", "e_burst_detect",
+        # (e_burst_detect displaced for t_ingest_audit below — the events
+        # per-group integer-moment flag family keeps e_rate_outliers
+        # in-window; burst stays contract-exact, rolls into round 5.)
+        "emb_matryoshka_eval",
         # round-4 session-7 additions (cont.): dedup-rate-vs-τ sweep over
         # embeddings, per-turn novel-n-gram fraction — exact oracles
         "emb_dedup_threshold_sweep", "t_ngram_novelty",
@@ -1531,6 +1584,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # All three stay in the full contract run and roll into the
         # round-5 window.
         "t_role_transitions", "t_session_threshold_sweep", "t_asof_staleness",
+        # round-4 session-8 additions (cont., exact oracles): raw-feed
+        # ingest/retransmit audit (the dedup stage's upstream telemetry),
+        # temperature-scaled source-sampling plan (XLM-R balancing rule),
+        # interpolated Kneser–Ney bigram LM, per-label embedding-drift
+        # cosine between vec_id-parity halves
+        "t_ingest_audit", "doc_temperature_mix", "doc_kn_bigram",
+        "emb_centroid_shift",
     ]
     assert len(first) == 50 and all(k in q for k in first)
     ordered = {k: q[k] for k in first}
@@ -1562,6 +1622,23 @@ SELECT f.from_role, f.to_role, f.n, f.n_tool_switch,
        f.n_tool_switch / CAST(f.n AS DOUBLE) AS tool_switch_rate
 FROM f JOIN tot USING (from_role)
 ORDER BY from_role, to_role""",
+        "t_ingest_audit": f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{p}/*.parquet')
+), k AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS versions,
+         CAST(count(DISTINCT text) AS BIGINT) AS ntext
+  FROM raw GROUP BY 1, 2
+)
+SELECT conv_id,
+       CAST(sum(versions) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN versions > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(sum(CASE WHEN ntext > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_diverged_keys,
+       CAST(max(versions) AS BIGINT) AS max_versions,
+       sum(CASE WHEN versions > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+         AS dup_key_rate
+FROM k GROUP BY conv_id ORDER BY conv_id""",
         "t_session_threshold_sweep": oracle.base_cte(p)
         + """,
 th(tau_s) AS (VALUES (60), (300), (900), (1800), (3600)),
@@ -1645,6 +1722,8 @@ ORDER BY tau_s""",
         "doc_model_score": td.doc_model_score_sql(_SQL_SF_DIR),
         "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),
         "doc_pmi_bigrams": td.doc_pmi_bigrams_sql(_SQL_SF_DIR),
+        "doc_temperature_mix": td.doc_temperature_mix_sql(_SQL_SF_DIR),
+        "doc_kn_bigram": td.doc_kn_bigram_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),
         "doc_exact_dedup": td.doc_exact_dedup_sql(_SQL_SF_DIR),
@@ -1716,6 +1795,7 @@ ORDER BY tau_s""",
         "doc_lm_stats": td.doc_lm_stats_sql(_SQL_SF_DIR),
         "emb_norms": td.emb_norms_sql(_SQL_SF_DIR),
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
+        "emb_centroid_shift": td.emb_centroid_shift_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
         "emb_hamming_topk": td.emb_hamming_topk_sql(_SQL_SF_DIR),
         "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),

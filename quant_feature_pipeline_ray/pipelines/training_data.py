@@ -9854,3 +9854,279 @@ def emb_logreg_per_source(
 
     out = partition_map_groups(joined, fit, key="source", num_buckets=8).to_pandas()
     return out.sort_values("source", ignore_index=True)
+
+
+# ------------------------------------------------ temperature source mixing
+def doc_temperature_mix(sf_dir: str, alphas: tuple = (1.0, 0.7, 0.5, 0.3)) -> pd.DataFrame:
+    """Temperature-scaled source-sampling plan — the multilingual/source
+    balancing rule from public multilingual-LM recipes (XLM-R / mBERT:
+    sample source i with p_i ∝ c_i^alpha, Conneau et al. 2020): for each
+    temperature alpha, every source's sampling weight, its natural
+    frequency, the expected docs drawn per epoch at corpus size, and the
+    implied up/down-sampling factor. alpha=1.0 is the natural mix;
+    lowering alpha flattens toward uniform (upsamples rare sources).
+
+    Scale shape: per-batch source-count COMBINER → one |sources|-bounded
+    exchange → the |alphas|x|sources| plan is computed on the driver
+    (dictionary-sized). Documents never ride the exchange. round(,6) on
+    the pow-derived columns absorbs float-sum ordering of the per-alpha
+    normalizer (the emb_label_centroids discipline).
+
+    reference parity: the reference processes one trading pair per run
+    (run_daily_features.py); corpus-mix planning is part of the added
+    curation surface (SURVEY.md §2.7 extension)."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = batch["source"].to_pandas()
+        out = s.value_counts().rename_axis("source").reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"), "source", {"n": ("n", "sum")}
+        )
+        .to_pandas()  # |sources|-bounded
+        .sort_values("source", ignore_index=True)
+    )
+    n = counts["n"].to_numpy(dtype=np.int64)
+    total = np.int64(n.sum())
+    rows = []
+    for alpha in alphas:
+        w_raw = np.power(n.astype(np.float64), float(alpha))
+        z = np.add.reduce(w_raw)  # sequential in source order; round absorbs
+        weight = w_raw / z
+        p_nat = n / total
+        rows.append(
+            pd.DataFrame(
+                {
+                    "alpha": np.full(len(n), float(alpha)),
+                    "source": counts["source"].to_numpy(),
+                    "n_docs": n,
+                    "p_natural": p_nat,
+                    "weight": np.round(weight, 6),
+                    "expected_docs": np.round(weight * total, 6),
+                    "upsample": np.round(weight / p_nat, 6),
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True).sort_values(
+        ["alpha", "source"], ignore_index=True
+    )
+
+
+def doc_temperature_mix_sql(sf_dir: str, alphas: tuple = (1.0, 0.7, 0.5, 0.3)) -> str:
+    vals = ", ".join(f"({a})" for a in alphas)
+    return f"""
+WITH al(alpha) AS (VALUES {vals}),
+c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+w AS (
+  SELECT al.alpha, c.source, c.n_docs,
+         pow(c.n_docs, al.alpha) AS w_raw,
+         sum(pow(c.n_docs, al.alpha)) OVER (PARTITION BY al.alpha) AS z
+  FROM al CROSS JOIN c
+)
+SELECT w.alpha, w.source, w.n_docs,
+       w.n_docs / CAST(tot.total AS DOUBLE) AS p_natural,
+       round(w.w_raw / w.z, 6) AS weight,
+       round((w.w_raw / w.z) * tot.total, 6) AS expected_docs,
+       round((w.w_raw / w.z) / (w.n_docs / CAST(tot.total AS DOUBLE)), 6) AS upsample
+FROM w CROSS JOIN tot
+ORDER BY alpha, source"""
+
+
+# --------------------------------------------- Kneser–Ney bigram LM scoring
+def doc_kn_bigram(sf_dir: str, discount: float = 0.75, top_n: int = 100) -> pd.DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the corpus's top
+    bigrams (Kneser & Ney 1995; Chen & Goodman 1998 — the smoothing used by
+    every serious count-based LM; the continuation-probability term is what
+    distinguishes it from doc_backoff_trigram's stupid backoff):
+
+        P_KN(y|x) = max(c(x,y) − D, 0)/c(x·) + (D·N1+(x·)/c(x·)) · N1+(·y)/B
+
+    with D the absolute discount, c(x·) the left-context total, N1+(x·)
+    distinct continuations of x, N1+(·y) distinct left contexts of y, and
+    B the number of distinct bigram types.
+
+    Scale shape: per-batch bigram COMBINER → one hash exchange to global
+    (x, y) counts (the doc_pmi_bigrams dataflow) → the three derived stats
+    are vocabulary-bounded aggregates OVER the count table (never over the
+    corpus) → per-batch partial top-n by count, driver merges blocks×n and
+    scores the n winners against the broadcastable vocab-sized stat maps.
+    One float expression mirrored verbatim in the oracle → bitwise."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy()
+        adj = parent[:-1] == parent[1:]
+        x, y = flat[:-1][adj], flat[1:][adj]
+        ok = (x != "") & (y != "")
+        p = pd.DataFrame({"x": x[ok], "y": y[ok]})
+        out = p.groupby(["x", "y"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["x", "y"],
+        {"n": ("n", "sum")},
+    ).materialize()
+    n_types = np.int64(counts.count())
+    # vocabulary-bounded derived stats (rows = |vocab|, never corpus-scale)
+    left = grouped_aggregate(
+        counts, "x", {"c1": ("n", "sum"), "n_follow": ("n", "size")}
+    ).to_pandas()
+    prec = grouped_aggregate(counts, "y", {"n_prec": ("n", "size")}).to_pandas()
+
+    def topn(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.sort_values(["n", "x", "y"], ascending=[False, True, True]).head(top_n)
+
+    top = (
+        counts.map_batches(topn, batch_format="pyarrow")
+        .to_pandas()  # blocks × top_n
+        .sort_values(["n", "x", "y"], ascending=[False, True, True], ignore_index=True)
+        .head(top_n)
+    )
+    top = top.merge(left, on="x", how="left").merge(prec, on="y", how="left")
+    c12 = top["n"].to_numpy(dtype=np.int64)
+    c1 = top["c1"].to_numpy(dtype=np.int64)
+    nf = top["n_follow"].to_numpy(dtype=np.int64)
+    npr = top["n_prec"].to_numpy(dtype=np.int64)
+    D = float(discount)
+    kn = np.maximum(c12 - D, 0.0) / c1 + (D * nf / c1) * (npr / np.float64(n_types))
+    return pd.DataFrame(
+        {
+            "x": top["x"],
+            "y": top["y"],
+            "c12": c12,
+            "c1": c1,
+            "n_follow": nf,
+            "n_prec": npr,
+            "kn_prob": kn,
+        }
+    )
+
+
+def doc_kn_bigram_sql(sf_dir: str, discount: float = 0.75, top_n: int = 100) -> str:
+    return f"""
+WITH s AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]])) AS pr
+  FROM s
+),
+bgf AS (SELECT pr[1] AS x, pr[2] AS y FROM bg WHERE pr[1] <> '' AND pr[2] <> ''),
+c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c12 FROM bgf GROUP BY x, y),
+lft AS (SELECT x, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n_follow
+        FROM c GROUP BY x),
+pr AS (SELECT y, CAST(count(*) AS BIGINT) AS n_prec FROM c GROUP BY y),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+top AS (SELECT x, y, c12 FROM c ORDER BY c12 DESC, x, y LIMIT {top_n})
+SELECT t.x, t.y, t.c12, lft.c1, lft.n_follow, pr.n_prec,
+       greatest(t.c12 - {discount}, 0) / lft.c1
+         + ({discount} * lft.n_follow / lft.c1) * (pr.n_prec / CAST(b.n_types AS DOUBLE))
+         AS kn_prob
+FROM top t JOIN lft USING (x) JOIN pr USING (y) CROSS JOIN b
+ORDER BY t.c12 DESC, t.x, t.y"""
+
+
+# ----------------------------------------------- embedding-drift audit
+def emb_centroid_shift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift audit: per-label centroid agreement between the
+    two vec_id-parity halves of the corpus (the stand-in for before/after
+    embedding snapshots — re-embedding with a new model checkpoint, or an
+    old-vs-new crawl). cos ≈ 1 means the halves agree; a label whose
+    halves diverge flags a labeling or embedding-version problem before
+    the vectors feed dedup/ANN.
+
+    Same partial-sum discipline as emb_label_centroids: one matmul per
+    batch produces d-wide sums per (label, parity) → grouped exchange of
+    (labels×2) rows → driver computes means rounded to 6dp (absorbing
+    float-sum order) and the cosine FROM THE ROUNDED MEANS in dim order,
+    final round(,6) — both mirrored in the oracle."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    d = len(ds.limit(1).to_pandas()["embedding"].iloc[0])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        par = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        key = lab * 2 + par
+        uniq, inv = np.unique(key, return_inverse=True)
+        onehot = np.zeros((len(uniq), len(key)), dtype=np.float64)
+        onehot[inv, np.arange(len(key))] = 1.0
+        sums = onehot @ m
+        out = pd.DataFrame({"key": uniq, "cnt": np.bincount(inv).astype(np.int64)})
+        for j in range(d):
+            out[f"s{j}"] = sums[:, j]
+        return out
+
+    aggs = {"cnt": ("cnt", "sum")}
+    for j in range(d):
+        aggs[f"s{j}"] = (f"s{j}", "sum")
+    agg = (
+        grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"), "key", aggs)
+        .to_pandas()  # (labels × 2)-bounded
+        .sort_values("key", ignore_index=True)
+    )
+    sums = agg[[f"s{j}" for j in range(d)]].to_numpy()
+    means = np.round(sums / agg["cnt"].to_numpy()[:, None], 6)
+    agg["label"] = agg["key"].to_numpy() // 2
+    agg["parity"] = agg["key"].to_numpy() % 2
+    rows = []
+    for lab in sorted(agg["label"].unique()):
+        e = agg.index[(agg["label"] == lab) & (agg["parity"] == 0)]
+        o = agg.index[(agg["label"] == lab) & (agg["parity"] == 1)]
+        if len(e) == 0 or len(o) == 0:
+            continue
+        me, mo = means[e[0]], means[o[0]]
+        ab = np.add.reduce(me * mo)  # dim-ordered; final round absorbs
+        aa = np.add.reduce(me * me)
+        bb = np.add.reduce(mo * mo)
+        rows.append(
+            (
+                np.int64(lab),
+                np.int64(agg.loc[e[0], "cnt"]),
+                np.int64(agg.loc[o[0], "cnt"]),
+                np.round(ab / (np.sqrt(aa) * np.sqrt(bb)), 6),
+            )
+        )
+    return pd.DataFrame(rows, columns=["label", "n_even", "n_odd", "cos_shift"])
+
+
+def emb_centroid_shift_sql(sf_dir: str, d: int = 64) -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(vec_id % 2 AS BIGINT) AS parity,
+         CAST(r.dim AS BIGINT) AS dim, round(avg(embedding[r.dim]), 6) AS m
+  FROM embeddings CROSS JOIN range(1, {d + 1}) r(dim)
+  GROUP BY 1, 2, 3
+),
+n AS (SELECT CAST(label AS BIGINT) AS label, CAST(vec_id % 2 AS BIGINT) AS parity,
+             CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1, 2),
+dot AS (
+  SELECT e.label, sum(e.m * o.m) AS ab, sum(e.m * e.m) AS aa, sum(o.m * o.m) AS bb
+  FROM c e JOIN c o ON e.label = o.label AND e.dim = o.dim
+  WHERE e.parity = 0 AND o.parity = 1
+  GROUP BY e.label
+)
+SELECT d.label, ne.n AS n_even, no.n AS n_odd,
+       round(d.ab / (sqrt(d.aa) * sqrt(d.bb)), 6) AS cos_shift
+FROM dot d
+JOIN n ne ON ne.label = d.label AND ne.parity = 0
+JOIN n no ON no.label = d.label AND no.parity = 1
+ORDER BY d.label"""

@@ -93,3 +93,153 @@ def test_asof_staleness_zero_leaks(ray_session):
     assert (got["n_matched"] <= got["n_turns"]).all()
     assert ((got["match_rate"] > 0) & (got["match_rate"] <= 1)).all()
     assert (got["stale_max_us"] >= got["stale_min_us"]).all()
+
+
+def test_ingest_audit_straightline(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_ingest_audit"](SF).to_pandas().sort_values(
+        "conv_id", ignore_index=True
+    )
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+    import os
+    import pyarrow.parquet as pq
+
+    path = ensure_transcripts(SF)
+    raw = pd.concat(
+        [
+            pq.read_table(os.path.join(path, f)).to_pandas()
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ],
+        ignore_index=True,
+    )
+    k = raw.groupby(["conv_id", "turn_idx"]).agg(
+        versions=("text", "size"), ntext=("text", "nunique")
+    )
+    exp = (
+        k.groupby(level=0)
+        .agg(
+            n_raw=("versions", "sum"),
+            n_keys=("versions", "size"),
+            n_dup_keys=("versions", lambda v: int((v > 1).sum())),
+            n_diverged_keys=("ntext", lambda v: int((v > 1).sum())),
+            max_versions=("versions", "max"),
+        )
+        .reset_index()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    for c in ["n_raw", "n_keys", "n_dup_keys", "n_diverged_keys", "max_versions"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # the fixture feed contains real retransmits or the audit tests nothing
+    assert got["n_dup_keys"].sum() > 0
+    assert (got["n_raw"] >= got["n_keys"]).all()
+
+
+def test_temperature_mix_flattening(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_temperature_mix(SF)
+    # each alpha's weights sum to 1
+    mass = got.groupby("alpha")["weight"].sum()
+    assert np.allclose(mass.to_numpy(), 1.0, atol=1e-4)
+    # alpha=1.0 is the natural mix
+    a1 = got[got["alpha"] == 1.0]
+    assert np.allclose(a1["weight"].to_numpy(), a1["p_natural"].to_numpy(), atol=1e-6)
+    assert np.allclose(a1["upsample"].to_numpy(), 1.0, atol=1e-5)
+    # lowering alpha flattens: the rarest source's weight rises, the
+    # biggest source's falls, monotonically in alpha
+    rare = got.loc[got["n_docs"] == got["n_docs"].min(), ["alpha", "weight"]]
+    big = got.loc[got["n_docs"] == got["n_docs"].max(), ["alpha", "weight"]]
+    assert (np.diff(rare.sort_values("alpha")["weight"].to_numpy()) <= 0).all()
+    assert (np.diff(big.sort_values("alpha")["weight"].to_numpy()) >= 0).all()
+
+
+def test_kn_bigram_probability_axioms(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_kn_bigram(SF, top_n=50)
+    assert len(got) == 50
+    assert ((got["kn_prob"] > 0) & (got["kn_prob"] <= 1)).all()
+    # discounted ML term alone is <= P_KN (the continuation mass is added)
+    ml = np.maximum(got["c12"].to_numpy() - 0.75, 0.0) / got["c1"].to_numpy()
+    assert (got["kn_prob"].to_numpy() >= ml).all()
+    # straight-line recompute of the full distribution for one context x:
+    # P_KN(y|x) over ALL observed y of that x sums to 1 (the KN closure
+    # property — discount mass exactly re-distributed via P_cont)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    big = Counter()
+    for t in docs["text"]:
+        tk = [w for w in t.split(" ")]
+        big.update(
+            (x, y) for x, y in zip(tk[:-1], tk[1:]) if x != "" and y != ""
+        )
+    c1 = Counter()
+    nf = Counter()
+    npr = Counter()
+    for (x, y), c in big.items():
+        c1[x] += c
+        nf[x] += 1
+        npr[y] += 1
+    B = len(big)
+    x0 = got.iloc[0]["x"]
+    tot = sum(
+        max(c - 0.75, 0.0) / c1[x0] + (0.75 * nf[x0] / c1[x0]) * (npr[y] / B)
+        for (x, y), c in big.items()
+        if x == x0
+    )
+    # closure holds up to the global P_cont normalization (Σ_y over the
+    # observed-y subset); with the full vocab it's exactly 1 only when
+    # every y follows some x — check the discounted-ML + lambda split
+    lam = 0.75 * nf[x0] / c1[x0]
+    ml_mass = sum(max(c - 0.75, 0.0) / c1[x0] for (x, y), c in big.items() if x == x0)
+    assert abs((ml_mass + lam * sum(npr[y] / B for (x, y), c in big.items() if x == x0)) - tot) < 1e-12
+    # engine values match the straight-line formula for the top rows
+    for _, r in got.head(5).iterrows():
+        exp = max(r["c12"] - 0.75, 0.0) / c1[r["x"]] + (
+            0.75 * nf[r["x"]] / c1[r["x"]]
+        ) * (npr[r["y"]] / B)
+        assert abs(r["kn_prob"] - exp) < 1e-12
+
+
+def test_centroid_shift_selfconsistency(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.emb_centroid_shift(SF)
+    assert ((got["cos_shift"] <= 1.0) & (got["cos_shift"] >= -1.0)).all()
+    # straight-line recompute for EVERY label (at sf0.001 the fixture
+    # embeddings are not label-clustered, so the half-centroids of ~25
+    # vectors in 64-d are near-orthogonal noise — the audit's job is to
+    # REPORT that number exactly, not to assume it is high)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for _, r in got.iterrows():
+        sub = emb[emb["label"] == int(r["label"])]
+        ev = np.stack(sub.loc[sub["vec_id"] % 2 == 0, "embedding"].to_numpy()).astype(
+            np.float64
+        )
+        ov = np.stack(sub.loc[sub["vec_id"] % 2 == 1, "embedding"].to_numpy()).astype(
+            np.float64
+        )
+        assert int(r["n_even"]) == len(ev)
+        assert int(r["n_odd"]) == len(ov)
+        me = np.round(ev.mean(axis=0), 6)
+        mo = np.round(ov.mean(axis=0), 6)
+        cos = np.round(
+            np.add.reduce(me * mo)
+            / (np.sqrt(np.add.reduce(me * me)) * np.sqrt(np.add.reduce(mo * mo))),
+            6,
+        )
+        assert abs(r["cos_shift"] - cos) < 2e-6
+    # sanity: a half compared against ITSELF must give exactly 1 — run the
+    # kernel math on a duplicated half for one label
+    sub = emb[emb["label"] == int(got.iloc[0]["label"])]
+    ev = np.stack(sub.loc[sub["vec_id"] % 2 == 0, "embedding"].to_numpy()).astype(np.float64)
+    me = np.round(ev.mean(axis=0), 6)
+    self_cos = np.round(
+        np.add.reduce(me * me)
+        / (np.sqrt(np.add.reduce(me * me)) * np.sqrt(np.add.reduce(me * me))),
+        6,
+    )
+    assert self_cos == 1.0
