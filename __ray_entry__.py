@@ -614,6 +614,155 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_ingest_audit"] = t_ingest_audit
 
+    def t_conv_trend(sf):
+        # per-conversation OLS trend of turn length over turn index — do
+        # turns get longer or shorter as a conversation progresses (the
+        # drift signal SFT curation reads next to t_session_stats): closed-
+        # form per-group least squares from int64 moment sums (Σx, Σy,
+        # Σxy, Σx²) — order-independent integers, then ONE float expression
+        # for slope and one for intercept, so the oracle is bitwise. The
+        # rolling-window cousin lives in the battery (t_linreg); this is
+        # the conversation-level aggregate.
+        import numpy as np
+        import pandas as pd
+
+        def trend(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            x = g["turn_idx"].to_numpy(dtype=np.int64)
+            y = g["text_len"].to_numpy(dtype=np.int64)
+            d = pd.DataFrame({"conv_id": g["conv_id"].to_numpy(), "x": x, "y": y})
+            d["xy"] = d["x"] * d["y"]
+            d["xx"] = d["x"] * d["x"]
+            a = d.groupby("conv_id", sort=True).agg(
+                n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                sxy=("xy", "sum"), sxx=("xx", "sum"),
+            )
+            n = a["n"].to_numpy(dtype=np.int64)
+            sx = a["sx"].to_numpy(dtype=np.int64)
+            sy = a["sy"].to_numpy(dtype=np.int64)
+            sxy = a["sxy"].to_numpy(dtype=np.int64)
+            sxx = a["sxx"].to_numpy(dtype=np.int64)
+            den = n * sxx - sx * sx
+            slope = np.where(den != 0, (n * sxy - sx * sy) / np.where(den != 0, den, 1), 0.0)
+            intercept = (sy - slope * sx) / n
+            return pd.DataFrame(
+                {
+                    "conv_id": a.index.to_numpy(),
+                    "n_turns": n,
+                    "len_slope": slope,
+                    "len_intercept": intercept,
+                }
+            )
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: trend(compute_turn_features(g)[["conv_id", "turn_idx", "text_len"]]),
+            num_buckets=64,
+        )
+
+    q["t_conv_trend"] = t_conv_trend
+
+    def t_tool_entropy(sf):
+        # per-conversation Shannon entropy of the tool-call distribution —
+        # agent behavioral diversity (a conversation hammering ONE tool in
+        # a loop scores 0; cf. t_loop_detect which flags the cycle itself).
+        # Conv-local integer counts; H = −Σ p ln p over ≤|tools| terms,
+        # round(,6) absorbs the tiny-sum accumulation order (the PMI/ln
+        # parity discipline). Conversations with zero tool turns are
+        # excluded (no distribution to measure).
+        import numpy as np
+        import pandas as pd
+
+        def ent(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["tool"] != ""]
+            if g.empty:
+                return pd.DataFrame(
+                    {
+                        "conv_id": pd.Series(dtype=object),
+                        "n_tool_turns": pd.Series(dtype=np.int64),
+                        "n_distinct_tools": pd.Series(dtype=np.int64),
+                        "tool_entropy": pd.Series(dtype=np.float64),
+                    }
+                )
+            tc = g.groupby(["conv_id", "tool"], sort=True).size().rename("c").reset_index()
+            out = []
+            for conv, sub in tc.groupby("conv_id", sort=True):
+                c = sub["c"].to_numpy(dtype=np.int64)
+                n = np.int64(c.sum())
+                p = c / np.float64(n)
+                h = np.round(-np.add.reduce(p * np.log(p)), 6)
+                out.append((conv, n, np.int64(len(c)), h))
+            return pd.DataFrame(
+                out, columns=["conv_id", "n_tool_turns", "n_distinct_tools", "tool_entropy"]
+            )
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: ent(compute_turn_features(g)[["conv_id", "tool"]]),
+            num_buckets=64,
+        )
+
+    q["t_tool_entropy"] = t_tool_entropy
+
+    def t_latency_by_transition(sf):
+        # inter-turn latency profiled by role transition — how long each
+        # side of the dialogue takes to respond to the other (user→assistant
+        # = model latency, assistant→user = human think time, tool edges =
+        # execution time): per (from_role, to_role) edge, count + integer
+        # dt sums (order-independent) with ONE float expression for the
+        # mean. Same bucket-local pair machinery as t_role_transitions; the
+        # |roles|²-bounded exchange carries five integers per edge.
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+        def partial(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+            conv = g["conv_id"].to_numpy()
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            role = g["role"].to_numpy()
+            same = conv[1:] == conv[:-1]
+            dt = (ts[1:] - ts[:-1])[same]
+            d = pd.DataFrame(
+                {
+                    "from_role": role[:-1][same],
+                    "to_role": role[1:][same],
+                    "n": np.ones(len(dt), dtype=np.int64),
+                    "dt_sum_us": dt,
+                    "dt_min_us": dt,
+                    "dt_max_us": dt,
+                }
+            )
+            return d.groupby(["from_role", "to_role"], sort=False, as_index=False).agg(
+                n=("n", "sum"), dt_sum_us=("dt_sum_us", "sum"),
+                dt_min_us=("dt_min_us", "min"), dt_max_us=("dt_max_us", "max"),
+            )
+
+        parts = partition_map_groups(
+            _read_raw(sf),
+            lambda g: partial(
+                compute_turn_features(g)[["conv_id", "turn_idx", "ts_us", "role"]]
+            ),
+            num_buckets=64,
+        )
+        m = grouped_aggregate(
+            parts,
+            ["from_role", "to_role"],
+            {
+                "n": ("n", "sum"),
+                "dt_sum_us": ("dt_sum_us", "sum"),
+                "dt_min_us": ("dt_min_us", "min"),
+                "dt_max_us": ("dt_max_us", "max"),
+            },
+        ).to_pandas()  # |roles|²-bounded
+        m["dt_mean_s"] = m["dt_sum_us"].to_numpy(dtype=np.int64) / (
+            m["n"].to_numpy(dtype=np.int64) * 1_000_000.0
+        )
+        return m.sort_values(["from_role", "to_role"], ignore_index=True)
+
+    q["t_latency_by_transition"] = t_latency_by_transition
+
     def t_tool_stats(sf):
         # per-TOOL traffic aggregate over the transcript `tool` column —
         # which tools dominate agent traffic, how many conversations touch
@@ -1247,6 +1396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_max_concurrency"] = lambda sf: ev.events_max_concurrency(f"{sf}/events.parquet")
     # per-user daily rate z-score anomaly flags (integer-moment variance)
     q["e_rate_outliers"] = lambda sf: ev.events_rate_outliers(f"{sf}/events.parquet")
+    q["e_seasonality_profile"] = lambda sf: ev.events_seasonality_profile(
+        f"{sf}/events.parquet"
+    )
+    q["e_interarrival_stats"] = lambda sf: ev.events_interarrival_stats(
+        f"{sf}/events.parquet"
+    )
     # per-type hourly burst flags vs the type median rate
     q["e_burst_detect"] = lambda sf: ev.events_burst_detect(f"{sf}/events.parquet")
     # streaming throttle-dedup (debounce): keep only events > window after
@@ -1388,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_repetition"] = td.doc_repetition
     q["doc_pmi_bigrams"] = td.doc_pmi_bigrams
     q["doc_temperature_mix"] = td.doc_temperature_mix
+    q["doc_char_freq"] = td.doc_char_freq
     q["doc_kn_bigram"] = td.doc_kn_bigram
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
@@ -1639,6 +1795,49 @@ SELECT conv_id,
        sum(CASE WHEN versions > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
          AS dup_key_rate
 FROM k GROUP BY conv_id ORDER BY conv_id""",
+        "t_conv_trend": oracle.base_cte(p)
+        + """,
+a AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(turn_idx) AS BIGINT) AS sx, CAST(sum(text_len) AS BIGINT) AS sy,
+         CAST(sum(turn_idx * text_len) AS BIGINT) AS sxy,
+         CAST(sum(turn_idx * turn_idx) AS BIGINT) AS sxx
+  FROM t GROUP BY conv_id
+), s AS (
+  SELECT conv_id, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx <> 0
+              THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+              ELSE 0.0 END AS len_slope
+  FROM a
+)
+SELECT conv_id, n AS n_turns, len_slope,
+       (sy - len_slope * sx) / CAST(n AS DOUBLE) AS len_intercept
+FROM s ORDER BY conv_id""",
+        "t_tool_entropy": oracle.base_cte(p)
+        + """,
+tc AS (SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS c
+       FROM t WHERE tool <> '' GROUP BY 1, 2),
+tn AS (SELECT conv_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+       FROM tc GROUP BY 1)
+SELECT tn.conv_id, tn.n AS n_tool_turns, tn.k AS n_distinct_tools,
+       round(-sum((tc.c / CAST(tn.n AS DOUBLE)) * ln(tc.c / CAST(tn.n AS DOUBLE))), 6)
+         AS tool_entropy
+FROM tn JOIN tc USING (conv_id)
+GROUP BY tn.conv_id, tn.n, tn.k
+ORDER BY tn.conv_id""",
+        "t_latency_by_transition": oracle.base_cte(p)
+        + """,
+tr AS (
+  SELECT lag(role) OVER w AS from_role, role AS to_role, dt_us
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dt_us) AS BIGINT) AS dt_sum_us,
+       CAST(min(dt_us) AS BIGINT) AS dt_min_us,
+       CAST(max(dt_us) AS BIGINT) AS dt_max_us,
+       sum(dt_us) / (count(*) * 1000000.0) AS dt_mean_s
+FROM tr WHERE from_role IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "t_session_threshold_sweep": oracle.base_cte(p)
         + """,
 th(tau_s) AS (VALUES (60), (300), (900), (1800), (3600)),
@@ -1688,6 +1887,8 @@ ORDER BY tau_s""",
         "e_session_path_topk": ev.events_session_path_topk_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
         "e_rate_outliers": ev.events_rate_outliers_sql(),
+        "e_seasonality_profile": ev.events_seasonality_profile_sql(),
+        "e_interarrival_stats": ev.events_interarrival_stats_sql(),
         "e_burst_detect": ev.events_burst_detect_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),
@@ -1723,6 +1924,7 @@ ORDER BY tau_s""",
         "doc_repetition": td.doc_repetition_sql(_SQL_SF_DIR),
         "doc_pmi_bigrams": td.doc_pmi_bigrams_sql(_SQL_SF_DIR),
         "doc_temperature_mix": td.doc_temperature_mix_sql(_SQL_SF_DIR),
+        "doc_char_freq": td.doc_char_freq_sql(_SQL_SF_DIR),
         "doc_kn_bigram": td.doc_kn_bigram_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),

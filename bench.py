@@ -225,6 +225,28 @@ def run_bench() -> dict:
     _novelty = _entry.queries()["t_ngram_novelty"]
     timed("t_ngram_novelty", lambda: _novelty(sf_dir).count())
 
+    # round-4 session-8 operators, first bench rows
+    _q = _entry.queries()
+    timed("t_role_transitions", lambda: len(_q["t_role_transitions"](sf_dir)))
+    timed("t_session_threshold_sweep", lambda: len(_q["t_session_threshold_sweep"](sf_dir)))
+    timed("t_asof_staleness", lambda: len(_q["t_asof_staleness"](sf_dir)))
+    timed("t_ingest_audit", lambda: _q["t_ingest_audit"](sf_dir).count())
+    timed("t_conv_trend", lambda: _q["t_conv_trend"](sf_dir).count())
+    timed("t_tool_entropy", lambda: _q["t_tool_entropy"](sf_dir).count())
+    timed("t_latency_by_transition", lambda: len(_q["t_latency_by_transition"](sf_dir)))
+    timed("doc_temperature_mix", lambda: len(td.doc_temperature_mix(sf_dir)))
+    timed("doc_kn_bigram", lambda: len(td.doc_kn_bigram(sf_dir)))
+    timed("doc_char_freq", lambda: len(td.doc_char_freq(sf_dir)))
+    timed("emb_centroid_shift", lambda: len(td.emb_centroid_shift(sf_dir)))
+    timed(
+        "e_seasonality_profile",
+        lambda: len(ev.events_seasonality_profile(f"{sf_dir}/events.parquet")),
+    )
+    timed(
+        "e_interarrival_stats",
+        lambda: len(ev.events_interarrival_stats(f"{sf_dir}/events.parquet")),
+    )
+
     # Execution-mode variants at the current column width (round-3 verdict
     # #5): batch-checkpointed backfill vs streaming-state backfill vs
     # steady-state incremental append. All three run the SAME deduped input

@@ -2182,3 +2182,144 @@ def events_debounce(
         )
 
     return partition_map_groups(ds, per_user, key="user_id", num_buckets=num_buckets)
+
+
+def events_seasonality_profile(path: str) -> pd.DataFrame:
+    """Hour-of-day traffic profile per event type — the seasonality sheet
+    read before trusting any rate/burst threshold (a "burst" at 14:00 may
+    just be the daily peak; cf. events_burst_detect which compares against
+    the type's own median): per (event_type, hour 0–23), count, the share
+    of the type's traffic, and the lift vs a uniform 1/24 profile.
+
+    Scale shape: per-batch (type, hour) count COMBINER → one exchange of
+    |types|×24 partial rows → the 120-row profile is finished on the
+    driver. Events never ride the exchange. Integer counts + one float
+    division per derived column → bitwise oracle."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        ) % 24
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(),
+                "hour": hour,
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return df.groupby(["event_type", "hour"], sort=False, as_index=False).sum()
+
+    m = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), ["event_type", "hour"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # |types|×24-bounded
+    tot = m.groupby("event_type")["n"].transform("sum").to_numpy(dtype=np.int64)
+    n = m["n"].to_numpy(dtype=np.int64)
+    m["share"] = n / tot
+    m["lift"] = (n / tot) * 24.0
+    return m.sort_values(["event_type", "hour"], ignore_index=True)
+
+
+def events_seasonality_profile_sql() -> str:
+    return """
+WITH h AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour
+  FROM events
+), c AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+  FROM h GROUP BY 1, 2
+), tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+SELECT c.event_type, c.hour, c.n,
+       c.n / CAST(tot.t AS DOUBLE) AS share,
+       (c.n / CAST(tot.t AS DOUBLE)) * 24.0 AS lift
+FROM c JOIN tot USING (event_type)
+ORDER BY c.event_type, c.hour"""
+
+
+def events_interarrival_stats(path: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Per-type inter-arrival-time statistics — the Poisson-ness audit of
+    each event stream (CV ≈ 1 → memoryless arrivals, CV >> 1 → bursty,
+    CV << 1 → scheduled/heartbeat traffic; read next to e_burst_detect
+    before trusting rate features): gaps between consecutive events of a
+    type in (ts, event_id) order, then count, min/max, one float mean and
+    the coefficient of variation from EXACT integer moments.
+
+    Σgap² overflows int64 (gaps in µs square past 2^63), so the per-type
+    partial carries Python-int (arbitrary-precision) sums — the
+    doc_checksum discipline — mirrored by HUGEINT in the oracle; both
+    convert once to double for the final expressions, and IEEE
+    round-to-nearest makes those conversions identical.
+
+    Scale shape: hash partition by event_type (each type's gaps need its
+    own order; type cardinality is assumed bounded — documented, same as
+    e_markov), sort + diff inside the bucket, ONE |types|-row table to
+    the driver."""
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            tsu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            gaps = np.diff(tsu)
+            m = int(len(gaps))
+            if m == 0:
+                # a single-event type has no inter-arrival distribution;
+                # skipped on both sides (the oracle's lag() yields no row)
+                continue
+            sd = int(gaps.sum())
+            sdd = sum(int(x) * int(x) for x in gaps)  # python-int, exact
+            mean_gap_s = sd / (m * 1000000.0)
+            if m >= 2 and sd > 0:
+                var = float(m * sdd - sd * sd) / (m * (m - 1.0))
+                cv = np.sqrt(var) / (sd / (m * 1.0))
+            else:
+                cv = 0.0
+            rows.append(
+                (
+                    et,
+                    np.int64(m + 1),
+                    np.int64(m),
+                    np.int64(gaps.min()),
+                    np.int64(gaps.max()),
+                    mean_gap_s,
+                    cv,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "n_events", "n_gaps", "min_gap_us", "max_gap_us",
+                "mean_gap_s", "cv_gap",
+            ],
+        )
+
+    ds = _read_events(path, ["event_id", "ts", "event_type"])
+    out = partition_map_groups(ds, per_type, key="event_type", num_buckets=num_buckets)
+    return out.to_pandas().sort_values("event_type", ignore_index=True)
+
+
+def events_interarrival_stats_sql() -> str:
+    return """
+WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id FROM events),
+d AS (
+  SELECT event_type,
+         tsu - lag(tsu) OVER (PARTITION BY event_type ORDER BY tsu, event_id) AS g
+  FROM e
+),
+gg AS (SELECT event_type, CAST(g AS HUGEINT) AS g FROM d WHERE g IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m, sum(g) AS sd, sum(g * g) AS sdd,
+         CAST(min(g) AS BIGINT) AS min_gap_us, CAST(max(g) AS BIGINT) AS max_gap_us
+  FROM gg GROUP BY 1
+)
+SELECT event_type, m + 1 AS n_events, m AS n_gaps, min_gap_us, max_gap_us,
+       sd / (m * 1000000.0) AS mean_gap_s,
+       CASE WHEN m >= 2 AND sd > 0
+            THEN sqrt((m * sdd - sd * sd) / (m * (m - 1.0))) / (sd / (m * 1.0))
+            ELSE 0.0 END AS cv_gap
+FROM a ORDER BY event_type"""

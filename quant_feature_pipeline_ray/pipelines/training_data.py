@@ -10130,3 +10130,68 @@ FROM dot d
 JOIN n ne ON ne.label = d.label AND ne.parity = 0
 JOIN n no ON no.label = d.label AND no.parity = 1
 ORDER BY d.label"""
+
+
+# --------------------------------------------------- encoding-health audit
+def doc_char_freq(sf_dir: str) -> pd.DataFrame:
+    """Per-language character frequency table — the encoding-health audit
+    (mojibake, stray control characters, and double-encoded artifacts all
+    surface as unexpected codepoints long before they poison a tokenizer;
+    the WIMBD-style "what is actually IN the bytes" probe at character
+    granularity).
+
+    Scale shape: per-batch (lang, codepoint) count COMBINER — each batch's
+    text is joined per language and counted with one np.unique over the
+    utf-32 view (no per-char Python loop) → ONE exchange bounded by
+    |langs|×|charset| → driver computes shares on the dictionary-sized
+    table. Text never rides the exchange."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "text": batch["text"].to_pylist(),
+            }
+        )
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            blob = "".join(g["text"])
+            cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+            uniq, cnt = np.unique(cps, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {"lang": lang, "cp": uniq.astype(np.int64), "n": cnt.astype(np.int64)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    m = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"), ["lang", "cp"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # |langs|×|charset|-bounded
+        .sort_values(["lang", "cp"], ignore_index=True)
+    )
+    tot = m.groupby("lang")["n"].transform("sum").to_numpy(dtype=np.int64)
+    n = m["n"].to_numpy(dtype=np.int64)
+    m["ch"] = [chr(c) for c in m["cp"].to_numpy()]
+    m["share"] = n / tot
+    return m[["lang", "ch", "n", "share"]].sort_values(
+        ["lang", "ch"], ignore_index=True
+    )
+
+
+def doc_char_freq_sql(sf_dir: str) -> str:
+    return """
+WITH ch AS (
+  SELECT lang, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents
+), c AS (
+  SELECT lang, ch, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2
+), t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.lang, c.ch, c.n, c.n / CAST(t.tot AS DOUBLE) AS share
+FROM c JOIN t USING (lang)
+ORDER BY c.lang, c.ch"""

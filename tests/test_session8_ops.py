@@ -243,3 +243,121 @@ def test_centroid_shift_selfconsistency(ray_session):
         6,
     )
     assert self_cos == 1.0
+
+
+def test_conv_trend_straightline(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_conv_trend"](SF).to_pandas().sort_values(
+        "conv_id", ignore_index=True
+    )
+    df = _deduped_turns()
+    df["text_len"] = df["text"].str.len().astype(np.int64)
+    for conv, sub in list(df.groupby("conv_id"))[:5]:
+        x = sub["turn_idx"].to_numpy(dtype=np.float64)
+        y = sub["text_len"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1) if len(sub) > 1 else (0.0, y.mean())
+        r = got[got["conv_id"] == conv].iloc[0]
+        assert r["n_turns"] == len(sub)
+        assert abs(r["len_slope"] - slope) < 1e-6
+        assert abs(r["len_intercept"] - intercept) < 1e-6
+    assert len(got) == df["conv_id"].nunique()
+
+
+def test_tool_entropy_bounds(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_tool_entropy"](SF).to_pandas()
+    # 0 <= H <= ln(k)
+    assert (got["tool_entropy"] >= 0).all()
+    assert (
+        got["tool_entropy"] <= np.log(got["n_distinct_tools"].to_numpy()) + 1e-6
+    ).all()
+    # single-tool conversations score exactly 0
+    single = got[got["n_distinct_tools"] == 1]
+    assert len(single) and (single["tool_entropy"] == 0).all()
+    # straight-line recompute for one conversation
+    df = _deduped_turns()
+    tl = df[df["tool"] != ""]
+    conv = got.iloc[0]["conv_id"]
+    c = tl[tl["conv_id"] == conv].groupby("tool").size().to_numpy(dtype=np.int64)
+    p = c / np.float64(c.sum())
+    assert abs(got.iloc[0]["tool_entropy"] - np.round(-np.add.reduce(p * np.log(p)), 6)) < 2e-6
+
+
+def test_latency_by_transition_reconciles(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_latency_by_transition"](SF)
+    trans = em.queries()["t_role_transitions"](SF)
+    # the two transition views see the SAME edge counts
+    m = got.merge(trans, on=["from_role", "to_role"], suffixes=("_lat", "_tr"))
+    assert len(m) == len(got) == len(trans)
+    assert (m["n_lat"].to_numpy() == m["n_tr"].to_numpy()).all()
+    assert (got["dt_min_us"] >= 0).all()
+    assert (got["dt_max_us"] >= got["dt_min_us"]).all()
+    # mean sits inside [min, max]
+    mean_us = got["dt_mean_s"].to_numpy() * 1e6
+    assert (mean_us >= got["dt_min_us"].to_numpy() - 1e-6).all()
+    assert (mean_us <= got["dt_max_us"].to_numpy() + 1e-6).all()
+
+
+def test_seasonality_profile_closure(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_seasonality_profile(f"{SF}/events.parquet")
+    # shares close to 1 per type; lift is share*24
+    mass = got.groupby("event_type")["share"].sum()
+    assert np.allclose(mass.to_numpy(), 1.0)
+    assert np.allclose(got["lift"].to_numpy(), got["share"].to_numpy() * 24.0)
+    # totals reconcile with the raw table
+    raw = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type"])
+    exp = raw.value_counts("event_type")
+    tot = got.groupby("event_type")["n"].sum()
+    for t, v in exp.items():
+        assert tot[t] == v
+    assert (got["hour"] >= 0).all() and (got["hour"] <= 23).all()
+
+
+def test_interarrival_stats_straightline(ray_session):
+    from quant_feature_pipeline_ray.pipelines import events as ev
+
+    got = ev.events_interarrival_stats(f"{SF}/events.parquet")
+    raw = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "event_type"])
+    for _, r in got.iterrows():
+        sub = raw[raw["event_type"] == r["event_type"]].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        gaps = np.diff(sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        assert r["n_events"] == len(sub)
+        assert r["n_gaps"] == len(gaps)
+        assert r["min_gap_us"] == gaps.min()
+        assert r["max_gap_us"] == gaps.max()
+        m, sd = len(gaps), int(gaps.sum())
+        sdd = sum(int(x) * int(x) for x in gaps)
+        assert abs(r["mean_gap_s"] - sd / (m * 1000000.0)) < 1e-12
+        var = float(m * sdd - sd * sd) / (m * (m - 1.0))
+        assert abs(r["cv_gap"] - np.sqrt(var) / (sd / (m * 1.0))) < 1e-12
+    assert (got["cv_gap"] > 0).all()
+
+
+def test_char_freq_closure(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_char_freq(SF)
+    mass = got.groupby("lang")["share"].sum()
+    assert np.allclose(mass.to_numpy(), 1.0)
+    # totals reconcile with raw character counts
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+    exp = docs.assign(n=docs["text"].str.len()).groupby("lang")["n"].sum()
+    tot = got.groupby("lang")["n"].sum()
+    for lang, v in exp.items():
+        assert tot[lang] == v
+    # straight-line recompute for one (lang, char) cell
+    from collections import Counter
+
+    lang0 = got.iloc[0]["lang"]
+    cnt = Counter("".join(docs.loc[docs["lang"] == lang0, "text"]))
+    sub = got[got["lang"] == lang0]
+    for _, r in sub.head(5).iterrows():
+        assert cnt[r["ch"]] == r["n"]
