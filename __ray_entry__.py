@@ -763,6 +763,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_latency_by_transition"] = t_latency_by_transition
 
+    def t_bucketed_reuse(sf):
+        # SHUFFLE-FREE second-stage job over a backfill's part=<bucket>
+        # layout (sources/bucketed.py): the backfill pays the one conv_id
+        # exchange; this per-conversation rollup then reads one committed
+        # bucket per task with ZERO exchange — the "pick one partitioning
+        # key and reuse it across stages" rule as a driver-verified query.
+        # A fresh temp dir per call keeps the oracle comparison honest
+        # (no stale cache across feature-contract changes).
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+
+        from quant_feature_pipeline_ray.manifest import run_backfill
+        from quant_feature_pipeline_ray.sources.bucketed import bucketed_map_groups
+
+        out = tempfile.mkdtemp(prefix="graft_bucketed_reuse_")
+        run_backfill(ensure_transcripts(sf), out, num_buckets=64)
+
+        def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("conv_id", sort=True).agg(
+                n_turns=("turn_idx", "size"),
+                text_chars=("text_len", "sum"),
+                n_sessions=("session_id", "max"),
+            )
+            g = g.astype(np.int64)
+            g["n_sessions"] += 1
+            return g.reset_index()
+
+        res = bucketed_map_groups(
+            out, per_conv, columns=["conv_id", "turn_idx", "text_len", "session_id"]
+        ).to_pandas()
+        import shutil as _sh
+
+        _sh.rmtree(out, ignore_errors=True)
+        return res.sort_values("conv_id", ignore_index=True)
+
+    q["t_bucketed_reuse"] = t_bucketed_reuse
+
     def t_tool_stats(sf):
         # per-TOOL traffic aggregate over the transcript `tool` column —
         # which tools dominate agent traffic, how many conversations touch
@@ -1414,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- analytical aggregates / joins (TPC-H-ish tables)
     q["tpch_q1"] = tpch.tpch_q1
     q["tpch_q3"] = tpch.tpch_q3
+    q["tpch_q3_bloom"] = tpch.tpch_q3_bloom
     q["tpch_q5"] = tpch.tpch_q5
     q["tpch_q6"] = tpch.tpch_q6
     q["tpch_q14"] = tpch.tpch_q14
@@ -1795,6 +1835,12 @@ SELECT conv_id,
        sum(CASE WHEN versions > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
          AS dup_key_rate
 FROM k GROUP BY conv_id ORDER BY conv_id""",
+        "t_bucketed_reuse": oracle.base_cte(p)
+        + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(text_len) AS BIGINT) AS text_chars,
+       CAST(max(session_id) + 1 AS BIGINT) AS n_sessions
+FROM t GROUP BY conv_id ORDER BY conv_id""",
         "t_conv_trend": oracle.base_cte(p)
         + """,
 a AS (
@@ -1895,6 +1941,9 @@ ORDER BY tau_s""",
         "e_window_distinct_users": ev.events_window_distinct_users_sql(),
         "tpch_q1": tpch.tpch_q1_sql(_SQL_SF_DIR),
         "tpch_q3": tpch.tpch_q3_sql(_SQL_SF_DIR),
+        # identical output to q3 by construction (Bloom FPs only fail to
+        # prune and are resolved exactly at the join) → shares q3's oracle
+        "tpch_q3_bloom": tpch.tpch_q3_sql(_SQL_SF_DIR),
         "tpch_q5": tpch.tpch_q5_sql(_SQL_SF_DIR),
         "tpch_q6": tpch.tpch_q6_sql(_SQL_SF_DIR),
         "tpch_q14": tpch.tpch_q14_sql(_SQL_SF_DIR),

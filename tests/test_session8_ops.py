@@ -361,3 +361,82 @@ def test_char_freq_closure(ray_session):
     sub = got[got["lang"] == lang0]
     for _, r in sub.head(5).iterrows():
         assert cnt[r["ch"]] == r["n"]
+
+
+def test_q3_bloom_identical_and_prunes(ray_session):
+    from quant_feature_pipeline_ray.pipelines import tpch
+
+    a = tpch.tpch_q3(SF)
+    b = tpch.tpch_q3_bloom(SF)
+    pd.testing.assert_frame_equal(a, b)
+    # the pushdown actually prunes: recompute the masks straight-line
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-06-30")
+    ck = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    qual = set(
+        orders.loc[
+            (orders["o_orderdate"] < cutoff) & orders["o_custkey"].isin(ck), "o_orderkey"
+        ]
+    )
+    ship_ok = li[li["l_shipdate"] > cutoff]
+    frac_joinable = ship_ok["l_orderkey"].isin(qual).mean()
+    # most shipdate-qualifying lineitems do NOT join (wrong segment /
+    # late orderdate) — that's the exchange volume the Bloom removes
+    # (modulo its small FP sliver)
+    assert frac_joinable < 0.5
+
+
+def test_bucketed_reuse_shuffle_free(ray_session, tmp_path):
+    """Second-stage job over a backfill's part=<bucket> layout, ZERO
+    exchange, bitwise-equal to the fresh-shuffle path."""
+    import numpy as np
+    import pandas as pd
+
+    from quant_feature_pipeline_ray.fixtures import ensure_transcripts
+    from quant_feature_pipeline_ray.manifest import run_backfill
+    from quant_feature_pipeline_ray.sources.bucketed import bucketed_map_groups
+
+    out = str(tmp_path / "bf")
+    run_backfill(ensure_transcripts(SF), out, num_buckets=8)
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=True).agg(
+            n_turns=("turn_idx", "size"),
+            text_chars=("text_len", "sum"),
+            n_sessions=("session_id", "max"),
+        )
+        g = g.astype(np.int64)
+        g["n_sessions"] += 1
+        return g.reset_index()
+
+    reused = (
+        bucketed_map_groups(out, per_conv, columns=["conv_id", "turn_idx", "text_len", "session_id"])
+        .to_pandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    # fresh path: read the same committed features back and shuffle-group
+    import ray.data
+
+    from quant_feature_pipeline_ray.sources.bucketed import list_parts
+    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
+
+    fresh = (
+        partition_map_groups(
+            ray.data.read_parquet(list_parts(out), columns=["conv_id", "turn_idx", "text_len", "session_id"]),
+            per_conv,
+            key="conv_id",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(reused, fresh)
+    # guard: wrong schema_sha fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="schema_sha"):
+        bucketed_map_groups(out, per_conv, expect_schema_sha="not-a-real-sha")
