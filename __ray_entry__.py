@@ -802,6 +802,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_bucketed_reuse"] = t_bucketed_reuse
 
+    def t_psi_drift(sf):
+        # Population-Stability-Index drift audit between the corpus's time
+        # halves — the ML-ops check run before retraining on "the same"
+        # feed (PSI > 0.2 on a feature = the distribution moved; the
+        # credit-scoring standard applied to transcript features): add-one
+        # smoothed bin shares of text_len and inter-turn latency, first
+        # half vs second half by the deduped corpus ts midpoint.
+        # Two passes (midpoint, then bin counts) — both per-bucket integer
+        # partials; ln parity + round(,6) per term (the PMI discipline).
+        import numpy as np
+        import pandas as pd
+
+        len_edges = [50, 100, 200, 400]
+        dt_edges = [1_000_000, 5_000_000, 30_000_000, 120_000_000, 600_000_000]
+
+        def minmax(g: pd.DataFrame) -> pd.DataFrame:
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({"lo": [np.int64(ts.min())], "hi": [np.int64(ts.max())]})
+
+        mm = partition_map_groups(
+            _read_raw(sf),
+            lambda g: minmax(compute_turn_features(g)[["conv_id", "ts_us"]]),
+            num_buckets=64,
+        ).to_pandas()
+        mid = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+        def bins(g: pd.DataFrame) -> pd.DataFrame:
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            conv = g["conv_id"].to_numpy()
+            tl = g["text_len"].to_numpy(dtype=np.int64)
+            # dt as in base_cte: COALESCE(diff within conv, 0)
+            g2 = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            ts2 = g2["ts_us"].to_numpy(dtype=np.int64)
+            conv2 = g2["conv_id"].to_numpy()
+            dt = np.zeros(len(g2), dtype=np.int64)
+            same = conv2[1:] == conv2[:-1]
+            dt[1:][same] = (ts2[1:] - ts2[:-1])[same]
+            half2 = (ts2 > mid).astype(np.int64)
+            half = (ts > mid).astype(np.int64)
+            rows = []
+            for feat, vals, edges, h in (
+                ("text_len", tl, len_edges, half),
+                ("dt_us", dt, dt_edges, half2),
+            ):
+                b = np.searchsorted(np.array(edges, dtype=np.int64), vals, side="right")
+                d = pd.DataFrame({"feature": feat, "bin": b.astype(np.int64), "half": h})
+                rows.append(
+                    d.groupby(["feature", "bin", "half"], as_index=False).size()
+                )
+            out = pd.concat(rows, ignore_index=True)
+            out["n"] = out.pop("size").astype(np.int64)
+            return out
+
+        parts = (
+            partition_map_groups(
+                _read_raw(sf),
+                lambda g: bins(
+                    compute_turn_features(g)[["conv_id", "turn_idx", "ts_us", "text_len"]]
+                ),
+                num_buckets=64,
+            )
+            .to_pandas()  # ≤ buckets × features × bins × 2 rows
+            .groupby(["feature", "bin", "half"], as_index=False)["n"].sum()
+        )
+        rows = []
+        for feat, edges in (("text_len", len_edges), ("dt_us", dt_edges)):
+            K = len(edges) + 1
+            sub = parts[parts["feature"] == feat]
+            n1 = np.zeros(K, dtype=np.int64)
+            n2 = np.zeros(K, dtype=np.int64)
+            for _, r in sub.iterrows():
+                (n1 if r["half"] == 0 else n2)[int(r["bin"])] = r["n"]
+            t1, t2 = np.int64(n1.sum()), np.int64(n2.sum())
+            p1 = (n1 + 1) / np.float64(t1 + K)
+            p2 = (n2 + 1) / np.float64(t2 + K)
+            term = np.round((p1 - p2) * np.log(p1 / p2), 6)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "feature": feat,
+                        "bin": np.arange(K, dtype=np.int64),
+                        "n_first": n1,
+                        "n_second": n2,
+                        "psi_term": term,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True).sort_values(
+            ["feature", "bin"], ignore_index=True
+        )
+
+    q["t_psi_drift"] = t_psi_drift
+
     def t_tool_stats(sf):
         # per-TOOL traffic aggregate over the transcript `tool` column —
         # which tools dominate agent traffic, how many conversations touch
@@ -1584,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_pmi_bigrams"] = td.doc_pmi_bigrams
     q["doc_temperature_mix"] = td.doc_temperature_mix
     q["doc_char_freq"] = td.doc_char_freq
+    q["doc_model_auc"] = td.doc_model_auc
     q["doc_kn_bigram"] = td.doc_kn_bigram
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
@@ -1679,8 +1773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (r3, rolling argmin/argmax over the same channel machinery) and
         # CCI's mean-abs-dev rides the rolling-sum kernels driver-green via
         # t_rolling (r2); both stay contract-exact and roll into the
-        # round-5 window.)
-        "t_atr", "t_linreg",
+        # round-5 window. t_atr displaced for the late session-8 capability
+        # ops: its Wilder-EMA smoothing is driver-green via t_oscillator
+        # (r3) and t_supertrend (r3) which compose the same ATR kernel.)
+        "t_linreg",
         # cross-table OOV/coverage audit (transcripts vs documents vocab)
         "t_vocab_coverage",
         # round-4 session-7 additions, exact oracles, never
@@ -1708,14 +1804,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (media_ahash displaced: media_ahash_dups below composes the full
         # aHash stage, so its machinery keeps a driver row; stays
         # contract-exact, rolls into the round-5 window.)
-        "e_weighted_quantiles", "doc_ccnet_buckets", "doc_backoff_trigram",
+        # (doc_ccnet_buckets / doc_backoff_trigram displaced for the late
+        # session-8 capability ops: the tercile machinery rides the
+        # quantile path driver-green via t_winsor_quantile (r2) over the
+        # driver-green doc_perplexity (r3) scores, and the trigram count+
+        # join machinery now has an in-window rep in doc_kn_bigram, whose
+        # smoothing tier supersedes stupid backoff; both stay
+        # contract-exact and roll into the round-5 window.)
+        "e_weighted_quantiles",
         "t_conv_export",
         # round-4 session-7 additions (cont.): source-mix planning table,
         # cross-conversation duplicate-turn groups — exact oracles
         # (doc_mix_plan displaced for doc_temperature_mix below — the same
         # dictionary-exchange planning-table shape, so one in-window rep
-        # suffices; mix_plan stays contract-exact, rolls into round 5.)
-        "t_crossconv_dups",
+        # suffices; mix_plan stays contract-exact, rolls into round 5.
+        # t_crossconv_dups displaced for the late session-8 capability
+        # ops: its content-hash-exchange machinery is driver-green via
+        # doc_exact_dedup (r3); stays contract-exact, rolls into round 5.)
         # events family never driver-verified (e_ntile /
         # e_window_distinct_users / e_streaming_sessions displaced for the
         # session-7 ops below — not verdict-named, simple window/distinct
@@ -1787,6 +1892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cosine between vec_id-parity halves
         "t_ingest_audit", "doc_temperature_mix", "doc_kn_bigram",
         "emb_centroid_shift",
+        # late session-8 capability ops (exact oracles, never
+        # driver-verified; they take the four slots freed above): shuffle-
+        # free bucketed-output reuse, Bloom semi-join pushdown (output-
+        # identical to tpch_q3, q3's oracle), PSI drift audit, tie-aware
+        # Mann–Whitney AUC of model-vs-heuristic quality
+        "t_bucketed_reuse", "tpch_q3_bloom", "t_psi_drift", "doc_model_auc",
     ]
     assert len(first) == 50 and all(k in q for k in first)
     ordered = {k: q[k] for k in first}
@@ -1841,6 +1952,46 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(text_len) AS BIGINT) AS text_chars,
        CAST(max(session_id) + 1 AS BIGINT) AS n_sessions
 FROM t GROUP BY conv_id ORDER BY conv_id""",
+        "t_psi_drift": oracle.base_cte(p)
+        + """,
+mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM t),
+bl AS (
+  SELECT 'text_len' AS feature,
+         CASE WHEN text_len < 50 THEN 0 WHEN text_len < 100 THEN 1
+              WHEN text_len < 200 THEN 2 WHEN text_len < 400 THEN 3 ELSE 4 END AS bin,
+         CASE WHEN ts_us > mid.m THEN 1 ELSE 0 END AS half
+  FROM t CROSS JOIN mid
+  UNION ALL
+  SELECT 'dt_us',
+         CASE WHEN dt_us < 1000000 THEN 0 WHEN dt_us < 5000000 THEN 1
+              WHEN dt_us < 30000000 THEN 2 WHEN dt_us < 120000000 THEN 3
+              WHEN dt_us < 600000000 THEN 4 ELSE 5 END,
+         CASE WHEN ts_us > mid.m THEN 1 ELSE 0 END
+  FROM t CROSS JOIN mid
+), c AS (
+  SELECT feature, CAST(bin AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(half) AS BIGINT) AS c2
+  FROM bl GROUP BY 1, 2
+), kb AS (
+  SELECT 'text_len' AS feature, CAST(r.range AS BIGINT) AS bin FROM range(0, 5) r
+  UNION ALL
+  SELECT 'dt_us', CAST(r.range AS BIGINT) FROM range(0, 6) r
+), cc AS (
+  SELECT kb.feature, kb.bin, COALESCE(c.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2
+  FROM kb LEFT JOIN c ON kb.feature = c.feature AND kb.bin = c.bin
+), tt AS (
+  SELECT feature, CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cc GROUP BY 1
+)
+SELECT cc.feature, cc.bin, cc.c1 AS n_first, cc.c2 AS n_second,
+       round(((cc.c1 + 1) / CAST(tt.t1 + tt.k AS DOUBLE)
+              - (cc.c2 + 1) / CAST(tt.t2 + tt.k AS DOUBLE))
+             * ln(((cc.c1 + 1) / CAST(tt.t1 + tt.k AS DOUBLE))
+                  / ((cc.c2 + 1) / CAST(tt.t2 + tt.k AS DOUBLE))), 6) AS psi_term
+FROM cc JOIN tt USING (feature)
+ORDER BY feature, bin""",
         "t_conv_trend": oracle.base_cte(p)
         + """,
 a AS (
@@ -1974,6 +2125,7 @@ ORDER BY tau_s""",
         "doc_pmi_bigrams": td.doc_pmi_bigrams_sql(_SQL_SF_DIR),
         "doc_temperature_mix": td.doc_temperature_mix_sql(_SQL_SF_DIR),
         "doc_char_freq": td.doc_char_freq_sql(_SQL_SF_DIR),
+        "doc_model_auc": td.doc_model_auc_sql(_SQL_SF_DIR),
         "doc_kn_bigram": td.doc_kn_bigram_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),

@@ -246,6 +246,10 @@ def run_bench() -> dict:
         "e_interarrival_stats",
         lambda: len(ev.events_interarrival_stats(f"{sf_dir}/events.parquet")),
     )
+    timed("t_psi_drift", lambda: len(_q["t_psi_drift"](sf_dir)))
+    timed("doc_model_auc", lambda: len(td.doc_model_auc(sf_dir)))
+    timed("t_bucketed_reuse", lambda: len(_q["t_bucketed_reuse"](sf_dir)))
+    timed("tpch_q3_bloom", lambda: len(tpch.tpch_q3_bloom(sf_dir)))
 
     # Execution-mode variants at the current column width (round-3 verdict
     # #5): batch-checkpointed backfill vs streaming-state backfill vs

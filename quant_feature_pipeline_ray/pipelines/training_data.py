@@ -10195,3 +10195,169 @@ WITH ch AS (
 SELECT c.lang, c.ch, c.n, c.n / CAST(t.tot AS DOUBLE) AS share
 FROM c JOIN t USING (lang)
 ORDER BY c.lang, c.ch"""
+
+
+# ----------------------------------------------------- classifier AUC eval
+def doc_model_auc(
+    sf_dir: str,
+    n_buckets: int = 64,
+    scale: int = 8,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> pd.DataFrame:
+    """ROC-AUC of the hashed linear model's quality score against the C4
+    heuristic filter's verdict — the eval every team runs before swapping
+    heuristics for a learned filter (the ranking complement of
+    doc_quality_calibration's agreement table).
+
+    Exact AUC without a global sort: AUC needs only, per DISTINCT score,
+    the positive/negative counts — so a per-batch (score, label) count
+    COMBINER feeds one score-cardinality-bounded exchange, and the driver
+    evaluates the tie-aware Mann–Whitney form with INTEGER arithmetic:
+
+        AUC = Σ_s n1_s · (2·cum_n0_<s + n0_s)  /  (2·N1·N0)
+
+    (one float division at the end → bitwise oracle). Score and label are
+    computed in ONE fused text pass (no join): the score is bitwise
+    doc_model_score's quality_score, the label is bitwise
+    doc_quality_filter's predicate. Score cardinality is bounded by the
+    distinct (z_num, n_tok) pairs — the grouped-quantiles histogram
+    caveat applies (documented there)."""
+    import hashlib
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    sw = ("the", "a", "of", "and", "to")
+
+    class Scan:
+        def __init__(self) -> None:
+            self.w = np.array(
+                [
+                    int(hashlib.md5(f"w{j}".encode()).hexdigest()[:8], 16) % 201 - 100
+                    for j in range(n_buckets)
+                ],
+                dtype=np.int64,
+            )
+            self.bucket_of: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pandas()
+            toks = texts.str.split(" ")
+            e = toks.explode()
+            e = e[e != ""]
+            for t in pd.unique(e):
+                if t not in self.bucket_of:
+                    self.bucket_of[t] = (
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+                    )
+            wt = pd.Series(self.w[e.map(self.bucket_of).to_numpy()], index=e.index)
+            g = wt.groupby(level=0)
+            idx = pd.RangeIndex(len(texts))
+            z_num = g.sum().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            n_tok_h = g.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            z = z_num / (np.maximum(n_tok_h, 1) * float(scale))
+            score = 0.5 * (1.0 + z / (1.0 + np.abs(z)))
+            # C4-filter predicate, bitwise doc_quality_filter's oracle
+            n_tokens = texts.str.count(" ").to_numpy(dtype=np.int64) + 1
+            token_chars = (
+                texts.str.len().to_numpy(dtype=np.int64) - (n_tokens - 1)
+            )
+            sw_hits = (
+                toks.explode().isin(sw).groupby(level=0).sum()
+                .reindex(idx, fill_value=0)
+                .to_numpy(dtype=np.int64)
+            )
+            label = (
+                (n_tokens >= min_tokens)
+                & (token_chars / n_tokens <= max_mean_token_len)
+                & (sw_hits / n_tokens >= min_stopword_ratio)
+            ).astype(np.int64)
+            d = pd.DataFrame({"score": score, "label": label})
+            out = d.groupby(["score", "label"], as_index=False).size()
+            out["n"] = out.pop("size").astype(np.int64)
+            return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    hist = (
+        grouped_aggregate(
+            ds.map_batches(Scan, batch_format="pyarrow", concurrency=2),
+            ["score", "label"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # score-cardinality-bounded
+        .sort_values("score", ignore_index=True)
+    )
+    piv = hist.pivot_table(index="score", columns="label", values="n", aggfunc="sum").fillna(0)
+    n0s = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(dtype=np.int64)
+    n1s = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(dtype=np.int64)
+    cum0 = np.concatenate([[0], np.cumsum(n0s)[:-1]])
+    num2 = int((n1s * (2 * cum0 + n0s)).sum())
+    n1, n0 = int(n1s.sum()), int(n0s.sum())
+    return pd.DataFrame(
+        {
+            "n_pos": [np.int64(n1)],
+            "n_neg": [np.int64(n0)],
+            "auc": [num2 / (2.0 * n1 * n0)],
+        }
+    )
+
+
+def doc_model_auc_sql(
+    sf_dir: str,
+    n_buckets: int = 64,
+    scale: int = 8,
+    min_tokens: int = 8,
+    max_mean_token_len: float = 9.0,
+    min_stopword_ratio: float = 0.01,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('w' || CAST(
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {n_buckets}
+           AS VARCHAR)), 1, 8))::UBIGINT % 201 AS BIGINT) - 100 AS w
+  FROM toks WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tw GROUP BY doc_id
+), m AS (
+  SELECT d.doc_id,
+         0.5 * (1.0 + (CAST(COALESCE(agg.z_num, 0) AS DOUBLE)
+                       / (CAST(GREATEST(COALESCE(agg.n_tok, 0), 1) AS DOUBLE) * {float(scale)}))
+                      / (1.0 + abs(CAST(COALESCE(agg.z_num, 0) AS DOUBLE)
+                       / (CAST(GREATEST(COALESCE(agg.n_tok, 0), 1) AS DOUBLE) * {float(scale)}))))
+           AS score
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+), s AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({sw}))) AS BIGINT) AS sw_hits
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tokens >= {min_tokens}
+                    AND token_chars / n_tokens <= {max_mean_token_len}
+                    AND sw_hits / n_tokens >= {min_stopword_ratio}
+              THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM s
+), j AS (SELECT m.score, f.label FROM m JOIN f USING (doc_id)),
+h AS (
+  SELECT score, CAST(sum(label) AS BIGINT) AS n1,
+         CAST(count(*) - sum(label) AS BIGINT) AS n0
+  FROM j GROUP BY score
+), w AS (
+  SELECT score, n1, n0,
+         CAST(COALESCE(sum(n0) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+  FROM h
+), t AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n_pos, CAST(sum(n0) AS BIGINT) AS n_neg,
+         CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS num2
+  FROM w
+)
+SELECT n_pos, n_neg, num2 / (2.0 * n_pos * n_neg) AS auc FROM t"""

@@ -440,3 +440,60 @@ def test_bucketed_reuse_shuffle_free(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="schema_sha"):
         bucketed_map_groups(out, per_conv, expect_schema_sha="not-a-real-sha")
+
+
+def test_psi_drift_properties(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["t_psi_drift"](SF)
+    # both halves hold the whole corpus between them
+    df = _deduped_turns()
+    tl = got[got["feature"] == "text_len"]
+    assert tl["n_first"].sum() + tl["n_second"].sum() == len(df)
+    # PSI of a distribution against itself is exactly 0 per term: run the
+    # formula with n_first == n_second
+    n = tl["n_first"].to_numpy(dtype=np.int64)
+    K = len(n)
+    p = (n + 1) / np.float64(n.sum() + K)
+    assert (np.round((p - p) * np.log(p / p), 6) == 0).all()
+    # terms are finite (smoothing guarantees no /0 or ln 0) and the total
+    # per feature is non-negative (PSI is an f-divergence)
+    assert np.isfinite(got["psi_term"]).all()
+    for feat, sub in got.groupby("feature"):
+        assert sub["psi_term"].sum() >= -1e-9
+
+
+def test_model_auc_rank_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_model_auc(SF)
+    assert len(got) == 1
+    auc = float(got["auc"].iloc[0])
+    assert 0.0 <= auc <= 1.0
+    # straight-line recompute vs sklearn-free tie-aware rank formula
+    scores = td.doc_model_score(SF)
+    import pandas as pd
+
+    sdf = scores.to_pandas() if not isinstance(scores, pd.DataFrame) else scores
+    filt = td.doc_quality_filter(SF)
+    fdf = filt.to_pandas() if not isinstance(filt, pd.DataFrame) else filt
+    kept = set(fdf["doc_id"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    y = docs["doc_id"].isin(kept).to_numpy()
+    s = sdf.set_index("doc_id").loc[docs["doc_id"], "quality_score"].to_numpy()
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=np.float64)
+    sorted_s = s[order]
+    i = 0
+    r = 1
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    n1, n0 = int(y.sum()), int((~y).sum())
+    exp = (ranks[y].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    assert got["n_pos"].iloc[0] == n1 and got["n_neg"].iloc[0] == n0
+    assert abs(auc - exp) < 1e-12
