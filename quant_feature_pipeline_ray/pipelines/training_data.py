@@ -10294,12 +10294,11 @@ def doc_model_auc(
     cum0 = np.concatenate([[0], np.cumsum(n0s)[:-1]])
     num2 = int((n1s * (2 * cum0 + n0s)).sum())
     n1, n0 = int(n1s.sum()), int(n0s.sum())
+    # one-class corpus has no ranking to score: report 0.5 (same CASE in
+    # the oracle) instead of dividing by zero
+    auc = num2 / (2.0 * n1 * n0) if n1 > 0 and n0 > 0 else 0.5
     return pd.DataFrame(
-        {
-            "n_pos": [np.int64(n1)],
-            "n_neg": [np.int64(n0)],
-            "auc": [num2 / (2.0 * n1 * n0)],
-        }
+        {"n_pos": [np.int64(n1)], "n_neg": [np.int64(n0)], "auc": [auc]}
     )
 
 
@@ -10360,4 +10359,87 @@ h AS (
          CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS num2
   FROM w
 )
-SELECT n_pos, n_neg, num2 / (2.0 * n_pos * n_neg) AS auc FROM t"""
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN num2 / (2.0 * n_pos * n_neg) ELSE 0.5 END AS auc
+FROM t"""
+
+
+# ------------------------------------------------ vocabulary-richness audit
+def doc_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary-richness audit — hapax legomena fraction and
+    type/token ratio (corpus linguistics' canary for synthetic/templated
+    text: generated or boilerplate-heavy sources repeat their vocabulary,
+    organic text keeps minting hapaxes; read next to doc_zipf's
+    rank-frequency profile).
+
+    Scale shape: per-batch (source, token) count COMBINER → ONE
+    vocabulary-bounded exchange → per-source reduction of the count table
+    (distinct types, hapax count, token total) → |sources|-row result.
+    Integer counts, two float divisions → bitwise oracle."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "toks": batch["text"].to_pandas().str.split(" "),
+            }
+        )
+        e = df.explode("toks").rename(columns={"toks": "tok"})
+        e = e[e["tok"] != ""]
+        out = e.groupby(["source", "tok"], as_index=False).size()
+        out["n"] = out.pop("size").astype(np.int64)
+        return out
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["source", "tok"],
+        {"n": ("n", "sum")},
+    )
+
+    def reduce_source(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = df.groupby("source")
+        out = pd.DataFrame(
+            {
+                "n_types": g["tok"].size(),
+                "n_tokens": g["n"].sum(),
+                "n_hapax": g["n"].apply(lambda v: int((v == 1).sum())),
+            }
+        ).astype(np.int64)
+        return out.reset_index()
+
+    # each source's rows share a partition (grouped_aggregate buckets by the
+    # first key col), so per-batch reduction emits complete source rows...
+    # except a source CAN span blocks of one partition — finish with a tiny
+    # driver-side regroup of the |sources×blocks| partials
+    parts = counts.map_batches(reduce_source, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("source", as_index=False).sum()
+    m = m.astype({"n_types": np.int64, "n_tokens": np.int64, "n_hapax": np.int64})
+    m["hapax_ratio"] = m["n_hapax"].to_numpy(dtype=np.int64) / m["n_types"].to_numpy(
+        dtype=np.int64
+    )
+    m["type_token_ratio"] = m["n_types"].to_numpy(dtype=np.int64) / m[
+        "n_tokens"
+    ].to_numpy(dtype=np.int64)
+    return m.sort_values("source", ignore_index=True)
+
+
+def doc_hapax_ratio_sql(sf_dir: str) -> str:
+    return """
+WITH e AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+       count(*) / CAST(sum(n) AS DOUBLE) AS type_token_ratio
+FROM c GROUP BY source ORDER BY source"""

@@ -497,3 +497,21 @@ def test_model_auc_rank_parity(ray_session):
     exp = (ranks[y].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
     assert got["n_pos"].iloc[0] == n1 and got["n_neg"].iloc[0] == n0
     assert abs(auc - exp) < 1e-12
+
+
+def test_hapax_ratio_straightline(ray_session):
+    from collections import Counter
+
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_hapax_ratio(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+    for _, r in got.iterrows():
+        cnt = Counter()
+        for t in docs.loc[docs["source"] == r["source"], "text"]:
+            cnt.update(w for w in t.split(" ") if w != "")
+        assert r["n_types"] == len(cnt)
+        assert r["n_tokens"] == sum(cnt.values())
+        assert r["n_hapax"] == sum(1 for v in cnt.values() if v == 1)
+    assert ((got["hapax_ratio"] >= 0) & (got["hapax_ratio"] <= 1)).all()
+    assert (got["type_token_ratio"] <= 1).all()
