@@ -1679,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_char_freq"] = td.doc_char_freq
     q["doc_model_auc"] = td.doc_model_auc
     q["doc_hapax_ratio"] = td.doc_hapax_ratio
+    q["doc_quality_length_corr"] = td.doc_quality_length_corr
     q["doc_kn_bigram"] = td.doc_kn_bigram
     q["doc_dedup_incremental"] = td.doc_dedup_incremental_run
     q["doc_curriculum_rank"] = td.doc_curriculum_rank
@@ -2128,6 +2129,7 @@ ORDER BY tau_s""",
         "doc_char_freq": td.doc_char_freq_sql(_SQL_SF_DIR),
         "doc_model_auc": td.doc_model_auc_sql(_SQL_SF_DIR),
         "doc_hapax_ratio": td.doc_hapax_ratio_sql(_SQL_SF_DIR),
+        "doc_quality_length_corr": td.doc_quality_length_corr_sql(_SQL_SF_DIR),
         "doc_kn_bigram": td.doc_kn_bigram_sql(_SQL_SF_DIR),
         "doc_token_stats": td.doc_token_stats_sql(_SQL_SF_DIR),
         "doc_lang_id": td.doc_lang_id_sql(_SQL_SF_DIR),

@@ -10443,3 +10443,167 @@ SELECT source,
        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS hapax_ratio,
        count(*) / CAST(sum(n) AS DOUBLE) AS type_token_ratio
 FROM c GROUP BY source ORDER BY source"""
+
+
+# ------------------------------------------- rank-correlation audit
+def doc_quality_length_corr(sf_dir: str, n_buckets: int = 64, scale: int = 8) -> pd.DataFrame:
+    """Exact Spearman rank correlation between the hashed model's quality
+    score and raw document length — the "is the learned quality filter
+    just a length proxy?" audit (a high |ρ| here means the model ranks
+    documents by size, not substance; run next to doc_model_auc before
+    trusting the model).
+
+    Exact DISTRIBUTED Spearman with tie handling, no global sort of the
+    corpus: average ranks come from the two scores' value HISTOGRAMS
+    (score-cardinality-bounded, the doc_model_auc discipline) as
+    2r = 2·min_rank + ties − 1 (integer), broadcast as value→2r maps; a
+    second pass computes per-batch PYTHON-INT moment partials (Σa, Σb,
+    Σa², Σb², Σab over 2r values overflow int64 at corpus scale — the
+    doc_checksum arbitrary-precision rule, HUGEINT in the oracle) and the
+    driver evaluates Pearson-on-ranks with one float expression:
+
+        ρ = (n·Σab − Σa·Σb) / (sqrt(n·Σa² − (Σa)²) · sqrt(n·Σb² − (Σb)²))
+    """
+    import hashlib
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    class Scored:
+        def __init__(self) -> None:
+            self.w = np.array(
+                [
+                    int(hashlib.md5(f"w{j}".encode()).hexdigest()[:8], 16) % 201 - 100
+                    for j in range(n_buckets)
+                ],
+                dtype=np.int64,
+            )
+            self.bucket_of: dict[str, int] = {}
+
+        def _score(self, texts: pd.Series) -> np.ndarray:
+            toks = texts.str.split(" ")
+            e = toks.explode()
+            e = e[e != ""]
+            for t in pd.unique(e):
+                if t not in self.bucket_of:
+                    self.bucket_of[t] = (
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+                    )
+            wt = pd.Series(self.w[e.map(self.bucket_of).to_numpy()], index=e.index)
+            g = wt.groupby(level=0)
+            idx = pd.RangeIndex(len(texts))
+            z_num = g.sum().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            n_tok = g.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+            z = z_num / (np.maximum(n_tok, 1) * float(scale))
+            return 0.5 * (1.0 + z / (1.0 + np.abs(z)))
+
+    class Hist(Scored):
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            texts = batch["text"].to_pandas()
+            s = self._score(texts)
+            ln = texts.str.len().to_numpy(dtype=np.int64)
+            a = pd.DataFrame({"var": "score", "v": s}).groupby(
+                ["var", "v"], as_index=False
+            ).size()
+            b = pd.DataFrame({"var": "len", "v": ln.astype(np.float64)}).groupby(
+                ["var", "v"], as_index=False
+            ).size()
+            out = pd.concat([a, b], ignore_index=True)
+            out["n"] = out.pop("size").astype(np.int64)
+            return out
+
+    hist = (
+        grouped_aggregate(
+            docs.map_batches(Hist, batch_format="pyarrow", concurrency=2),
+            ["var", "v"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # value-cardinality-bounded
+        .sort_values(["var", "v"], ignore_index=True)
+    )
+
+    def rank2_map(sub: pd.DataFrame) -> dict:
+        cnt = sub["n"].to_numpy(dtype=np.int64)
+        min_rank = np.concatenate([[1], 1 + np.cumsum(cnt)[:-1]])
+        r2 = 2 * min_rank + cnt - 1  # 2 × average rank, integer
+        return dict(zip(sub["v"].to_numpy(), (int(x) for x in r2)))
+
+    ra = ray.put(rank2_map(hist[hist["var"] == "score"]))
+    rb = ray.put(rank2_map(hist[hist["var"] == "len"]))
+
+    class Moments(Scored):
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ma = ray.get(ra) if isinstance(ra, ray.ObjectRef) else ra
+            mb = ray.get(rb) if isinstance(rb, ray.ObjectRef) else rb
+            texts = batch["text"].to_pandas()
+            s = self._score(texts)
+            ln = texts.str.len().to_numpy(dtype=np.int64).astype(np.float64)
+            a = [ma[v] for v in s]
+            b = [mb[v] for v in ln]
+            return pd.DataFrame(
+                {
+                    "n": [len(a)],
+                    # python-int (arbitrary precision) partials as strings:
+                    # ranks² × corpus size overflow int64 at scale
+                    "sa": [str(sum(a))],
+                    "sb": [str(sum(b))],
+                    "saa": [str(sum(x * x for x in a))],
+                    "sbb": [str(sum(x * x for x in b))],
+                    "sab": [str(sum(x * y for x, y in zip(a, b)))],
+                }
+            )
+
+    parts = docs.map_batches(Moments, batch_format="pyarrow", concurrency=2).to_pandas()
+    n = int(parts["n"].sum())
+    sa = sum(int(x) for x in parts["sa"])
+    sb = sum(int(x) for x in parts["sb"])
+    saa = sum(int(x) for x in parts["saa"])
+    sbb = sum(int(x) for x in parts["sbb"])
+    sab = sum(int(x) for x in parts["sab"])
+    num = float(n * sab - sa * sb)
+    da = float(n * saa - sa * sa)
+    db = float(n * sbb - sb * sb)
+    rho = num / (np.sqrt(da) * np.sqrt(db)) if da > 0 and db > 0 else 0.0
+    return pd.DataFrame({"n_docs": [np.int64(n)], "spearman_rho": [rho]})
+
+
+def doc_quality_length_corr_sql(sf_dir: str, n_buckets: int = 64, scale: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('w' || CAST(
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {n_buckets}
+           AS VARCHAR)), 1, 8))::UBIGINT % 201 AS BIGINT) - 100 AS w
+  FROM toks WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS z_num, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tw GROUP BY doc_id
+), sc AS (
+  SELECT d.doc_id,
+         0.5 * (1.0 + (CAST(COALESCE(agg.z_num, 0) AS DOUBLE)
+                       / (CAST(GREATEST(COALESCE(agg.n_tok, 0), 1) AS DOUBLE) * {float(scale)}))
+                      / (1.0 + abs(CAST(COALESCE(agg.z_num, 0) AS DOUBLE)
+                       / (CAST(GREATEST(COALESCE(agg.n_tok, 0), 1) AS DOUBLE) * {float(scale)}))))
+           AS s,
+         CAST(length(d.text) AS DOUBLE) AS l
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+), rk AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY s) + count(*) OVER (PARTITION BY s) - 1 AS HUGEINT) AS a,
+         CAST(2 * rank() OVER (ORDER BY l) + count(*) OVER (PARTITION BY l) - 1 AS HUGEINT) AS b
+  FROM sc
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(a) AS sa, sum(b) AS sb,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+  FROM rk
+)
+SELECT n AS n_docs,
+       CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+             AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+            THEN CAST(n * sab - sa * sb AS DOUBLE)
+                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+            ELSE 0.0 END AS spearman_rho
+FROM m"""

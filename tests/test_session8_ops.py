@@ -515,3 +515,39 @@ def test_hapax_ratio_straightline(ray_session):
         assert r["n_hapax"] == sum(1 for v in cnt.values() if v == 1)
     assert ((got["hapax_ratio"] >= 0) & (got["hapax_ratio"] <= 1)).all()
     assert (got["type_token_ratio"] <= 1).all()
+
+
+def test_q3_bloom_identity_under_parameter_fuzz(ray_session):
+    """Bloom semi-join output == exact join under adversarial parameters —
+    including a TINY 2^8-bit filter whose false-positive rate approaches 1
+    (prunes almost nothing) and a single hash function: the identity must
+    hold because FPs only fail to prune."""
+    from quant_feature_pipeline_ray.pipelines import tpch
+
+    for segment, cutoff, bits, k in [
+        ("BUILDING", "1998-06-30", 8, 1),    # FP-saturated filter
+        ("AUTOMOBILE", "1996-01-01", 12, 2),  # early cutoff, few orders
+        ("MACHINERY", "1999-12-31", 20, 6),   # late cutoff, many orders
+    ]:
+        a = tpch.tpch_q3(SF, segment=segment, cutoff=cutoff)
+        b = tpch.tpch_q3_bloom(SF, segment=segment, cutoff=cutoff, bits_log2=bits, n_hashes=k)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_quality_length_corr_scipy_free_parity(ray_session):
+    from quant_feature_pipeline_ray.pipelines import training_data as td
+
+    got = td.doc_quality_length_corr(SF)
+    rho = float(got["spearman_rho"].iloc[0])
+    assert -1.0 <= rho <= 1.0
+    # straight-line recompute with pandas average ranks (the scipy
+    # definition of Spearman with ties)
+    scores = td.doc_model_score(SF)
+    sdf = scores.to_pandas() if not isinstance(scores, pd.DataFrame) else scores
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    m = docs.merge(sdf[["doc_id", "quality_score"]], on="doc_id")
+    ra = m["quality_score"].rank(method="average")
+    rb = m["text"].str.len().rank(method="average")
+    exp = np.corrcoef(ra, rb)[0, 1]
+    assert abs(rho - exp) < 1e-9
+    assert int(got["n_docs"].iloc[0]) == len(docs)
