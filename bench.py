@@ -247,6 +247,8 @@ def run_bench() -> dict:
         lambda: len(ev.events_interarrival_stats(f"{sf_dir}/events.parquet")),
     )
     timed("t_psi_drift", lambda: len(_q["t_psi_drift"](sf_dir)))
+    timed("doc_hapax_ratio", lambda: len(td.doc_hapax_ratio(sf_dir)))
+    timed("doc_quality_length_corr", lambda: len(td.doc_quality_length_corr(sf_dir)))
     timed("doc_model_auc", lambda: len(td.doc_model_auc(sf_dir)))
     timed("t_bucketed_reuse", lambda: len(_q["t_bucketed_reuse"](sf_dir)))
     timed("tpch_q3_bloom", lambda: len(tpch.tpch_q3_bloom(sf_dir)))

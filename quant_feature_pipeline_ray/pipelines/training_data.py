@@ -10523,34 +10523,48 @@ def doc_quality_length_corr(sf_dir: str, n_buckets: int = 64, scale: int = 8) ->
         .sort_values(["var", "v"], ignore_index=True)
     )
 
-    def rank2_map(sub: pd.DataFrame) -> dict:
+    def rank2_table(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         cnt = sub["n"].to_numpy(dtype=np.int64)
         min_rank = np.concatenate([[1], 1 + np.cumsum(cnt)[:-1]])
         r2 = 2 * min_rank + cnt - 1  # 2 × average rank, integer
-        return dict(zip(sub["v"].to_numpy(), (int(x) for x in r2)))
+        return sub["v"].to_numpy(), r2  # keys sorted (hist was sorted by v)
 
-    ra = ray.put(rank2_map(hist[hist["var"] == "score"]))
-    rb = ray.put(rank2_map(hist[hist["var"] == "len"]))
+    ra = ray.put(rank2_table(hist[hist["var"] == "score"]))
+    rb = ray.put(rank2_table(hist[hist["var"] == "len"]))
 
     class Moments(Scored):
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ma = ray.get(ra) if isinstance(ra, ray.ObjectRef) else ra
-            mb = ray.get(rb) if isinstance(rb, ray.ObjectRef) else rb
+            ka, va = ray.get(ra) if isinstance(ra, ray.ObjectRef) else ra
+            kb, vb = ray.get(rb) if isinstance(rb, ray.ObjectRef) else rb
             texts = batch["text"].to_pandas()
             s = self._score(texts)
             ln = texts.str.len().to_numpy(dtype=np.int64).astype(np.float64)
-            a = [ma[v] for v in s]
-            b = [mb[v] for v in ln]
+            # vectorized rank lookup: the histogram keys are sorted, so
+            # searchsorted replaces any per-row dict probe
+            a = va[np.searchsorted(ka, s)]
+            b = vb[np.searchsorted(kb, ln)]
+            # arbitrary-precision partials (ranks² × corpus size overflow
+            # int64 at scale — the doc_checksum rule): split each 2r into
+            # hi·2²⁰+lo so every product/sum below stays exact in int64
+            # per batch, then recombine as PYTHON ints — no per-row loop
+            SH = np.int64(1) << np.int64(20)
+            ahi, alo = a // SH, a % SH
+            bhi, blo = b // SH, b % SH
+            def big(hh, hl, lh, ll):
+                return (
+                    (int(hh) << 40) + ((int(hl) + int(lh)) << 20) + int(ll)
+                )
+            saa = big((ahi * ahi).sum(), (ahi * alo).sum(), (alo * ahi).sum(), (alo * alo).sum())
+            sbb = big((bhi * bhi).sum(), (bhi * blo).sum(), (blo * bhi).sum(), (blo * blo).sum())
+            sab = big((ahi * bhi).sum(), (ahi * blo).sum(), (alo * bhi).sum(), (alo * blo).sum())
             return pd.DataFrame(
                 {
                     "n": [len(a)],
-                    # python-int (arbitrary precision) partials as strings:
-                    # ranks² × corpus size overflow int64 at scale
-                    "sa": [str(sum(a))],
-                    "sb": [str(sum(b))],
-                    "saa": [str(sum(x * x for x in a))],
-                    "sbb": [str(sum(x * x for x in b))],
-                    "sab": [str(sum(x * y for x, y in zip(a, b)))],
+                    "sa": [str(int(a.sum()))],
+                    "sb": [str(int(b.sum()))],
+                    "saa": [str(saa)],
+                    "sbb": [str(sbb)],
+                    "sab": [str(sab)],
                 }
             )
 
