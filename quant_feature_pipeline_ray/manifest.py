@@ -90,6 +90,23 @@ def append_manifest(out_dir: str, records: list[dict]) -> None:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
+def run_complete_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "run_complete.json")
+
+
+def mark_run_complete(out_dir: str, info: dict) -> None:
+    """Atomically publish a run-complete marker. Written ONLY after every
+    manifest record of a successful run is on disk, so a resumable-but-
+    unfinished backfill (killed between partition commits — the supported
+    fail_after path) is distinguishable from a finished one: the marker is
+    absent until some later run finishes the remaining buckets."""
+    path = run_complete_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _commit_partition(out_dir: str, bucket: int, tbl: pa.Table, input_path: str, wall_ms: float) -> dict:
     """Atomic per-partition publish (reference: tmp + os.replace,
     tools/export_utils.py:264-283)."""
@@ -171,6 +188,14 @@ def run_backfill(
         if fail_after is not None and len(committed) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} partitions")
 
+    mark_run_complete(
+        out_dir,
+        {
+            "mode": "backfill",
+            "input": input_path,
+            "partitions": len(load_manifest(out_dir)),
+        },
+    )
     return {
         "committed": len(committed),
         "skipped": len(skip),
@@ -273,6 +298,14 @@ def run_streaming_backfill(
     )
     recs = [json.loads(r["record"]) for r in results.iter_rows()]
     append_manifest(out_dir, recs)
+    mark_run_complete(
+        out_dir,
+        {
+            "mode": "streaming_backfill",
+            "input": input_path,
+            "partitions": len(load_manifest(out_dir)),
+        },
+    )
     return {"committed": len(recs), "rows": sum(r["rows"] for r in recs)}
 
 
@@ -382,6 +415,14 @@ def run_incremental_append(
     )
     recs = [json.loads(r["record"]) for r in results.iter_rows()]
     append_manifest(out_dir, recs)
+    mark_run_complete(
+        out_dir,
+        {
+            "mode": "incremental_append",
+            "input": new_input_path,
+            "partitions": len(load_manifest(out_dir)),
+        },
+    )
     return {"appended_partitions": len(recs), "rows": sum(r["rows"] for r in recs)}
 
 

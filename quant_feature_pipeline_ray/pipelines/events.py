@@ -2200,10 +2200,17 @@ def events_seasonality_profile(path: str) -> pd.DataFrame:
     ds = _read_events(path, ["ts", "event_type"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        hour = (
-            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            // 3_600_000_000
-        ) % 24
+        tsu = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # domain contract: ts >= epoch. numpy's % is sign-of-divisor (always
+        # 0-23) while DuckDB's is sign-of-dividend, so a pre-1970 timestamp
+        # would break the bitwise oracle — fail fast instead of diverging.
+        if len(tsu) and int(tsu.min()) < 0:
+            raise ValueError(
+                "events_seasonality_profile requires ts >= 1970-01-01 (epoch): "
+                "hour-of-day modulo semantics diverge from the SQL oracle for "
+                "negative epochs"
+            )
+        hour = (tsu // 3_600_000_000) % 24
         df = pd.DataFrame(
             {
                 "event_type": batch["event_type"].to_numpy(),
@@ -2241,6 +2248,25 @@ FROM c JOIN tot USING (event_type)
 ORDER BY c.event_type, c.hour"""
 
 
+def _sum_sq_exact(gaps: np.ndarray) -> int:
+    """Exact Σgap² over non-negative int64 µs gaps via the 2²⁰-split
+    discipline (doc_quality_length_corr's Moments): gap = hi·2²⁰ + lo, so
+    gap² = hi²·2⁴⁰ + hi·lo·2²¹ + lo² — every vectorized product/chunk-sum
+    stays inside int64 (hi < 2²³ for gaps under ~101 days, chunks of 2¹⁶),
+    recombined as arbitrary-precision Python ints. No per-element loop."""
+    if len(gaps) == 0:
+        return 0
+    if int(gaps.max()) >= (1 << 43):  # >101-day gap: hi² would overflow a chunk
+        return sum(int(x) * int(x) for x in gaps)
+    hi, lo = gaps >> 20, gaps & ((1 << 20) - 1)
+    total = 0
+    C = 1 << 16
+    for i in range(0, len(gaps), C):
+        h, l = hi[i : i + C], lo[i : i + C]
+        total += (int((h * h).sum()) << 40) + (int((h * l).sum()) << 21) + int((l * l).sum())
+    return total
+
+
 def events_interarrival_stats(path: str, num_buckets: int = 8) -> pd.DataFrame:
     """Per-type inter-arrival-time statistics — the Poisson-ness audit of
     each event stream (CV ≈ 1 → memoryless arrivals, CV >> 1 → bursty,
@@ -2272,7 +2298,7 @@ def events_interarrival_stats(path: str, num_buckets: int = 8) -> pd.DataFrame:
                 # skipped on both sides (the oracle's lag() yields no row)
                 continue
             sd = int(gaps.sum())
-            sdd = sum(int(x) * int(x) for x in gaps)  # python-int, exact
+            sdd = _sum_sq_exact(gaps)  # python-int, exact, vectorized
             mean_gap_s = sd / (m * 1000000.0)
             if m >= 2 and sd > 0:
                 var = float(m * sdd - sd * sd) / (m * (m - 1.0))

@@ -10108,7 +10108,18 @@ def emb_centroid_shift(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["label", "n_even", "n_odd", "cos_shift"])
 
 
-def emb_centroid_shift_sql(sf_dir: str, d: int = 64) -> str:
+def emb_centroid_shift_sql(sf_dir: str, d: int | None = None) -> str:
+    if d is None:
+        # infer the embedding width from the parquet itself (first row of the
+        # first row group) so the oracle always unrolls the same d the Python
+        # op infers from the data — a hardcoded default would silently compare
+        # a truncated/NULL-padded cosine if the corpus width ever changed
+        import pyarrow.parquet as _pq
+
+        first = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+            0, columns=["embedding"]
+        )
+        d = len(first.column("embedding")[0])
     return f"""
 WITH c AS (
   SELECT CAST(label AS BIGINT) AS label, CAST(vec_id % 2 AS BIGINT) AS parity,
