@@ -102,6 +102,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ).select_columns(_ASOF_COLS)
     q["t_flagship_full"] = lambda sf: transcript_features(ensure_transcripts(sf))
 
+    # the two multi-node-critical flagship variants as driver-verifiable
+    # queries (round-4 verdict item 4): both are bitwise-identical to the
+    # plain flagship by design, so they share t_asof_features' exact oracle.
+    # "blob" routes text around the per-row exchange as lz4 Arrow-IPC blobs
+    # (stages/text_exchange.py) — the real-network path; "salted" routes
+    # mega-conversations through the chunk-parallel salted kernel with
+    # carry-state handoff (stages/salting.py). heavy_threshold=40 (vs the
+    # ~63-turn sf0.01 mean) forces a real heavy population and chunk_rows=25
+    # forces multi-chunk handoff, so the driver row exercises the salted
+    # kernel, not just the routing no-op.
+    q["t_flagship_blob"] = lambda sf: transcript_features(
+        ensure_transcripts(sf), text_exchange="blob"
+    ).select_columns(_ASOF_COLS)
+
+    def t_flagship_salted(sf):
+        from quant_feature_pipeline_ray.pipelines.flagship_salted import (
+            transcript_features_salted,
+        )
+
+        return transcript_features_salted(
+            ensure_transcripts(sf), heavy_threshold=40, chunk_rows=25
+        ).select_columns(_ASOF_COLS)
+
+    q["t_flagship_salted"] = t_flagship_salted
+
     def t_governed(sf):
         import numpy as np
         import pyarrow as pa
@@ -1914,6 +1939,10 @@ def oracle_sql() -> dict[str, str]:
         "t_rolling": oracle.sql_rolling(p),
         "t_window_agg_300": oracle.sql_window_agg(p, 300),
         "t_asof_features": oracle.sql_asof_features(p),
+        # both variants are bitwise-identical to the plain flagship by
+        # contract, so they share its exact oracle (verdict r4 item 4)
+        "t_flagship_blob": oracle.sql_asof_features(p),
+        "t_flagship_salted": oracle.sql_asof_features(p),
         "t_asof_staleness": oracle.sql_asof_staleness(p),
         "t_role_transitions": oracle.base_cte(p)
         + """,
@@ -2086,6 +2115,9 @@ ORDER BY tau_s""",
         "e_session_path_topk": ev.events_session_path_topk_sql(),
         "e_max_concurrency": ev.events_max_concurrency_sql(),
         "e_rate_outliers": ev.events_rate_outliers_sql(),
+        # round-5 promotion: the debounce recurrence replayed exactly by a
+        # rank-indexed RECURSIVE CTE (oracle-scale only; engine streams)
+        "e_debounce": ev.events_debounce_sql(),
         "e_seasonality_profile": ev.events_seasonality_profile_sql(),
         "e_interarrival_stats": ev.events_interarrival_stats_sql(),
         "e_burst_detect": ev.events_burst_detect_sql(),
@@ -2150,10 +2182,15 @@ ORDER BY tau_s""",
         "doc_dup_clusters": td.doc_dup_clusters_sql(_SQL_SF_DIR),
         "doc_cluster_purity": td.doc_cluster_purity_sql(_SQL_SF_DIR),
         "doc_cluster_rep": td.doc_cluster_rep_sql(_SQL_SF_DIR),
-        # doc_minhash_lsh / doc_simhash: engine-hash-keyed (SipHash) →
-        # rows-only (pytest-pinned); doc_fingerprint promoted round 4
-        # (list_reduce FNV-1a mirror, exact)
+        # doc_minhash_lsh: engine-hash-keyed (SipHash) → rows-only
+        # (pytest-pinned); doc_fingerprint promoted round 4 (list_reduce
+        # FNV-1a mirror); doc_simhash / doc_simhash_pairs promoted round 5
+        # by re-keying the token hash to md5-lower-64 (the doc_checksum
+        # discipline) — the pairs oracle is the lossless-blocking claim
+        # checked against a brute-force all-pairs popcount
         "doc_fingerprint": td.doc_fingerprint_sql(_SQL_SF_DIR),
+        "doc_simhash": td.doc_simhash_sql(_SQL_SF_DIR),
+        "doc_simhash_pairs": td.doc_simhash_pairs_sql(_SQL_SF_DIR),
         "doc_winnow": td.doc_winnow_sql(_SQL_SF_DIR),
         "doc_strip_dup_spans": td.doc_strip_dup_spans_sql(_SQL_SF_DIR),
         "doc_cdc_chunks": td.doc_cdc_chunks_sql(_SQL_SF_DIR),
@@ -2185,6 +2222,9 @@ ORDER BY tau_s""",
         "doc_gopher_rules": td.doc_gopher_rules_sql(_SQL_SF_DIR),
         "doc_boilerplate_strip": td.doc_boilerplate_strip_sql(_SQL_SF_DIR),
         "doc_shuffle_shards": td.doc_shuffle_shards_sql(_SQL_SF_DIR),
+        # round-5 promotion: first-fit packing replayed by a rank-indexed
+        # RECURSIVE CTE over the md5 partition key
+        "doc_pack_sequences": td.doc_pack_sequences_sql(_SQL_SF_DIR),
         "doc_langid_confusion": td.doc_langid_confusion_sql(_SQL_SF_DIR),
         "doc_length_buckets": td.doc_length_buckets_sql(_SQL_SF_DIR),
         "doc_mix_plan": td.doc_mix_plan_sql(_SQL_SF_DIR),
@@ -2204,6 +2244,10 @@ ORDER BY tau_s""",
         "emb_label_centroids": td.emb_label_centroids_sql(_SQL_SF_DIR),
         "emb_centroid_shift": td.emb_centroid_shift_sql(_SQL_SF_DIR),
         "emb_ann_topk": td.emb_ann_topk_sql(_SQL_SF_DIR),
+        # round-5 promotion: exact downstream of the seeded k-means —
+        # centroids recomputed from the same sample bytes and embedded as
+        # round-trip literals (emb_ann_topk's broadcast-constant discipline)
+        "emb_outliers": td.emb_outliers_sql(_SQL_SF_DIR),
         "emb_hamming_topk": td.emb_hamming_topk_sql(_SQL_SF_DIR),
         "emb_ann_filtered": td.emb_ann_filtered_sql(_SQL_SF_DIR),
         "emb_cosine_dups": td.emb_cosine_dups_sql(_SQL_SF_DIR),

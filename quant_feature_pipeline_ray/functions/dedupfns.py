@@ -96,19 +96,26 @@ class MinHasher:
 
 
 def simhash64(text: str) -> np.uint64:
-    """64-bit SimHash over the token multiset."""
-    th = _token_hashes(text.split(" "))
-    if len(th) == 0:
+    """64-bit SimHash over the token multiset (Charikar STOC'02).
+
+    The per-token hash is md5-lower-64 (hashing.md5_lower64, bit-identical
+    to DuckDB's md5_number_lower) so the whole chain — token counts →
+    per-bit signed votes → sign threshold — is SQL-expressible and
+    doc_simhash / doc_simhash_pairs carry EXACT DuckDB oracles (the
+    doc_checksum discipline). md5 runs once per DISTINCT token
+    (vocabulary-bounded); duplicate tokens vote via their count."""
+    from quant_feature_pipeline_ray.hashing import md5_lower64
+
+    toks = text.split(" ")
+    if not toks:
         return np.uint64(0)
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    th = md5_lower64(uniq)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
-    score = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for j in range(64):
-        if score[j] > 0:
-            out |= np.uint64(1) << np.uint64(j)
-    return out
+    score = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return np.uint64(np.bitwise_or.reduce((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
 
 
 def jaccard_token_sets(a: str, b: str) -> float:

@@ -2147,9 +2147,12 @@ def events_debounce(
     front of counters; distinct from keep-last dedup, which needs a key
     collision — this suppresses rapid-fire repeats of the same signal).
     The keep decision is a true per-key RECURRENCE (depends on the last
-    *kept* event, not the previous event), so it is not expressible as a
-    SQL window function → rows-only for the driver; pinned by a
-    brute-force parity pytest and the kept-spacing invariant.
+    *kept* event, not the previous event), so it is not a SQL WINDOW
+    function — but it IS a rank-indexed recursion, so the oracle replays
+    it exactly with a RECURSIVE CTE (one iteration per within-group rank;
+    affordable at oracle scale, never the engine's plan). Promoted from
+    rows-only to exact in round 5; the brute-force parity pytest and
+    kept-spacing invariant remain.
 
     Dataflow: ONE exchange keyed on user (same partition the whole events
     family reuses), per-key ordered scan inside the group. The per-key
@@ -2182,6 +2185,32 @@ def events_debounce(
         )
 
     return partition_map_groups(ds, per_user, key="user_id", num_buckets=num_buckets)
+
+
+def events_debounce_sql(window_s: float = 600.0) -> str:
+    """Exact recursive-CTE replay of the debounce recurrence: rank events
+    within each (user, type) by (ts, event_id); rank 1 is kept; each
+    iteration advances every group by one rank, carrying the last KEPT
+    timestamp and applying the same strict `gap > window` test."""
+    w_us = int(window_s * 1e6)
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS tu,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, event_type, event_id, ts, tu, rn, tu AS last_kept, TRUE AS kept
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.tu, e.rn,
+         CASE WHEN e.tu - k.last_kept > {w_us} THEN e.tu ELSE k.last_kept END,
+         e.tu - k.last_kept > {w_us}
+  FROM e JOIN walk k
+    ON e.user_id = k.user_id AND e.event_type = k.event_type AND e.rn = k.rn + 1
+)
+SELECT event_id, user_id, event_type, ts
+FROM walk WHERE kept ORDER BY user_id, event_type, ts, event_id"""
 
 
 def events_seasonality_profile(path: str) -> pd.DataFrame:

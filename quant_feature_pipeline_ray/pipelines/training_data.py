@@ -1015,8 +1015,77 @@ WHERE text NOT IN (SELECT text FROM base)
 ORDER BY doc_id"""
 
 
+_SIMHASH_CTE = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT doc_id, md5_number_lower(token) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, token
+), bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> CAST(b.bit AS UBIGINT)) & 1 = 1 THEN c ELSE -c END) AS score
+  FROM tc CROSS JOIN range(0, 64) b(bit)
+  GROUP BY doc_id, b.bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN score > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                  ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def doc_simhash_sql(sf_dir: str) -> str:
+    """Exact SQL mirror of the md5-keyed SimHash (same per-token
+    md5_number_lower hash, same signed multiset votes per bit, same
+    score>0 threshold; HUGEINT bit assembly → two's-complement BIGINT)
+    plus the doc_fingerprint FNV-1a mirror for the fingerprint column."""
+    return (
+        "WITH "
+        + _SIMHASH_CTE
+        + """,
+d AS (SELECT doc_id, text || ' ' AS t FROM documents),
+fp AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(1469598103934665603 AS UBIGINT),
+      list_transform(range(1, octet_length(encode(t)) + 1),
+                     i -> CAST(unicode(t[i]) AS UBIGINT))),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                   % 18446744073709551616 AS UBIGINT)
+  ) AS fp FROM d
+)
+SELECT sh.doc_id,
+       CAST(CASE WHEN sh.u >= 9223372036854775808
+                 THEN sh.u - 18446744073709551616
+                 ELSE sh.u END AS BIGINT) AS simhash,
+       CAST(CASE WHEN fp.fp >= 9223372036854775808
+                 THEN CAST(fp.fp AS HUGEINT) - 18446744073709551616
+                 ELSE CAST(fp.fp AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM sh JOIN fp USING (doc_id) ORDER BY sh.doc_id"""
+    )
+
+
+def doc_simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """Brute-force all-pairs mirror of the banded Hamming-ball join: the
+    band blocking is LOSSLESS for hamming <= max_hamming (pigeonhole,
+    n_bands > max_hamming), so the engine's blocked output must equal the
+    full O(n²) popcount — affordable at oracle scale, never run at corpus
+    scale."""
+    return (
+        "WITH "
+        + _SIMHASH_CTE
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.u AS UBIGINT), CAST(b.u AS UBIGINT))) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.u AS UBIGINT), CAST(b.u AS UBIGINT))) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+    )
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
-    """64-bit SimHash per doc (+ fingerprint); pytest-oracled."""
+    """64-bit SimHash per doc (+ fingerprint); exact oracle via the
+    md5-lower-64 token hash (doc_simhash_sql)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pd.DataFrame:
@@ -1359,6 +1428,13 @@ def _kmeans_centroids(
         .to_pandas()
     )
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    return _kmeans_core(smat, n_clusters, kmeans_iters)
+
+
+def _kmeans_core(smat: np.ndarray, n_clusters: int, kmeans_iters: int) -> np.ndarray:
+    """Numpy body of the seeded spherical k-means, shared by the engine
+    (Ray-sampled input) and the oracle generator (pandas-read input) so
+    both produce bitwise-identical centroids from the same sample bytes."""
     sunit = smat / np.maximum(np.sqrt(np.einsum("ij,ij->i", smat, smat))[:, None], 1e-12)
     rng = np.random.default_rng(7)
     cent = sunit[rng.choice(len(sunit), size=min(n_clusters, len(sunit)), replace=False)].copy()
@@ -3696,19 +3772,34 @@ def doc_pack_sequences(
     own docs independently and bin ids are made globally unique as
     (partition << 32) | local_bin. Oversized docs (> context_len) get their
     own bin, truncation flagged. Deterministic: same input → same packing.
-    Rows-only in the driver (the reset recurrence is not ANSI-SQL);
-    straight-line parity + invariants pinned in tests/test_training_data.py."""
+    The partition key is md5(doc_id)[:8] % P (the doc_stratified_sample
+    discipline) rather than the engine SipHash, so the whole op — partition
+    assignment AND the reset recurrence — has an EXACT oracle: the
+    recurrence replays as a rank-indexed RECURSIVE CTE (promoted from
+    rows-only in round 5); straight-line invariants remain in
+    tests/test_training_data.py."""
+    import hashlib
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pd.DataFrame:
         st = token_counts(batch["text"].to_pandas())
+        ids = batch["doc_id"].to_numpy()
+        part = np.fromiter(
+            (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % num_partitions
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "n_tokens": st["n_tokens"].to_numpy()}
+            {"doc_id": ids, "n_tokens": st["n_tokens"].to_numpy(), "part": part}
         )
 
     def pack_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id", ignore_index=True)
-        part = int(df["_bucket"].iat[0]) if "_bucket" in df.columns and len(df) else 0
+        part = int(df["part"].iat[0]) if len(df) else 0
         toks = np.minimum(df["n_tokens"].to_numpy(), context_len)
         n = len(toks)
         bin_id = np.empty(n, dtype=np.int64)
@@ -3736,15 +3827,48 @@ def doc_pack_sequences(
             }
         )
 
-    from quant_feature_pipeline_ray.stages.partition import partition_map_groups
-
-    return partition_map_groups(
-        ds.map_batches(stats, batch_format="pyarrow"),
-        pack_partition,
-        key="doc_id",
-        num_buckets=num_partitions,
-        drop_bucket=False,
+    # one exchange on the md5 partition key; each part packs independently
+    return (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack_partition, batch_format="pandas")
     )
+
+
+def doc_pack_sequences_sql(sf_dir: str, context_len: int = 512, num_partitions: int = 32) -> str:
+    """Exact recursive-CTE replay of the first-fit packing recurrence:
+    same md5 partition key, same doc_id order within a partition, same
+    reset-at-budget carry of (local_bin, fill)."""
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {num_partitions} AS BIGINT) AS part
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, part, least(n_tokens, {context_len}) AS t,
+         row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+  FROM s
+), walk AS (
+  SELECT part, rn, doc_id, n_tokens, t,
+         CAST(0 AS BIGINT) AS local_bin, CAST(0 AS BIGINT) AS bin_offset, t AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.part, r.rn, r.doc_id, r.n_tokens, r.t,
+         CASE WHEN w.fill + r.t > {context_len} AND w.fill > 0
+              THEN w.local_bin + 1 ELSE w.local_bin END,
+         CASE WHEN w.fill + r.t > {context_len} AND w.fill > 0
+              THEN 0 ELSE w.fill END,
+         CASE WHEN w.fill + r.t > {context_len} AND w.fill > 0
+              THEN r.t ELSE w.fill + r.t END
+  FROM r JOIN walk w ON r.part = w.part AND r.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens, t AS packed_tokens,
+       CAST(n_tokens > {context_len} AS BIGINT) AS truncated,
+       (part << 32) | local_bin AS bin_id,
+       bin_offset
+FROM walk ORDER BY doc_id"""
 
 
 def doc_curation_funnel(
@@ -6315,7 +6439,10 @@ def emb_outliers(
         c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
         m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         u = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
-        sims = u @ c.T
+        # round-6 BEFORE the argmax (the emb_ann_topk ranking discipline):
+        # assignment ties are then exact and break on the lowest cluster id
+        # on both sides, making the whole op SQL-mirrorable
+        sims = np.round(u @ c.T, 6)
         return pd.DataFrame(
             {
                 "vec_id": batch["vec_id"].to_numpy(),
@@ -6359,6 +6486,58 @@ def emb_outliers(
 
     out = scored.map_batches(flag, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id", ignore_index=True)
+
+
+def emb_outliers_sql(
+    sf_dir: str,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    sample_max: int = 65536,
+    tail_ppm: int = 50_000,
+) -> str:
+    """Exact mirror of emb_outliers DOWNSTREAM of the seeded k-means: the
+    centroids (float-recursive, not SQL-expressible) are recomputed by the
+    shared _kmeans_core from the same sample bytes and embedded as
+    round-trip literals — the same broadcast-constant discipline as
+    emb_ann_topk's query matrix. The SQL then mirrors assignment (round-6
+    sims, argmax with lowest-cluster tie-break), the exact value-counts
+    histogram threshold (searchsorted-left == min v with cum >= keep_n),
+    and the strict > flag."""
+    import pandas as pd
+
+    sample = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).head(
+        sample_max
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans_core(smat, n_clusters, kmeans_iters)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cent[i])}]::DOUBLE[])"
+        for i in range(len(cent))
+    )
+    keep_expr = f"t - (t * {tail_ppm}) // 1000000"
+    return f"""
+WITH cent(cluster, ce) AS (VALUES
+    {rows}
+), sims AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_inner_product(e.embedding::DOUBLE[], c.ce)
+               / greatest(sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])), 1e-12),
+               6) AS sim
+  FROM embeddings e CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, cluster, round(1.0 - sim, 6) AS dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+  FROM sims
+), sc AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM best WHERE rn = 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sc),
+cum AS (
+  SELECT dist AS v, sum(CAST(count(*) AS BIGINT)) OVER (ORDER BY dist) AS c
+  FROM sc GROUP BY dist
+), thr AS (SELECT min(v) AS tv FROM cum, tot WHERE c >= {keep_expr})
+SELECT sc.vec_id, sc.cluster, sc.dist,
+       sc.dist > COALESCE(thr.tv, 1e308) AS is_outlier
+FROM sc, thr ORDER BY sc.vec_id"""
 
 
 def doc_graph_pagerank(

@@ -118,7 +118,6 @@ def test_doc_quality_filter_matches_duckdb(ray_session):
 
 
 def test_doc_pack_sequences_invariants_and_parity(ray_session):
-    from quant_feature_pipeline_ray.hashing import stable_bucket
     from quant_feature_pipeline_ray.pipelines import training_data as td
 
     L = 512
@@ -135,11 +134,20 @@ def test_doc_pack_sequences_invariants_and_parity(ray_session):
         fills = np.concatenate([[0], np.cumsum(g["packed_tokens"].to_numpy())[:-1]])
         assert (g["bin_offset"].to_numpy() == fills).all()
 
-    # straight-line parity: replay first-fit per hash partition in doc_id order
+    # straight-line parity: replay first-fit per md5 partition in doc_id
+    # order (the op's SQL-expressible partition key since round 5)
+    import hashlib
+
     from quant_feature_pipeline_ray.functions.textstats import token_counts
 
     nt = token_counts(docs["text"]).loc[:, "n_tokens"].to_numpy()
-    part = stable_bucket(docs["doc_id"].to_numpy(), 32)
+    part = np.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 32
+            for d in docs["doc_id"].to_numpy()
+        ],
+        dtype=np.int64,
+    )
     ref_rows = {}
     for p in np.unique(part):
         sel = np.flatnonzero(part == p)

@@ -551,7 +551,7 @@ def test_emb_outliers_matches_straightline(ray_session):
     emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     u = mat / np.maximum(np.sqrt((mat * mat).sum(1))[:, None], 1e-12)
-    sims = u @ cent.T
+    sims = np.round(u @ cent.T, 6)  # round-6 before the max (oracle discipline)
     dist = np.round(1.0 - sims.max(1), 6)
     total = len(dist)
     keep_n = total - (total * tail_ppm) // 1_000_000
