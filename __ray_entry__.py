@@ -1751,6 +1751,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_ahash"] = mm.media_ahash
     # banded-Hamming perceptual near-dup pairs (multimodal dedup join)
     q["media_ahash_dups"] = mm.media_ahash_dups
+    # round-5: REAL codec decode (pure-python PPM + WAV parsers over actual
+    # file bytes) — the one formerly-stubbed decode now has real math for
+    # two kinds; unknown kinds keep the honest NotImplementedError stub
+    q["media_real_decode"] = mm.media_real_decode
     q["customers_without_orders"] = tpch.customers_without_orders
     q["waiting_suppliers"] = tpch.waiting_suppliers
 
@@ -2461,6 +2465,7 @@ FROM h ORDER BY conv_id, turn_idx""",
         "media_byte_features": _mm.media_byte_features_sql(_SQL_SF_DIR),
         "media_ahash": _mm.media_ahash_sql(_SQL_SF_DIR),
         "media_ahash_dups": _mm.media_ahash_dups_sql(_SQL_SF_DIR),
+        "media_real_decode": _mm.media_real_decode_sql(_SQL_SF_DIR),
     }
 
 

@@ -554,3 +554,172 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(frame_idx * {frame_bytes} AS BIGINT) AS frame_off,
        CAST(least({frame_bytes}, body_len - frame_idx * {frame_bytes}) AS BIGINT) AS frame_len
 FROM f ORDER BY media_id, frame_idx"""
+
+
+# ---------------------------------------------------- REAL codecs (PPM / WAV)
+def media_real_path(sf_dir: str, root: str = "/tmp/graft_transcripts") -> str:
+    from pathlib import Path
+
+    return os.path.join(root, Path(sf_dir).name, "media_real.parquet")
+
+
+def ensure_media_real(sf_dir: str, root: str = "/tmp/graft_transcripts") -> str:
+    """Deterministic fixture of REAL file bytes: ~70% binary-PPM images
+    (functions/codecs.encode_ppm — actual P6 files any Netpbm reader
+    opens) and ~30% PCM16 mono WAVs (encode_wav — actual RIFF files).
+    Typed metadata columns (width/height/sample_rate/n_samples) ride next
+    to the payload so the ORACLE can locate the raster/data plane without
+    a SQL header parser, while the ENGINE must parse the real header."""
+    from quant_feature_pipeline_ray.fixtures import sf_from_dir
+    from quant_feature_pipeline_ray.functions.codecs import encode_ppm, encode_wav
+
+    path = media_real_path(sf_dir, root)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    n = max(50, int(20_000 * sf_from_dir(sf_dir)))
+    rng = np.random.default_rng(4242)
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.7:
+            w, h = int(rng.integers(4, 25)), int(rng.integers(4, 25))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image_ppm", w, h, 0, 0, encode_ppm(arr)))
+        else:
+            ns = int(rng.integers(64, 513))
+            rate = int(rng.choice([8000, 16000]))
+            samples = rng.integers(-32768, 32768, size=ns, dtype=np.int64).astype(np.int16)
+            rows.append((i, "audio_wav", 0, 0, rate, ns, encode_wav(samples, rate)))
+    tbl = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows]),
+            "width": pa.array([r[2] for r in rows], pa.int32()),
+            "height": pa.array([r[3] for r in rows], pa.int32()),
+            "sample_rate": pa.array([r[4] for r in rows], pa.int32()),
+            "n_samples": pa.array([r[5] for r in rows], pa.int32()),
+            "payload": pa.array([r[6] for r in rows], pa.binary()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    os.close(fd)
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+class DecodeReal:
+    """Actor-pool REAL decode: the codec registry (pure-python PPM + WAV
+    parsers, functions/codecs.py) is built once per actor in __init__;
+    __call__ parses each payload's actual header and raster/data plane and
+    emits all-integer stats, so the oracle (which derives plane offsets
+    from the fixture's metadata columns instead of parsing) is bitwise.
+    Unknown kinds keep the honest NotImplementedError stub."""
+
+    def __init__(self):
+        from quant_feature_pipeline_ray.functions.codecs import decode_ppm, decode_wav
+
+        def img(payload: bytes):
+            arr = decode_ppm(payload)
+            h, w, _ = arr.shape
+            flat = arr.reshape(-1).astype(np.int64)
+            return (w, h, 0, flat.size, int(flat.sum()), int(flat.min()), int(flat.max()))
+
+        def wav(payload: bytes):
+            samples, rate = decode_wav(payload)
+            s = samples.astype(np.int64)
+            return (0, 0, rate, s.size, int(s.sum()), int(s.min()), int(s.max()))
+
+        self.codecs = {"image_ppm": img, "audio_wav": wav}
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        kinds = batch["kind"].to_pylist()
+        for k in kinds:
+            if k not in self.codecs:
+                raise NotImplementedError(f"no codec for kind={k!r}")
+        # per-file python dispatch is inherent (each payload is one file);
+        # the per-file pixel/sample math is numpy over the decoded plane
+        stats = [self.codecs[k](p) for k, p in zip(kinds, batch["payload"].to_pylist())]
+        cols = list(zip(*stats))
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "kind": kinds,
+                "width_decoded": np.asarray(cols[0], dtype=np.int64),
+                "height_decoded": np.asarray(cols[1], dtype=np.int64),
+                "sample_rate_decoded": np.asarray(cols[2], dtype=np.int64),
+                "n_values": np.asarray(cols[3], dtype=np.int64),
+                "val_sum": np.asarray(cols[4], dtype=np.int64),
+                "val_min": np.asarray(cols[5], dtype=np.int64),
+                "val_max": np.asarray(cols[6], dtype=np.int64),
+            }
+        )
+
+
+def media_real_decode(sf_dir: str) -> ray.data.Dataset:
+    """REAL end-to-end decode of actual PPM/WAV file bytes (verdict r4
+    item 6): actor-pool map_batches, small batches for binary rows."""
+    ds = ray.data.read_parquet(ensure_media_real(sf_dir))
+    return ds.map_batches(DecodeReal, batch_format="pyarrow", batch_size=128, concurrency=2)
+
+
+def media_real_decode_sql(sf_dir: str) -> str:
+    """Exact mirror WITHOUT a SQL header parser: plane offsets come from
+    the fixture's metadata columns (PPM header is 'P6\\n<w> <h>\\n255\\n'
+    = 9 + digits(w) + digits(h) bytes; canonical WAV data starts at byte
+    44), bytes recovered from hex(payload), int16 two's complement
+    reassembled for WAV. The ENGINE parses the real headers; the oracle
+    checks it landed on exactly the right plane."""
+    p = media_real_path(sf_dir)
+    return f"""
+WITH img AS (
+  SELECT media_id, width, height,
+         3 + length(CAST(width AS VARCHAR)) + 1 + length(CAST(height AS VARCHAR)) + 5 AS off,
+         hex(payload) AS hx, octet_length(payload) AS nb
+  FROM read_parquet('{p}') WHERE kind = 'image_ppm'
+), ib AS (
+  SELECT media_id, width, height,
+         [16*(instr('0123456789ABCDEF', substr(hx, 2*j+1, 1))-1)
+            + (instr('0123456789ABCDEF', substr(hx, 2*j+2, 1))-1)
+          for j in range(off, nb)] AS vals
+  FROM img
+), istats AS (
+  SELECT media_id, 'image_ppm' AS kind,
+         CAST(width AS BIGINT) AS width_decoded,
+         CAST(height AS BIGINT) AS height_decoded,
+         CAST(0 AS BIGINT) AS sample_rate_decoded,
+         CAST(len(vals) AS BIGINT) AS n_values,
+         CAST(list_sum(vals) AS BIGINT) AS val_sum,
+         CAST(list_min(vals) AS BIGINT) AS val_min,
+         CAST(list_max(vals) AS BIGINT) AS val_max
+  FROM ib
+), wav AS (
+  SELECT media_id, sample_rate, n_samples, hex(payload) AS hx
+  FROM read_parquet('{p}') WHERE kind = 'audio_wav'
+), wpairs AS (
+  SELECT media_id, sample_rate,
+         [16*(instr('0123456789ABCDEF', substr(hx, 2*(44+2*s)+1, 1))-1)
+            + (instr('0123456789ABCDEF', substr(hx, 2*(44+2*s)+2, 1))-1)
+          for s in range(0, n_samples)] AS lo_l,
+         [16*(instr('0123456789ABCDEF', substr(hx, 2*(44+2*s+1)+1, 1))-1)
+            + (instr('0123456789ABCDEF', substr(hx, 2*(44+2*s+1)+2, 1))-1)
+          for s in range(0, n_samples)] AS hi_l
+  FROM wav
+), wb AS (
+  SELECT media_id, sample_rate,
+         [CASE WHEN hi_l[s] >= 128 THEN lo_l[s] + 256*hi_l[s] - 65536
+               ELSE lo_l[s] + 256*hi_l[s] END
+          for s in range(1, len(hi_l) + 1)] AS vals
+  FROM wpairs
+), wstats AS (
+  SELECT media_id, 'audio_wav' AS kind,
+         CAST(0 AS BIGINT) AS width_decoded,
+         CAST(0 AS BIGINT) AS height_decoded,
+         CAST(sample_rate AS BIGINT) AS sample_rate_decoded,
+         CAST(len(vals) AS BIGINT) AS n_values,
+         CAST(list_sum(vals) AS BIGINT) AS val_sum,
+         CAST(list_min(vals) AS BIGINT) AS val_min,
+         CAST(list_max(vals) AS BIGINT) AS val_max
+  FROM wb
+)
+SELECT * FROM istats UNION ALL SELECT * FROM wstats ORDER BY media_id"""
