@@ -104,11 +104,19 @@ class StreamingTurnKernel:
             return df
         bounds = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1]))).tolist() + [n]
         parts = [self._process_conv(df.iloc[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
-        return pd.concat(parts, ignore_index=True)
+        # each conv yields a dict of numpy columns; ONE concatenate per column
+        # builds the batch frame (a per-conv DataFrame + per-column __setitem__
+        # was 75% of incremental-append kernel time — pandas block-manager
+        # inserts, profiled round 5)
+        if len(parts) == 1:
+            return pd.DataFrame(parts[0])
+        return pd.DataFrame(
+            {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        )
 
     __call__ = process_batch
 
-    def _process_conv(self, g: pd.DataFrame) -> pd.DataFrame:
+    def _process_conv(self, g: pd.DataFrame) -> dict:
         cfg = self.cfg
         cid = g["conv_id"].iloc[0]
         st = self.state.get(cid)
@@ -139,21 +147,21 @@ class StreamingTurnKernel:
         is_tool = (g["tool"].to_numpy() != "").astype(np.int64)
         text_len = g["text"].str.len().to_numpy().astype(np.int64)
 
-        out = pd.DataFrame(
-            {
-                "conv_id": g["conv_id"].to_numpy(),
-                "turn_idx": g["turn_idx"].to_numpy(),
-                "ts_us": ts_us,
-                "role": roles,
-                "tool": g["tool"].to_numpy(),
-                "text": g["text"].to_numpy(),
-                "dt_secs": dt_secs,
-                "cum_turns": rn + 1,
-                "text_len": text_len,
-                "is_tool": is_tool,
-                "role_change": role_change,
-            }
-        )
+        # plain dict of numpy columns; the DataFrame is built once per BATCH
+        # in process_batch (never per conv, never per column)
+        out: dict[str, np.ndarray] = {
+            "conv_id": g["conv_id"].to_numpy(),
+            "turn_idx": g["turn_idx"].to_numpy(),
+            "ts_us": ts_us,
+            "role": roles,
+            "tool": g["tool"].to_numpy(),
+            "text": g["text"].to_numpy(),
+            "dt_secs": dt_secs,
+            "cum_turns": rn + 1,
+            "text_len": text_len,
+            "is_tool": is_tool,
+            "role_change": role_change,
+        }
 
         # --- sessionize: integer offsets against carried counters
         gap_start = dt_us > np.int64(cfg.session_gap_s * 1e6)
@@ -220,7 +228,7 @@ class StreamingTurnKernel:
         # EMAs; band_width + its rank fuse recompute over the carried tail
         # (the tail is sized for the composed horizon, cfg.max_lookback)
         fast, slow = cfg.ema_spans[0], cfg.ema_spans[-1]
-        macd = out[f"lat_ema_{fast}"].to_numpy() - out[f"lat_ema_{slow}"].to_numpy()
+        macd = out[f"lat_ema_{fast}"] - out[f"lat_ema_{slow}"]
         out["macd"] = macd
         a_sig = 2.0 / (cfg.macd_signal_span + 1.0)
         if st.macd_signal is not None:
@@ -377,8 +385,8 @@ class StreamingTurnKernel:
         st.tail_tw_ts_us = ext_ts2[tw_keep].copy()
         st.tail_tw_text_len = ext_tl2[tw_keep].copy()
         if gap_start.any():
-            st.session_id = int(out["session_id"].iloc[-1])
-            st.session_rows = int(out["session_turn"].iloc[-1])
+            st.session_id = int(out["session_id"][-1])
+            st.session_rows = int(out["session_turn"][-1])
         else:
             st.session_rows += m
         st.last_role = roles[-1]
