@@ -51,6 +51,11 @@ def compare(name: str, got: pd.DataFrame, ref: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # literal-path oracles (transcripts dir / media fixtures) must point at
+    # the SAME sf the engine queries run at — set before __ray_entry__ import
+    import os
+
+    os.environ["GRAFT_SQL_SF_DIR"] = sf_dir
     import ray
 
     ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
