@@ -1564,6 +1564,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["e_interarrival_stats"] = lambda sf: ev.events_interarrival_stats(
         f"{sf}/events.parquet"
     )
+    # round-5: cohort retention matrix (first-event cohorts x day offset)
+    # and strict-order greedy-earliest funnel conversion — both one
+    # user-keyed exchange + a bounded second exchange, exact oracles
+    q["e_retention_cohorts"] = lambda sf: ev.events_retention_cohorts(
+        f"{sf}/events.parquet"
+    )
+    q["e_funnel_conversion"] = lambda sf: ev.events_funnel_conversion(
+        f"{sf}/events.parquet"
+    )
     # per-type hourly burst flags vs the type median rate
     q["e_burst_detect"] = lambda sf: ev.events_burst_detect(f"{sf}/events.parquet")
     # streaming throttle-dedup (debounce): keep only events > window after
@@ -1716,6 +1725,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_graph_pagerank"] = td.doc_graph_pagerank
     q["emb_outliers"] = td.emb_outliers
     q["doc_vocab"] = td.doc_vocab
+    # round-5: per-doc top-k TF-IDF keywords (broadcast idf, round-6 rank
+    # discipline) and the Heaps-law vocabulary-growth curve (first-seen
+    # token per rank slice) — exact oracles
+    q["doc_tfidf_topk"] = td.doc_tfidf_topk
+    q["doc_vocab_growth"] = td.doc_vocab_growth
     q["doc_topk_per_lang"] = td.doc_topk_per_lang
     q["doc_tfidf_topk"] = td.doc_tfidf_topk
     q["doc_lm_stats"] = td.doc_lm_stats
@@ -1801,8 +1815,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the family's distinct kernel shapes: Wilder EMA smoothing, rolling
         # min/max channel, mean-abs-dev, signed cumsum, EMA-of-EMA chains,
         # rolling regression)
-        "t_atr", "t_stochastic", "t_cci", "t_obv", "t_ichimoku",
-        "t_roc_cmo", "t_keltner", "t_trix", "t_kama", "t_adx", "t_chaikin",
+        # (t_adx / t_ichimoku displaced for the round-5 session ops below —
+        # the round-4 rationale holds: ADX's Wilder smoothing is t_atr's
+        # kernel and ichimoku's rolling min/max channel is t_stochastic's;
+        # both stay contract-exact at sf0.01 AND sf0.1.)
+        "t_atr", "t_stochastic", "t_cci", "t_obv",
+        "t_roc_cmo", "t_keltner", "t_trix", "t_kama", "t_chaikin",
         # transcript-family never-driver-verified exact queries
         "t_crossconv_dups", "t_turn_model_score", "t_conv_trend",
         "t_tool_entropy", "t_latency_by_transition",
@@ -1818,13 +1836,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunking, CCNet terciles, backoff trigram, CDC chunk view,
         # perceptual ahash), then the remaining doc audits and the two
         # round-4 oracle promotions (fingerprint, HLL registers)
+        # (doc_fingerprint / doc_distinct_tokens_hll displaced for the
+        # round-5 session ops below — both are round-4 oracle PROMOTIONS
+        # whose deliverable is the exact oracle itself, held green by the
+        # full contract run at sf0.01 and the round-5 sf0.1 spot run.)
         "doc_export_partitioned", "doc_stratified_sample",
         "doc_weighted_sample", "doc_zipf", "doc_chunk", "doc_heavy_hitters",
         "doc_ccnet_buckets", "doc_backoff_trigram", "doc_cdc_chunks",
-        "media_ahash", "doc_cluster_purity", "doc_fingerprint",
+        "media_ahash", "doc_cluster_purity",
         "doc_corpus_summary", "doc_funnel_ablation",
         "doc_quality_calibration", "doc_char_freq", "doc_hapax_ratio",
-        "doc_quality_length_corr", "doc_vocab", "doc_distinct_tokens_hll",
+        "doc_quality_length_corr", "doc_vocab",
+        # round-5 session operators (all exact, never driver-verified):
+        # cohort retention, strict-order funnel, per-doc TF-IDF keywords,
+        # Heaps-law vocabulary growth
+        "e_retention_cohorts", "e_funnel_conversion",
+        "doc_tfidf_topk", "doc_vocab_growth",
     ]
     assert len(first) == 50 and all(k in q for k in first)
     ordered = {k: q[k] for k in first}
@@ -2020,6 +2047,8 @@ ORDER BY tau_s""",
         "e_debounce": ev.events_debounce_sql(),
         "e_seasonality_profile": ev.events_seasonality_profile_sql(),
         "e_interarrival_stats": ev.events_interarrival_stats_sql(),
+        "e_retention_cohorts": ev.events_retention_cohorts_sql(),
+        "e_funnel_conversion": ev.events_funnel_conversion_sql(),
         "e_burst_detect": ev.events_burst_detect_sql(),
         "doc_export_partitioned": td.doc_export_partitioned_sql(_SQL_SF_DIR),
         "doc_checksum": td.doc_checksum_sql(_SQL_SF_DIR),
@@ -2117,6 +2146,8 @@ ORDER BY tau_s""",
         # doc_graph_pagerank / emb_outliers: iterative float power method /
         # kmeans-seeded threshold → rows-only (straight-line parity pytests)
         "doc_vocab": td.doc_vocab_sql(_SQL_SF_DIR),
+        "doc_tfidf_topk": td.doc_tfidf_topk_sql(_SQL_SF_DIR),
+        "doc_vocab_growth": td.doc_vocab_growth_sql(_SQL_SF_DIR),
         "doc_quality_filter": td.doc_quality_filter_sql(_SQL_SF_DIR),
         "doc_blocklist_filter": td.doc_blocklist_filter_sql(_SQL_SF_DIR),
         "doc_gopher_rules": td.doc_gopher_rules_sql(_SQL_SF_DIR),

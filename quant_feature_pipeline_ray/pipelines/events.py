@@ -2378,3 +2378,170 @@ SELECT event_type, m + 1 AS n_events, m AS n_gaps, min_gap_us, max_gap_us,
             THEN sqrt((m * sdd - sd * sd) / (m * (m - 1.0))) / (sd / (m * 1.0))
             ELSE 0.0 END AS cv_gap
 FROM a ORDER BY event_type"""
+
+
+def events_retention_cohorts(path: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Cohort retention matrix — the product-analytics table every event
+    warehouse publishes (cohort = day of a user's FIRST event; cell
+    (cohort, offset) = how many of that cohort were active offset days
+    later), and in a training-data pipeline the user-activity decay curve
+    that decides how far back a feed is worth keeping.
+
+    Scale shape: ONE exchange keyed on user_id (the events family's
+    standing partition); each group computes its users' first day and
+    distinct active days vectorized, pre-aggregates to (cohort_day,
+    day_offset) count partials, and a |days|²-bounded grouped exchange
+    finishes the matrix. Events never ride the second exchange. Integer
+    counts + one float division → bitwise oracle."""
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = _read_events(path, ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        )
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day}).drop_duplicates()
+        first = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first.to_numpy(),
+                "day_offset": (df["day"] - first).to_numpy(),
+                "n_active": np.ones(len(df), dtype=np.int64),
+                "n_first": (df["day"] == first).to_numpy().astype(np.int64),
+            }
+        )
+        return out.groupby(["cohort_day", "day_offset"], as_index=False).sum()
+
+    m = grouped_aggregate(
+        partition_map_groups(ds, per_user, key="user_id", num_buckets=num_buckets),
+        ["cohort_day", "day_offset"],
+        {"n_active": ("n_active", "sum"), "n_first": ("n_first", "sum")},
+    ).to_pandas()  # |days|^2-bounded
+    coh = (
+        m[m["day_offset"] == 0][["cohort_day", "n_first"]]
+        .rename(columns={"n_first": "n_cohort"})
+    )
+    out = m.merge(coh, on="cohort_day")
+    out["retention"] = out["n_active"].to_numpy(dtype=np.int64) / out[
+        "n_cohort"
+    ].to_numpy(dtype=np.int64)
+    return out[["cohort_day", "day_offset", "n_active", "n_cohort", "retention"]].sort_values(
+        ["cohort_day", "day_offset"], ignore_index=True
+    )
+
+
+def events_retention_cohorts_sql() -> str:
+    return """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), f AS (SELECT user_id, min(day) AS cohort_day FROM u GROUP BY user_id),
+act AS (
+  SELECT u.user_id, f.cohort_day, u.day - f.cohort_day AS day_offset
+  FROM u JOIN f USING (user_id)
+), coh AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY cohort_day
+), ret AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.n_active, c.n_cohort,
+       r.n_active / CAST(c.n_cohort AS DOUBLE) AS retention
+FROM ret r JOIN coh c USING (cohort_day)
+ORDER BY cohort_day, day_offset"""
+
+
+def events_funnel_conversion(
+    path: str,
+    steps: tuple = ("view", "click", "purchase"),
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Strict-order funnel conversion — per user, the greedy earliest
+    chain: step k counts only if it happens STRICTLY after the chosen
+    occurrence of step k-1 (the standard product funnel; greedy-earliest
+    is the classic deterministic matching). Output: one row per step with
+    users reached, conversion vs the previous step, and vs step 1.
+
+    Scale shape: ONE exchange keyed on user_id; the per-group pass walks
+    the |steps| stages with vectorized per-user min-after-cursor reductions
+    and emits a |steps|-row count partial; the driver sums |buckets| ×
+    |steps| rows. Integer counts + two float divisions → bitwise oracle."""
+    ds = _read_events(path, ["user_id", "event_type", "ts"])
+    steps = tuple(steps)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tsu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "et": g["event_type"].to_numpy(), "tsu": tsu}
+        )
+        # cursor per user: ts of the chosen occurrence of the previous step
+        users = pd.Index(df["user_id"].unique())
+        cursor = pd.Series(np.int64(-1), index=users)
+        alive = pd.Series(True, index=users)
+        counts = []
+        for s in steps:
+            sub = df[df["et"] == s]
+            cur = cursor.reindex(sub["user_id"]).to_numpy()
+            ok = sub["tsu"].to_numpy() > cur
+            hit = (
+                pd.DataFrame(
+                    {"user_id": sub["user_id"].to_numpy()[ok], "tsu": sub["tsu"].to_numpy()[ok]}
+                )
+                .groupby("user_id")["tsu"]
+                .min()
+            )
+            reached = alive.index.isin(hit.index) & alive.to_numpy()
+            alive = pd.Series(reached, index=alive.index)
+            cursor = pd.Series(
+                np.where(reached, hit.reindex(alive.index).fillna(-1).to_numpy(dtype=np.int64), -1),
+                index=alive.index,
+            )
+            counts.append(int(reached.sum()))
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(len(steps), dtype=np.int64),
+                "step": list(steps),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    parts = partition_map_groups(ds, per_bucket, key="user_id", num_buckets=num_buckets).to_pandas()
+    agg = parts.groupby(["step_idx", "step"], as_index=False)["n_users"].sum().sort_values(
+        "step_idx", ignore_index=True
+    )
+    n = agg["n_users"].to_numpy(dtype=np.int64)
+    prev = np.concatenate([[n[0] if len(n) else 0], n[:-1]])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        agg["conv_from_prev"] = np.where(prev > 0, n / prev, 0.0)
+        agg["conv_from_first"] = np.where(n[0] > 0, n / (n[0] if len(n) else 1), 0.0) if len(n) else 0.0
+    return agg
+
+
+def events_funnel_conversion_sql(steps: tuple = ("view", "click", "purchase")) -> str:
+    ctes = ["s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '%s' GROUP BY user_id)" % steps[0]]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i-1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    rows = ",\n  ".join(
+        f"({i}, '{s}', (SELECT CAST(count(*) AS BIGINT) FROM s{i}))"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {", ".join(ctes)},
+f(step_idx, step, n_users) AS (VALUES
+  {rows}
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
+       CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+            THEN n_users / CAST(lag(n_users) OVER (ORDER BY step_idx) AS DOUBLE)
+            WHEN step_idx = 0 AND n_users > 0 THEN 1.0
+            ELSE 0.0 END AS conv_from_prev,
+       CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+            THEN n_users / CAST(first_value(n_users) OVER (ORDER BY step_idx) AS DOUBLE)
+            ELSE 0.0 END AS conv_from_first
+FROM f ORDER BY step_idx"""

@@ -10811,3 +10811,203 @@ SELECT n AS n_docs,
                     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
             ELSE 0.0 END AS spearman_rho
 FROM m"""
+
+
+# --------------------------------------------------------- TF-IDF keywords
+def doc_tfidf_topk(sf_dir: str, k: int = 3, batch_size: int = 4096) -> pd.DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic probe
+    (what is this document ABOUT), and the cheap per-doc descriptor used
+    for cluster labeling and duplicate triage in curation reports.
+
+    Scale shape: pass 1 builds the (term, df) table with the doc_vocab
+    combiner (vocabulary-bounded exchange) and broadcasts idf once with
+    ray.put; pass 2 is a stateless per-batch scan computing per-doc term
+    counts and the top-k by round-6 tf·idf with the (score desc, term asc)
+    tie-break — the emb_ann_topk ranking discipline, so the oracle is
+    exact. Output is k rows per doc; text never rides an exchange.
+
+    idf = ln(N / df) with N from the parquet footer (no data pass)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    N = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame(
+            {"token": flat.filter(keep).to_pandas(), "d": parent.filter(keep).to_pandas()}
+        )
+        out = pairs.groupby("token", as_index=False).agg(df=("d", "nunique"))
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    vocab = (
+        grouped_aggregate(
+            ds.map_batches(df_partial, batch_format="pyarrow", batch_size=batch_size),
+            "token",
+            {"df": ("df", "sum")},
+        )
+        .to_pandas()  # vocabulary-bounded
+        .sort_values("token", ignore_index=True)
+    )
+    terms = vocab["token"].to_numpy()
+    idf = np.log(float(N) / vocab["df"].to_numpy(dtype=np.float64))
+    dfs = vocab["df"].to_numpy(dtype=np.int64)
+    ref = ray.put((terms, idf, dfs))
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        t, iv, dv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame(
+            {"token": flat.filter(keep).to_pandas(), "d": parent.filter(keep).to_pandas()}
+        )
+        tf = pairs.groupby(["d", "token"], as_index=False).size()
+        pos = np.searchsorted(t, tf["token"].to_numpy())
+        c = tf["size"].to_numpy(dtype=np.int64)
+        score = np.round(c * iv[pos], 6)
+        ids = batch["doc_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": ids[tf["d"].to_numpy()],
+                "term": tf["token"].to_numpy(),
+                "tf": c,
+                "df": dv[pos],
+                "tfidf": score,
+            }
+        )
+        # (score desc, term asc) per doc; keep k
+        out = out.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        out["rnk"] = out.groupby("doc_id").cumcount() + 1
+        return out[out["rnk"] <= k].astype({"rnk": np.int64})
+
+    res = ds.map_batches(topk, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    return res.sort_values(["doc_id", "rnk"], ignore_index=True)
+
+
+def doc_tfidf_topk_sql(sf_dir: str, k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term), nd
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {k}
+ORDER BY doc_id, rnk"""
+
+
+# -------------------------------------------------- Heaps-law vocab growth
+def doc_vocab_growth(sf_dir: str, n_slices: int = 10, batch_size: int = 4096) -> pd.DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over the corpus in doc_id
+    order: for each of `n_slices` equal rank-slices of documents, how many
+    DISTINCT tokens appear there for the first time. The data-value curve
+    behind "is more of this feed still adding vocabulary?" — flat tail =
+    the source is exhausted, steep tail = keep crawling.
+
+    Scale shape: per-batch combiner collapses to (token, min doc_id)
+    partials → ONE vocabulary-bounded exchange takes the global min per
+    token (the first-occurrence doc) → token first-seen docs map to rank
+    slices via exact doc_id rank boundaries. Ranks come from the unique
+    sorted doc_id table (|distinct doc_id|-bounded — for a corpus whose id
+    cardinality is row-scaled, swap in the sampled-boundary quantile path
+    of stages/normalize; at oracle scale the exact table IS the point).
+    All integers → bitwise oracle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        ids = batch["doc_id"].to_numpy()
+        pairs = pd.DataFrame(
+            {
+                "token": flat.filter(keep).to_pandas(),
+                "first_doc": ids[parent.filter(keep).to_numpy(zero_copy_only=False)],
+            }
+        )
+        return pairs.groupby("token", as_index=False).min()
+
+    firsts = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+            "token",
+            {"first_doc": ("first_doc", "min")},
+        )
+        .to_pandas()  # vocabulary-bounded
+    )
+
+    # exact rank slices: slice(doc) = rank(doc) * n_slices // N
+    def ids_only(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+
+    all_ids = np.sort(
+        ds.map_batches(ids_only, batch_format="pyarrow").to_pandas()["doc_id"].to_numpy()
+    )
+    N = len(all_ids)
+    rank = np.searchsorted(all_ids, firsts["first_doc"].to_numpy())
+    firsts["slice_idx"] = (rank * n_slices) // N
+    new_per = firsts.groupby("slice_idx", as_index=False).agg(n_new_tokens=("token", "size"))
+    doc_rank = np.arange(N, dtype=np.int64)
+    docs_per = pd.DataFrame({"slice_idx": (doc_rank * n_slices) // N}).groupby(
+        "slice_idx", as_index=False
+    ).agg(n_docs=("slice_idx", "size"))
+    out = docs_per.merge(new_per, on="slice_idx", how="left").fillna({"n_new_tokens": 0})
+    out["n_new_tokens"] = out["n_new_tokens"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["cum_vocab"] = out["n_new_tokens"].cumsum()
+    out["slice_idx"] = out["slice_idx"].astype(np.int64)
+    return out.sort_values("slice_idx", ignore_index=True)
+
+
+def doc_vocab_growth_sql(sf_dir: str, n_slices: int = 10) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM tok WHERE term <> '' GROUP BY term
+), ranks AS (
+  SELECT doc_id,
+         CAST((row_number() OVER (ORDER BY doc_id) - 1) AS BIGINT) AS rnk
+  FROM documents
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+newt AS (
+  SELECT (r.rnk * {n_slices}) // nd.n AS slice_idx,
+         CAST(count(*) AS BIGINT) AS n_new_tokens
+  FROM firsts f JOIN ranks r ON f.first_doc = r.doc_id, nd
+  GROUP BY 1
+), dps AS (
+  SELECT (rnk * {n_slices}) // nd.n AS slice_idx, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ranks, nd GROUP BY 1
+)
+SELECT d.slice_idx, d.n_docs,
+       CAST(COALESCE(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       CAST(sum(COALESCE(n.n_new_tokens, 0)) OVER (ORDER BY d.slice_idx) AS BIGINT) AS cum_vocab
+FROM dps d LEFT JOIN newt n USING (slice_idx)
+ORDER BY d.slice_idx"""
