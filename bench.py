@@ -252,6 +252,25 @@ def run_bench() -> dict:
     timed("doc_model_auc", lambda: len(td.doc_model_auc(sf_dir)))
     timed("t_bucketed_reuse", lambda: len(_q["t_bucketed_reuse"](sf_dir)))
     timed("tpch_q3_bloom", lambda: len(tpch.tpch_q3_bloom(sf_dir)))
+    # round-5 session operators
+    timed(
+        "e_retention_cohorts",
+        lambda: len(ev.events_retention_cohorts(f"{sf_dir}/events.parquet")),
+    )
+    timed(
+        "e_funnel_conversion",
+        lambda: len(ev.events_funnel_conversion(f"{sf_dir}/events.parquet")),
+    )
+    timed("doc_tfidf_topk", lambda: len(td.doc_tfidf_topk(sf_dir)))
+    timed("doc_vocab_growth", lambda: len(td.doc_vocab_growth(sf_dir)))
+    timed("doc_simhash_pairs", lambda: td.doc_simhash_pairs(sf_dir).count())
+
+    def _mm_real_decode_count():
+        from quant_feature_pipeline_ray.pipelines import multimodal as mm
+
+        return mm.media_real_decode(sf_dir).count()
+
+    timed("media_real_decode", _mm_real_decode_count)
 
     # Execution-mode variants at the current column width (round-3 verdict
     # #5): batch-checkpointed backfill vs streaming-state backfill vs
