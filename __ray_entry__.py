@@ -2101,6 +2101,9 @@ ORDER BY tau_s""",
         "doc_bpe_pairs": td.doc_bpe_pairs_sql(_SQL_SF_DIR),
         "doc_cluster_keep_best": td.doc_cluster_keep_best_sql(_SQL_SF_DIR),
         "doc_source_overlap": td.doc_source_overlap_sql(_SQL_SF_DIR),
+        # round-5 promotion #6: KMV estimator re-keyed to md5-lower-64 so
+        # every stage (bottom-k, union bottom-k, intersection) mirrors
+        "doc_source_overlap_sketch": td.doc_source_overlap_sketch_sql(_SQL_SF_DIR),
         "emb_quantize_int8": td.emb_quantize_int8_sql(_SQL_SF_DIR),
         "waiting_suppliers": tpch.waiting_suppliers_sql(_SQL_SF_DIR),
         "doc_crossdoc_ngrams": td.doc_crossdoc_ngrams_sql(_SQL_SF_DIR),

@@ -27,7 +27,7 @@ from quant_feature_pipeline_ray.functions.textstats import (
     stopword_hits,
     token_counts,
 )
-from quant_feature_pipeline_ray.hashing import content_hash
+from quant_feature_pipeline_ray.hashing import content_hash, md5_lower64
 
 DOC_COLS = ["doc_id", "text", "lang", "n_chars"]
 
@@ -8948,7 +8948,16 @@ def doc_source_overlap_sketch(
         keep = pc.not_equal(flat, "")
         src = batch["source"].take(parent.filter(keep)).to_pandas()
         tok = flat.filter(keep).to_pandas()
-        df = pd.DataFrame({"source": src, "h": content_hash(tok.to_numpy())})
+        # md5-lower-64 token hash (round-5): bit-identical to DuckDB's
+        # md5_number_lower, so the whole KMV estimator — bottom-k per
+        # source, union bottom-k, intersection count — has an EXACT SQL
+        # mirror. md5 runs once per distinct (source, token) of the batch
+        # (vocabulary-bounded); swap content_hash back for raw speed when
+        # no oracle is needed.
+        df = pd.DataFrame({"source": src, "tok": tok}).drop_duplicates(ignore_index=True)
+        df = pd.DataFrame(
+            {"source": df["source"], "h": md5_lower64(df["tok"].to_numpy())}
+        )
         df = df.drop_duplicates(ignore_index=True)
         out = (
             df.sort_values(["source", "h"], kind="mergesort")
@@ -8986,6 +8995,48 @@ def doc_source_overlap_sketch(
                 continue
             rows.append((sa, sb, len(inter) / len(U)))
     return pd.DataFrame(rows, columns=["src_a", "src_b", "jaccard_est"])
+
+
+def doc_source_overlap_sketch_sql(sf_dir: str, k: int = 1024) -> str:
+    """Exact SQL mirror of the KMV estimator (round-5 promotion): same
+    md5-lower-64 token hash, same bottom-k per source, same k-smallest of
+    the pair union, same |U_k ∩ A_k ∩ B_k| / |U_k| with pairs whose
+    intersection is empty dropped."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT source, md5_number_lower(token) AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM tok
+  ) WHERE rn <= {k}
+), srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), uni AS (
+  SELECT DISTINCT p.sa, p.sb, s.h
+  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+), uk AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM uni
+  ) WHERE rn <= {k}
+), inter AS (
+  SELECT uk.sa, uk.sb, CAST(count(*) AS BIGINT) AS n_inter
+  FROM uk
+  JOIN sk A ON A.source = uk.sa AND A.h = uk.h
+  JOIN sk B ON B.source = uk.sb AND B.h = uk.h
+  GROUP BY uk.sa, uk.sb
+), usz AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_u FROM uk GROUP BY sa, sb
+)
+SELECT i.sa AS src_a, i.sb AS src_b,
+       i.n_inter / CAST(u.n_u AS DOUBLE) AS jaccard_est
+FROM inter i JOIN usz u ON u.sa = i.sa AND u.sb = i.sb
+ORDER BY src_a, src_b"""
 
 
 def doc_cluster_keep_best(sf_dir: str, threshold: float = 0.82) -> pd.DataFrame:
