@@ -13,6 +13,35 @@ import numpy as np
 import pandas as pd
 
 
+import os as _os
+
+ORACLE_TIMEOUT_S = float(_os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def run_oracle(con, sql: str) -> pd.DataFrame:
+    """Run an oracle query; with GRAFT_ORACLE_TIMEOUT set, interrupt DuckDB
+    after that many seconds (used by cross-scale spot runs where a few
+    recursive-CTE oracles are super-linear in DuckDB)."""
+    if not ORACLE_TIMEOUT_S:
+        return con.sql(sql).df()
+    import threading
+
+    timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    except Exception as e:
+        if "INTERRUPT" in str(e).upper() or type(e).__name__ == "InterruptException":
+            raise OracleTimeout() from e
+        raise
+    finally:
+        timer.cancel()
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -101,7 +130,19 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(got)} rows x {len(got.columns)} cols ({el:.1f}s)")
             continue
         try:
-            ref = con.sql(sqls[name]).df()
+            ref = run_oracle(con, sqls[name])
+        except OracleTimeout:
+            # cross-scale spot runs only (GRAFT_ORACLE_TIMEOUT set): the
+            # WITH RECURSIVE replays (EMA/Wilder chains) are exact at the
+            # driver's sf0.01 gate but DuckDB's recursive execution does
+            # not scale to 1.2M rows — report the engine rows and move on
+            # rather than hang the whole artifact behind one oracle.
+            print(
+                f"[oracle-timeout] {name}: engine {len(got)} rows ({el:.1f}s); "
+                f"oracle exceeded {ORACLE_TIMEOUT_S:.0f}s at this scale "
+                "(exact at sf0.01)"
+            )
+            continue
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL raised {e}")
             failed.append(name)
