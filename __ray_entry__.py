@@ -692,6 +692,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["t_conv_trend"] = t_conv_trend
 
+    def t_first_response(sf):
+        # time-to-first-response per session: the first 'user' turn and the
+        # first 'assistant' turn strictly after it, both by turn order
+        # within the session — the SLA metric every assistant-latency
+        # dashboard leads with. Conv-local; sessions without a user turn or
+        # without a subsequent assistant turn emit nothing (both sides).
+        import numpy as np
+        import pandas as pd
+
+        def fr(g: pd.DataFrame) -> pd.DataFrame:
+            u = (
+                g[g["role"] == "user"]
+                .groupby(["conv_id", "session_id"], sort=True)["turn_idx"]
+                .min()
+                .rename("user_turn_idx")
+                .reset_index()
+            )
+            a = g[g["role"] == "assistant"].merge(u, on=["conv_id", "session_id"])
+            a = a[a["turn_idx"] > a["user_turn_idx"]]
+            fa = (
+                a.groupby(["conv_id", "session_id", "user_turn_idx"], sort=True)["turn_idx"]
+                .min()
+                .rename("asst_turn_idx")
+                .reset_index()
+            )
+            ts = g[["conv_id", "turn_idx", "ts_us"]]
+            fa = fa.merge(
+                ts.rename(columns={"turn_idx": "user_turn_idx", "ts_us": "u_ts"}),
+                on=["conv_id", "user_turn_idx"],
+            ).merge(
+                ts.rename(columns={"turn_idx": "asst_turn_idx", "ts_us": "a_ts"}),
+                on=["conv_id", "asst_turn_idx"],
+            )
+            fa["first_response_s"] = (
+                fa["a_ts"].to_numpy(dtype=np.int64) - fa["u_ts"].to_numpy(dtype=np.int64)
+            ) / 1e6
+            return fa[
+                ["conv_id", "session_id", "user_turn_idx", "asst_turn_idx", "first_response_s"]
+            ]
+
+        return partition_map_groups(
+            _read_raw(sf),
+            lambda g: fr(
+                compute_turn_features(g)[
+                    ["conv_id", "session_id", "turn_idx", "role", "ts_us"]
+                ]
+            ),
+            num_buckets=64,
+        )
+
+    q["t_first_response"] = t_first_response
+
     def t_tool_entropy(sf):
         # per-conversation Shannon entropy of the tool-call distribution —
         # agent behavioral diversity (a conversation hammering ONE tool in
@@ -1843,8 +1895,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_export_partitioned", "doc_stratified_sample",
         "doc_weighted_sample", "doc_zipf", "doc_chunk", "doc_heavy_hitters",
         "doc_ccnet_buckets", "doc_backoff_trigram", "doc_cdc_chunks",
+        # (doc_funnel_ablation displaced for the round-5 first-response op
+        # below — the funnel's stages are each individually driver-green or
+        # in-window; it stays contract-exact at two scales.)
         "media_ahash", "doc_cluster_purity",
-        "doc_corpus_summary", "doc_funnel_ablation",
+        "doc_corpus_summary", "t_first_response",
         "doc_quality_calibration", "doc_char_freq", "doc_hapax_ratio",
         "doc_quality_length_corr", "doc_vocab",
         # round-5 session operators (all exact, never driver-verified):
@@ -1968,6 +2023,24 @@ a AS (
 SELECT conv_id, n AS n_turns, len_slope,
        (sy - len_slope * sx) / CAST(n AS DOUBLE) AS len_intercept
 FROM s ORDER BY conv_id""",
+        "t_first_response": oracle.base_cte(p)
+        + """,
+fu AS (
+  SELECT conv_id, session_id, CAST(min(turn_idx) AS BIGINT) AS user_turn_idx
+  FROM t WHERE role = 'user' GROUP BY 1, 2
+), fa AS (
+  SELECT t.conv_id, t.session_id, fu.user_turn_idx,
+         CAST(min(t.turn_idx) AS BIGINT) AS asst_turn_idx
+  FROM t JOIN fu ON t.conv_id = fu.conv_id AND t.session_id = fu.session_id
+  WHERE t.role = 'assistant' AND t.turn_idx > fu.user_turn_idx
+  GROUP BY 1, 2, 3
+)
+SELECT f.conv_id, f.session_id, f.user_turn_idx, f.asst_turn_idx,
+       (ta.ts_us - tu.ts_us) / 1000000.0 AS first_response_s
+FROM fa f
+JOIN t tu ON tu.conv_id = f.conv_id AND tu.turn_idx = f.user_turn_idx
+JOIN t ta ON ta.conv_id = f.conv_id AND ta.turn_idx = f.asst_turn_idx
+ORDER BY f.conv_id, f.session_id""",
         "t_tool_entropy": oracle.base_cte(p)
         + """,
 tc AS (SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS c
