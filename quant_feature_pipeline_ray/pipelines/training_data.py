@@ -10864,110 +10864,6 @@ SELECT n AS n_docs,
 FROM m"""
 
 
-# --------------------------------------------------------- TF-IDF keywords
-def doc_tfidf_topk(sf_dir: str, k: int = 3, batch_size: int = 4096) -> pd.DataFrame:
-    """Per-document top-k TF-IDF terms — the classic keyword/topic probe
-    (what is this document ABOUT), and the cheap per-doc descriptor used
-    for cluster labeling and duplicate triage in curation reports.
-
-    Scale shape: pass 1 builds the (term, df) table with the doc_vocab
-    combiner (vocabulary-bounded exchange) and broadcasts idf once with
-    ray.put; pass 2 is a stateless per-batch scan computing per-doc term
-    counts and the top-k by round-6 tf·idf with the (score desc, term asc)
-    tie-break — the emb_ann_topk ranking discipline, so the oracle is
-    exact. Output is k rows per doc; text never rides an exchange.
-
-    idf = ln(N / df) with N from the parquet footer (no data pass)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as _pq
-
-    from quant_feature_pipeline_ray.stages.hash_aggregate import grouped_aggregate
-
-    N = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def df_partial(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch["text"], " ")
-        flat = pc.list_flatten(split)
-        parent = pc.list_parent_indices(split)
-        keep = pc.not_equal(flat, "")
-        pairs = pd.DataFrame(
-            {"token": flat.filter(keep).to_pandas(), "d": parent.filter(keep).to_pandas()}
-        )
-        out = pairs.groupby("token", as_index=False).agg(df=("d", "nunique"))
-        out["df"] = out["df"].astype(np.int64)
-        return out
-
-    vocab = (
-        grouped_aggregate(
-            ds.map_batches(df_partial, batch_format="pyarrow", batch_size=batch_size),
-            "token",
-            {"df": ("df", "sum")},
-        )
-        .to_pandas()  # vocabulary-bounded
-        .sort_values("token", ignore_index=True)
-    )
-    terms = vocab["token"].to_numpy()
-    idf = np.log(float(N) / vocab["df"].to_numpy(dtype=np.float64))
-    dfs = vocab["df"].to_numpy(dtype=np.int64)
-    ref = ray.put((terms, idf, dfs))
-
-    def topk(batch: pa.Table) -> pd.DataFrame:
-        t, iv, dv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        split = pc.split_pattern(batch["text"], " ")
-        flat = pc.list_flatten(split)
-        parent = pc.list_parent_indices(split)
-        keep = pc.not_equal(flat, "")
-        pairs = pd.DataFrame(
-            {"token": flat.filter(keep).to_pandas(), "d": parent.filter(keep).to_pandas()}
-        )
-        tf = pairs.groupby(["d", "token"], as_index=False).size()
-        pos = np.searchsorted(t, tf["token"].to_numpy())
-        c = tf["size"].to_numpy(dtype=np.int64)
-        score = np.round(c * iv[pos], 6)
-        ids = batch["doc_id"].to_numpy()
-        out = pd.DataFrame(
-            {
-                "doc_id": ids[tf["d"].to_numpy()],
-                "term": tf["token"].to_numpy(),
-                "tf": c,
-                "df": dv[pos],
-                "tfidf": score,
-            }
-        )
-        # (score desc, term asc) per doc; keep k
-        out = out.sort_values(
-            ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="mergesort"
-        )
-        out["rnk"] = out.groupby("doc_id").cumcount() + 1
-        return out[out["rnk"] <= k].astype({"rnk": np.int64})
-
-    res = ds.map_batches(topk, batch_format="pyarrow", batch_size=batch_size).to_pandas()
-    return res.sort_values(["doc_id", "rnk"], ignore_index=True)
-
-
-def doc_tfidf_topk_sql(sf_dir: str, k: int = 3) -> str:
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-), tf AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-  FROM tok WHERE term <> '' GROUP BY 1, 2
-), df AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-sc AS (
-  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
-  FROM tf JOIN df USING (term), nd
-)
-SELECT doc_id, term, tf, df, tfidf,
-       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
-FROM sc
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {k}
-ORDER BY doc_id, rnk"""
-
-
 # -------------------------------------------------- Heaps-law vocab growth
 def doc_vocab_growth(sf_dir: str, n_slices: int = 10, batch_size: int = 4096) -> pd.DataFrame:
     """Vocabulary-growth (Heaps-law) curve over the corpus in doc_id
