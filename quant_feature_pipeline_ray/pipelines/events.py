@@ -595,14 +595,26 @@ def events_grouped_quantiles(path: str, qs: tuple[float, ...] = (0.5, 0.9)) -> p
     rows = []
     for et, g in hist.groupby("event_type", sort=True):
         vals, counts = g["v"].to_numpy(), g["n"].to_numpy()
+        # round(,6): numpy's _lerp and DuckDB's quantile_cont agree on the
+        # math but not always on the last ulp (observed at sf0.1: one q90
+        # differed by 2^-46 — different lerp association). 6dp absorbs it;
+        # the source values carry 2 decimals, so no information is lost.
         rows.append(
-            {"event_type": et, **{f"q{int(q * 100)}": _lerp_quantile(vals, counts, q) for q in qs}}
+            {
+                "event_type": et,
+                **{
+                    f"q{int(q * 100)}": round(_lerp_quantile(vals, counts, q), 6)
+                    for q in qs
+                },
+            }
         )
     return pd.DataFrame(rows)
 
 
 def events_grouped_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9)) -> str:
-    cols = ", ".join(f"quantile_cont(value, {q}) AS q{int(q * 100)}" for q in qs)
+    cols = ", ".join(
+        f"round(quantile_cont(value, {q}), 6) AS q{int(q * 100)}" for q in qs
+    )
     return f"SELECT event_type, {cols} FROM events GROUP BY event_type ORDER BY event_type"
 
 
