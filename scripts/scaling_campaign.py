@@ -25,6 +25,14 @@ BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "bench.py
 
 
 def leg(ncpu: int, pair: int) -> dict | None:
+    # a finished leg can leave object-store spill files behind in tmpfs
+    # (/dev/shm/ray_spill): Ray only unlinks them when objects are freed
+    # before shutdown. 30 GB of stale tmpfs measured after one sf8.0 leg —
+    # memory the NEXT leg then lacks, skewing its reps. Clear before each
+    # leg so every leg starts from the same memory state.
+    import shutil
+
+    shutil.rmtree("/dev/shm/ray_spill", ignore_errors=True)
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
