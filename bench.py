@@ -261,7 +261,7 @@ def run_bench() -> dict:
         "e_funnel_conversion",
         lambda: len(ev.events_funnel_conversion(f"{sf_dir}/events.parquet")),
     )
-    timed("doc_tfidf_topk", lambda: len(td.doc_tfidf_topk(sf_dir)))
+    timed("doc_tfidf_topk", lambda: td.doc_tfidf_topk(sf_dir).count())
     timed("doc_vocab_growth", lambda: len(td.doc_vocab_growth(sf_dir)))
     timed("doc_simhash_pairs", lambda: td.doc_simhash_pairs(sf_dir).count())
 
